@@ -233,8 +233,152 @@ object SparkEntry {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k") > 50)
+    }),
+    // F3/F5: MySQL-style price parsing with -1 sentinel (currency-string →
+    // decimal; db_control_sql.sql:181-186). Raw strings are constructed
+    // deterministically from order totals so the oracle can replay them.
+    "f3_price_parse" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 100 === 0, lit(""))
+          .otherwise(concat(round(col("o_totalprice") * 100).cast("long").cast("string"), lit("đ")))
+          .as("raw_price"))
+      raw.select(col("o_orderkey"), Clean.parsePrice(col("raw_price")).as("price"))
+    }),
+    // F4/F5: regex numeric extraction + bounded decimal cast with -1
+    // sentinel (screen size, db_control_sql.sql:188).
+    "f4_screen_size_parse" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 100 === 0, lit(""))
+          .otherwise(concat(col("p_size").cast("string"), lit("."), (col("p_partkey") % 10).cast("string"), lit(" inches")))
+          .as("raw_size"))
+      raw.select(col("p_partkey"), Clean.parseScreenSize(col("raw_size")).as("screen_size"))
+    }),
+    // F10: RAM-vs-storage disambiguation of combined "8 GB - 256 GB"
+    // fields (crawl.py:218-228).
+    "f10_ram_storage_split" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 3 === 0,
+          concat(col("p_size").cast("string"), lit(" GB - "), (col("p_size") * 8).cast("string"), lit(" GB")))
+          .when(col("p_partkey") % 3 === 1, concat((col("p_size") % 60).cast("string"), lit(" GB")))
+          .otherwise(concat((col("p_size") + 100).cast("string"), lit(" GB")))
+          .as("raw"))
+      val (ram, storage) = Clean.splitRamStorage(col("raw"))
+      raw.select(col("p_partkey"), ram.as("ram"), storage.as("storage"))
+    }),
+    // F12: date-dimension generation (populate_dim_date.py:36-81) — 19
+    // Vietnamese-calendar attributes incl. the quirky week-0 numbering.
+    "f12_dim_date" -> ((s, _) => DimDate.generate(s, "2020-01-01", "2021-12-31")),
+
+    // ── SCD2 (SURVEY §2.9 SP_ETL_SCD_Update_Product) ─────────────────────
+    // Two snapshot rounds over part-derived products: day 2 changes prices
+    // (÷10), drops rows (÷7 — they stay current; the reference never
+    // expires missing keys) and adds new keys (÷13).
+    "scd2_two_rounds" -> ((s, dir) => {
+      val ts1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+      val ts2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+      val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+      val snap1 = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_retailprice").as("price"), col("p_size").as("psize"))
+      val snap2 = snap1
+        .filter(col("id") % 7 =!= 0)
+        .withColumn("price", when(col("id") % 10 === 0, col("price") + 100.0).otherwise(col("price")))
+        .unionByName(snap1.filter(col("id") % 13 === 0).withColumn("id", col("id") + 100000))
+      val h1 = Scd2.apply(
+        Scd2.emptyHistory(snap1, "timestamp_ntz"), snap1,
+        Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel)
+      Scd2.apply(h1, snap2, Seq("id"), Seq("id"), Seq("price", "psize"), ts2, sentinel)
+    }),
+
+    // ── Text analysis (training-data ops; beyond-reference) ──────────────
+    // token counting, subword estimate, alpha ratio, quality score.
+    "t1_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+    // language-ID n-gram/stopword heuristic.
+    "t2_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    // document fingerprinting: exact md5 + positional rolling hash.
+    "t3_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.positionalFingerprint(col("text")).as("fp_pos"))
+    }),
+
+    // ── Dedup (training-data ops; beyond-reference) ──────────────────────
+    // exact dedup over a corpus salted with literal copies.
+    "d1_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
+    }),
+    // brute-force n-gram Jaccard near-dup pairs (inverted-index join).
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text", 3, 0.6)
+    }),
+    // MinHash + banded LSH, exact-Jaccard-confirmed — must equal d2's
+    // output when recall is 1 (32 hashes / 16 bands: P(miss|J=0.8) ≈ 5e-8).
+    "d3_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 3, 32, 16, 0.6)
+    }),
+    // SimHash near-dup pairs (xxhash64-based — no SQL oracle, rows-only).
+    "d4_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", 8)
+    }),
+    // embedding-cosine near-dup: perturbed probes matched back to corpus.
+    "e1_embedding_neardup" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probes = v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("probe_id"),
+        concat(
+          array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 10000)).as("pe"))
+      probes.crossJoin(v)
+        .withColumn("sim", SimilaritySearch.cosine(col("pe"), col("e")))
+        .filter(col("sim") >= 0.99)
+        .select(col("probe_id"), col("vec_id").as("match_id"))
+    }),
+
+    // ── Similarity search (beyond-reference) ─────────────────────────────
+    // exact brute-force cosine top-k (rank output, float-free compare).
+    "k1_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+    // LSH-bucketed ANN (scale path; recall<1 → rows-only, tested vs k1).
+    "k2_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 8)
     })
   )
+
+  /** Corpus salted with exact duplicates: every 5th doc re-appears under
+    * doc_id+10000 (mirrored in the oracle SQL CTEs).
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  /** Corpus salted with near-duplicates: every 5th doc re-appears under
+    * doc_id+20000 with its first five tokens dropped.
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 6, 1000000)).as("text")))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -338,6 +482,195 @@ object SparkEntry {
         |FROM part""".stripMargin,
     "f13_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""".stripMargin
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""".stripMargin,
+    "f3_price_parse" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN ''
+        |    ELSE CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR) || 'đ' END AS raw_price
+        |  FROM orders)
+        |SELECT o_orderkey, COALESCE(TRY_CAST(NULLIF(regexp_replace(raw_price, '[.,đ₫\s]', '', 'g'), '') AS DECIMAL(18,2)),
+        |  CAST(-1 AS DECIMAL(18,2))) AS price
+        |FROM raw""".stripMargin,
+    "f4_screen_size_parse" ->
+      """WITH raw AS (
+        |  SELECT p_partkey, CASE WHEN p_partkey % 100 = 0 THEN ''
+        |    ELSE CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 10 AS VARCHAR) || ' inches' END AS raw_size
+        |  FROM part)
+        |SELECT p_partkey, COALESCE(TRY_CAST(NULLIF(regexp_extract(raw_size, '[0-9]*\.?[0-9]+', 0), '') AS DECIMAL(4,2)),
+        |  CAST(-1 AS DECIMAL(4,2))) AS screen_size
+        |FROM raw""".stripMargin,
+    "f10_ram_storage_split" ->
+      """WITH raw AS (
+        |  SELECT p_partkey, CASE
+        |    WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR) || ' GB - ' || CAST(p_size*8 AS VARCHAR) || ' GB'
+        |    WHEN p_partkey % 3 = 1 THEN CAST(p_size % 60 AS VARCHAR) || ' GB'
+        |    ELSE CAST(p_size + 100 AS VARCHAR) || ' GB' END AS raw
+        |  FROM part),
+        |parsed AS (
+        |  SELECT p_partkey, string_split(raw, ' - ') AS parts,
+        |    COALESCE(TRY_CAST(NULLIF(regexp_replace(parts[1], 'GB|\s', '', 'gi'), '') AS INT), -1) AS first_v,
+        |    CASE WHEN len(parts) >= 2
+        |      THEN COALESCE(TRY_CAST(NULLIF(regexp_replace(parts[2], 'GB|\s', '', 'gi'), '') AS INT), -1)
+        |      ELSE NULL END AS second_v
+        |  FROM raw)
+        |SELECT p_partkey,
+        |  CASE WHEN len(parts) >= 2 THEN first_v
+        |       WHEN first_v >= 64 THEN -1 ELSE first_v END AS ram,
+        |  CASE WHEN len(parts) >= 2 THEN second_v
+        |       WHEN first_v >= 64 THEN first_v ELSE -1 END AS storage
+        |FROM parsed""".stripMargin,
+    "f12_dim_date" ->
+      """WITH days AS (
+        |  SELECT CAST(i AS INT) + 1 AS date_sk, DATE '2020-01-01' + CAST(i AS INT) AS d,
+        |    (dayofweek(DATE '2020-01-01' + CAST(i AS INT)) + 6) % 7 AS wd
+        |  FROM generate_series(0, datediff('day', DATE '2020-01-01', DATE '2021-12-31')) t(i)),
+        |wk AS (
+        |  SELECT *, d - CAST(((wd + 1) % 7) AS INT) AS sun_week, d - CAST(wd AS INT) AS mon_week,
+        |    CAST(year(d) AS INT) AS yr FROM days),
+        |wn AS (
+        |  SELECT *,
+        |    CAST(floor(datediff('day', make_date(yr, 1, 1), sun_week) / 7.0) AS INT) + 1 AS sun_woy,
+        |    CAST(floor(datediff('day', make_date(yr, 1, 1), mon_week) / 7.0) AS INT) + 1 AS mon_woy
+        |  FROM wk)
+        |SELECT date_sk, d AS full_date,
+        |  CAST(dayofmonth(d) AS INT) AS int_day, CAST(month(d) AS INT) AS int_month,
+        |  ['Thứ Hai','Thứ Ba','Thứ Tư','Thứ Năm','Thứ Sáu','Thứ Bảy','Chủ Nhật'][CAST(wd AS INT)+1] AS day_of_week,
+        |  'Tháng ' || CAST(month(d) AS VARCHAR) AS calendar_month,
+        |  yr AS calendar_year, strftime(d, '%Y-%m') AS calendar_year_month,
+        |  CAST(dayofmonth(d) AS INT) AS date_of_month, CAST(dayofyear(d) AS INT) AS day_of_year,
+        |  sun_woy AS sun_week_of_year, printf('%d-W%02d (Sun)', yr, sun_woy) AS sun_year_week, sun_week,
+        |  mon_woy AS mon_week_of_year, printf('%d-W%02d (Mon)', yr, mon_woy) AS mon_year_week, mon_week,
+        |  'Q' || CAST(quarter(d) AS VARCHAR) AS quarter,
+        |  make_date(yr, (CAST(month(d) AS INT)-1)//3*3 + 1, 1) AS quarter_of_year,
+        |  'Không' AS holiday,
+        |  CASE WHEN wd >= 5 THEN 'Cuối tuần' ELSE 'Ngày thường' END AS day_type
+        |FROM wn""".stripMargin,
+    "scd2_two_rounds" ->
+      """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
+        |snap2 AS (
+        |  SELECT id, CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price, psize
+        |  FROM snap1 WHERE id % 7 <> 0
+        |  UNION ALL SELECT id + 100000, price, psize FROM snap1 WHERE id % 13 = 0),
+        |h1 AS (
+        |  SELECT id, price, psize, TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS updated_at, TIMESTAMP '9999-12-31 00:00:00' AS expired_at
+        |  FROM snap1),
+        |new2 AS (
+        |  SELECT s.id, s.price, s.psize, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |    TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM snap2 s WHERE NOT EXISTS (
+        |    SELECT 1 FROM h1 t WHERE t.id = s.id AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00')),
+        |ek AS (
+        |  SELECT t.id FROM h1 t JOIN snap2 s ON t.id = s.id AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |  WHERE t.price <> s.price OR t.psize <> s.psize),
+        |h1m AS (
+        |  SELECT t.id, t.price, t.psize, t.created_at,
+        |    CASE WHEN ek.id IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.updated_at END AS updated_at,
+        |    CASE WHEN ek.id IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.expired_at END AS expired_at
+        |  FROM h1 t LEFT JOIN (SELECT DISTINCT id FROM ek) ek ON t.id = ek.id),
+        |reins AS (
+        |  SELECT s.id, s.price, s.psize, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |    TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
+        |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
+    "t1_text_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(list_sum(list_transform(tk, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT)
+        |    + length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_subwords,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+        |  least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.3
+        |    + (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END)*0.4
+        |    + (CASE WHEN len(tk) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(tk, x -> list_contains(['the','a','an','of','and','to','in','is','it','that'], x))) AS DOUBLE) / len(tk) END)*0.3
+        |    AS quality
+        |FROM toks""".stripMargin,
+    "t2_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS s_en,
+        |    len(list_filter(tk, x -> list_contains(['el','la','de','que','y','los','las','un','una','es'], x))) AS s_es,
+        |    len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], x))) AS s_de,
+        |    len(list_filter(tk, x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS s_fr
+        |  FROM toks)
+        |SELECT doc_id, CASE
+        |  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+        |  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp_md5,
+        |  (SELECT COALESCE(CAST(sum(ascii(c) * ((i-1) % 64 + 1)) AS BIGINT), 0)
+        |   FROM (SELECT unnest(string_split(text, '')) AS c,
+        |                generate_subscripts(string_split(text, ''), 1) AS i)) AS fp_pos
+        |FROM documents""".stripMargin,
+    "d1_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp,
+        |  min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus GROUP BY 1""".stripMargin,
+    "d2_ngram_jaccard" -> ngramJaccardOracle,
+    "d3_minhash_lsh" -> ngramJaccardOracle,
+    "e1_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id + 10000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
+        |  FROM v WHERE vec_id % 10 = 0)
+        |SELECT probe_id, vec_id AS match_id FROM probes, v
+        |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
+        |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
+        |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    "k1_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.e, c.e), x -> x[1]*x[2]))
+        |      / sqrt(list_sum(list_transform(q.e, x -> x*x)))
+        |      / sqrt(list_sum(list_transform(c.e, x -> x*x))) AS sim
+        |  FROM q, v c WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM sims) WHERE rn <= 10""".stripMargin
   )
+
+  /** Shared oracle for d2/d3: brute-force 3-gram Jaccard ≥ 0.6 over the
+    * near-dup corpus (d3's LSH must find exactly these pairs when recall=1).
+    */
+  private val ngramJaccardOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    array_to_string((list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))[6:], ' ')
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> array_to_string(tk[i:i+2], ' '))) AS gs
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+      |        FROM corpus)
+      |  WHERE len(tk) > 0),
+      |inv AS (SELECT doc_id, len(gs) AS sz, unnest(gs) AS g FROM grams),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
+      |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
+      |FROM pairs WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.6""".stripMargin
 }

@@ -27,7 +27,7 @@ object Clean {
     */
   def parsePrice(c: Column): Column =
     coalesce(
-      nullif(regexp_replace(c, "[.,đ₫\\s]", ""), lit("")).cast(DecimalType(18, 2)),
+      nullif(regexp_replace(c, "[.,đ₫\\s]", ""), lit("")).try_cast(DecimalType(18, 2)),
       lit(-1).cast(DecimalType(18, 2)))
 
   /** Price parse to integral units (for testdata-shaped fixtures where the
@@ -35,7 +35,7 @@ object Clean {
     */
   def parsePriceLong(c: Column): Column =
     coalesce(
-      nullif(regexp_replace(c, "[.,đ₫\\s]", ""), lit("")).cast("long"),
+      nullif(regexp_replace(c, "[.,đ₫\\s]", ""), lit("")).try_cast("long"),
       lit(-1L))
 
   /** F4 — numeric screen-size extraction from strings like "6.9 inches".
@@ -43,7 +43,7 @@ object Clean {
     */
   def parseScreenSize(c: Column): Column =
     coalesce(
-      nullif(regexp_extract(c, "[0-9]*\\.?[0-9]+", 0), lit("")).cast(DecimalType(4, 2)),
+      nullif(regexp_extract(c, "[0-9]*\\.?[0-9]+", 0), lit("")).try_cast(DecimalType(4, 2)),
       lit(-1).cast(DecimalType(4, 2)))
 
   /** F3 — RAM / storage "8 GB" → 8; strip GB and spaces, cast, -1 fallback.
@@ -51,7 +51,7 @@ object Clean {
     */
   def parseGb(c: Column): Column =
     coalesce(
-      nullif(regexp_replace(c, "(?i)gb|\\s", ""), lit("")).cast("int"),
+      nullif(regexp_replace(c, "(?i)gb|\\s", ""), lit("")).try_cast("int"),
       lit(-1))
 
   /** F10 — RAM-vs-storage disambiguation: a combined field "8 GB - 256 GB"

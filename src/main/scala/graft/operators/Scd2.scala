@@ -43,6 +43,14 @@ object Scd2 {
 
   private def currentPred(sentinel: Column): Column = col(ExpiredAt) === sentinel
 
+  /** Empty history frame shaped for `staging` (first run). */
+  def emptyHistory(staging: DataFrame, tsType: String = "timestamp"): DataFrame =
+    staging
+      .limit(0)
+      .withColumn(CreatedAt, lit(null).cast(tsType))
+      .withColumn(UpdatedAt, lit(null).cast(tsType))
+      .withColumn(ExpiredAt, lit(null).cast(tsType))
+
   /** Apply one SCD2 round. `history` must carry `staging`'s columns plus
     * created_at/updated_at/expired_at; pass an empty frame (with schema)
     * for the first run. Returns the new history.

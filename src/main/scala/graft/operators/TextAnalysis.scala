@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, quality scoring, language ID, document
+  * fingerprinting. All pure Catalyst column expressions (no UDFs) so they
+  * stay inside whole-stage codegen and scale linearly with the corpus —
+  * at 100 TB these run as a single narrow scan stage, no shuffle.
+  *
+  * Beyond-reference scope (the reference warehouse has no text ops); the
+  * normalization/sentinel style follows its cleaning SP
+  * (reference: sql_script/db_control_sql.sql:165-207).
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric tokens; empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles (space-joined), the unit for Jaccard /
+    * MinHash dedup.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(grams)
+  }
+
+  /** Ratio of a-z characters to total length (0 for empty text). */
+  def alphaRatio(text: Column): Column = {
+    val lowered = lower(text)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(lowered, "[^a-z]", "")).cast("double") / length(text))
+  }
+
+  /** Fraction of tokens that are in `stopwords` (0 when no tokens).
+    * High-stopword text reads as natural language; near-zero suggests
+    * boilerplate/code/gibberish.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 when no tokens). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Composite quality score in [0,1]-ish: favors natural-language length,
+    * letter density and stopword presence. Weights are fixed so the score
+    * is reproducible; all arithmetic is per-row double math (deterministic).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    lenScore * 0.3 + alphaRatio(text) * 0.4 + stopwordRatio(text, stopwords) * 0.3
+  }
+
+  /** Per-language function-word inventories for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  /** Stopword-hit count for one language's marker set (counts token
+    * occurrences, not distinct hits — frequency carries signal).
+    */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val sw = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Heuristic language ID: argmax of marker-hit counts with a fixed
+    * priority order as tie-break; no hits at all → 'und' (undetermined).
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = langMarkers): Column = {
+    val scores = markers.map { case (lang, sw) => lang -> langScore(text, sw) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && sc > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact content fingerprint: md5 of the normalized token stream.
+    * Standard MD5 — identical in any engine, so cross-engine joins on the
+    * fingerprint are safe.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Positional rolling fingerprint: sum(ascii(char_i) * (i mod 64 + 1))
+    * — order-sensitive (unlike a bag hash) yet expressible in plain SQL
+    * for oracle checks. Cheap pre-filter before md5 confirmation.
+    */
+  def positionalFingerprint(text: Column): Column =
+    aggregate(
+      zip_with(
+        split(text, ""),
+        sequence(lit(1), length(text)),
+        (c, i) => ascii(c).cast("long") * ((i - 1) % 64 + 1)),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** BPE-ish subword count: alnum runs are split into ≤4-char pieces
+    * (ceil(len/4)), punctuation runs count one each — a deterministic,
+    * tokenizer-free token-budget estimate.
+    */
+  def subwordCount(text: Column): Column = {
+    val toks = tokens(text)
+    val alnumPieces = aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
+    alnumPieces + punct
+  }
+}
