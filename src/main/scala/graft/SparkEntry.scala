@@ -356,7 +356,7 @@ object SparkEntry {
     // LSH-bucketed ANN (scale path; recall<1 → rows-only, tested vs k1).
     "k2_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 8)
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     })
   )
 

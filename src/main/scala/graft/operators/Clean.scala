@@ -79,8 +79,8 @@ object Clean {
     */
   val brandRules: Seq[(String, String)] = Seq(
     "iphone" -> "Apple", "samsung" -> "Samsung", "xiaomi" -> "Xiaomi",
-    "oppo" -> "OPPO", "vivo" -> "vivo", "realme" -> "realme",
-    "nokia" -> "Nokia", "honor" -> "HONOR")
+    "oppo" -> "OPPO", "vivo" -> "Vivo", "realme" -> "Realme",
+    "nokia" -> "Nokia", "asus" -> "ASUS")
 
   def classifyBrand(name: Column, rules: Seq[(String, String)] = brandRules): Column = {
     val lowered = lower(name)

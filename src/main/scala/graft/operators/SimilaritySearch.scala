@@ -79,6 +79,12 @@ object SimilaritySearch {
     * the LSH signature (optionally multi-probe: each query also probes all
     * signatures at Hamming distance 1), brute-force within the bucket.
     * Output schema matches [[bruteForceTopK]]; recall < 1 by construction.
+    *
+    * bits ≤ 0 → auto-size to the corpus: ~log2(n / 4k) sign bits, so the
+    * expected bucket holds ~4k candidates — enough to fill top-k with
+    * near-random embeddings while still cutting the probe set by
+    * 2^bits/(bits+1) with multi-probe. Pass bits explicitly for clustered
+    * real-world embeddings (they tolerate many more bits).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -86,11 +92,15 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8,
+      bits: Int = 0,
       multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
+    val head = corpus.select(size(col(vecCol)), count(lit(1)).over()).head()
+    val dim = head.getInt(0)
+    val nBits =
+      if (bits > 0) bits
+      else math.max(1, (math.log(head.getLong(1).toDouble / (4.0 * k)) / math.log(2)).floor.toInt)
+    val planes = hyperplanes(dim, nBits, seed)
     val c = corpus.select(
       col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"),
@@ -103,7 +113,7 @@ object SimilaritySearch {
       if (!multiProbe) qBase.withColumn("sig", col("qsig"))
       else qBase.withColumn(
         "sig",
-        explode(array((col("qsig") +: (0 until bits).map(b => col("qsig").bitwiseXOR(lit(1L << b)))): _*)))
+        explode(array((col("qsig") +: (0 until nBits).map(b => col("qsig").bitwiseXOR(lit(1L << b)))): _*)))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     probes
       .join(c, "sig")
