@@ -20,11 +20,34 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val converted = df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case None => df
     }
+    // only the corpora with expensive per-row work (shingling/minhash,
+    // vector math) benefit from forced parallelism; relational tables stay
+    // on native scans so filters/pruning sit at the source.
+    if (name == "documents" || name == "embeddings")
+      rebalance(converted, new java.io.File(s"$sfDir/$name.parquet").length())
+    else converted
+  }
+
+  /** The driver's testdata ships each table as ONE parquet row group, so a
+    * scan yields a single partition and every per-row computation
+    * (minhash, cosine, regex parsing) runs on one core. For small inputs
+    * we trade one cheap round-robin exchange for full parallelism. On a
+    * real cluster inputs are many files/row groups (partitions ≥ cores)
+    * and anything ≥ the size cutoff skips this path, keeping filter/column
+    * pushdown adjacent to the scan where it matters.
+    */
+  private val rebalanceCutoffBytes = 256L << 20
+
+  def rebalance(df: DataFrame, inputBytes: Long): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (inputBytes < rebalanceCutoffBytes && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }
 
