@@ -357,6 +357,23 @@ object SparkEntry {
     "k2_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+
+    // ── Multimodal (beyond-reference) ────────────────────────────────────
+    // binary payload column + partition-wise (stub) decode: documents'
+    // utf-8 bytes stand in for media blobs; features derive from the raw
+    // bytes so the oracle can replay them (docs are ascii → md5(text) ==
+    // md5(bytes)).
+    "mm_binary_features" -> ((s, dir) => {
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeFeatures(withPayload, "payload")
+        .select(
+          col("doc_id"),
+          col("media.byte_len").as("byte_len"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.checksum").as("checksum"))
     })
   )
 
@@ -634,6 +651,11 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  ascii(substr(text, 1, 1)) AS width, ascii(substr(text, 2, 1)) AS height,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
     "k1_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |q AS (SELECT * FROM v WHERE vec_id < 5),

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming operators over the events stream (beyond-reference:
+  * the reference is strictly daily batch, SURVEY §2.8 — its daily-drop
+  * incrementality maps to a file source + Trigger.AvailableNow).
+  *
+  * Every transformation here is written against a plain DataFrame so the
+  * SAME code runs in batch (events parquet) and streaming (readStream)
+  * mode — batch runs back-fill, the stream keeps the result current.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. In streaming mode the
+    * watermark bounds state: windows older than `watermark` close and
+    * never reopen (late rows beyond it drop — the at-scale contract).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    events
+      .withColumn("ts", ts)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  case class UserSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of user inactivity (event-time timeout), emitting
+    * one row per closed session. State per user is O(1) — this scales to
+    * any user count because state is partitioned by the grouping key.
+    */
+  def sessionize(
+      events: Dataset[EventRow],
+      gapMinutes: Int): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(
+              userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastSeen),
+              s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var st = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  st = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(
+                    userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastSeen),
+                    s.nEvents, s.totalValue)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
+  /** Daily-drop replication: consume a landing directory exactly once per
+    * invocation (Trigger.AvailableNow), appending windowed counts to the
+    * sink — the reference's run_all.bat cadence without a scheduler.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sinkDir: String,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landingDir)
+    val q = windowedCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

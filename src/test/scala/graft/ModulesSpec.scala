@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.control.RunLedger
+import graft.operators.Multimodal
+import graft.sources.CsvIngest
+import graft.streaming.EventStreams
+
+/** Specs for multimodal plumbing, CSV ingest alignment, control-plane
+  * gates, and streaming batch-parity.
+  */
+class ModulesSpec extends SparkSpec {
+
+  test("multimodal: decodeFeatures round-trips binary payloads partition-wise") {
+    import spark.implicits._
+    val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x10)
+    val df = Seq(
+      (1L, jpegMagic),
+      (2L, "RIFFxxxx".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeFeatures(df, "payload").orderBy("id").collect()
+    val jpeg = out(0).getStruct(2)
+    assert(jpeg.getAs[String]("format") == "jpeg")
+    assert(jpeg.getAs[Int]("width") == 0xff && jpeg.getAs[Int]("height") == 0xd8)
+    assert(out(1).getStruct(2).getAs[String]("format") == "wav")
+    assert(out(2).isNullAt(2) && out(3).isNullAt(2), "empty/null payloads → null features")
+    // checksum matches Spark's own md5 of the same bytes
+    val viaSql = df.filter(col("id") === 2).select(md5(col("payload"))).head().getString(0)
+    assert(out(1).getStruct(2).getAs[String]("checksum") == viaSql)
+  }
+
+  test("multimodal: frame sampling explodes stride-spaced indices") {
+    import spark.implicits._
+    val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")
+    val frames = Multimodal.sampleFrames(df, "n_frames", 4)
+      .groupBy("id").agg(collect_list("frame_idx").as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(frames(1L) == Seq(0, 4, 8))
+    assert(frames(2L) == Seq(0))
+  }
+
+  test("csv ingest: header-driven column intersection with stamps (load_staging semantics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csv_ingest").toFile
+    val f = new java.io.File(dir, "products_raw_2025_11_23.csv")
+    // crawler header superset incl. columns the DB table doesn't have
+    java.nio.file.Files.writeString(f.toPath,
+      "ID,TEN,GIA_CU,QUA_TANG\n1,iPhone,1000,gift\n2,Nokia,,x\n")
+    val target = StructType(Seq(
+      StructField("ID", IntegerType),
+      StructField("TEN", StringType),
+      StructField("GIA_CU", StringType),
+      StructField("BO_NHO", StringType), // in table, not in CSV → null
+      StructField("NGAY", TimestampType), // stamped
+      StructField("ID_CONFIG", IntegerType))) // stamped
+    val out = CsvIngest.readAligned(
+      spark, f.getAbsolutePath, target,
+      stamps = Map(
+        "NGAY" -> lit("2025-11-23 06:00:00").cast("timestamp"),
+        "ID_CONFIG" -> lit(1)))
+    assert(out.columns.toSeq == target.fields.map(_.name).toSeq)
+    val rows = out.orderBy("ID").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("TEN") == "iPhone")
+    assert(rows(0).isNullAt(3), "BO_NHO absent from CSV → null")
+    assert(rows(0).getAs[Int]("ID_CONFIG") == 1)
+    assert(rows(1).isNullAt(2), "empty GIA_CU → null string")
+    // QUA_TANG (CSV-only) must not leak through
+    assert(!out.columns.contains("QUA_TANG"))
+  }
+
+  test("run ledger: idempotency + mutual-exclusion gates") {
+    val l0 = RunLedger.empty(spark)
+    assert(!RunLedger.ranToday(l0, "transform", "2025-11-23"))
+    val (l1, id1) = RunLedger.startRun(l0, "transform", "2025-11-23 06:00:00")
+    assert(RunLedger.anyRunning(l1, "transform"))
+    assert(!RunLedger.anyRunning(l1, "crawl"))
+    val l2 = RunLedger.finishRun(l1, id1, "SUCCESS", "2025-11-23 06:05:00",
+      Some(graft.operators.ScdStats(239, 239, 0)))
+    assert(!RunLedger.anyRunning(l2, "transform"))
+    assert(RunLedger.ranToday(l2, "transform", "2025-11-23"))
+    assert(!RunLedger.ranToday(l2, "transform", "2025-11-24"))
+    val msg = l2.filter(col("id") === id1).select("message").head().getString(0)
+    assert(msg == "SCD Type 2 completed successfully. Rows Processed: 239. " +
+      "New Rows Inserted: 239. Old Rows Expired (Updated): 0.")
+  }
+
+  test("streaming: windowedCounts batch result matches a streaming AvailableNow run") {
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = EventStreams.windowedCounts(events)
+
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toFile.getAbsolutePath
+    val landing = s"$tmp/landing"
+    events.write.parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    EventStreams.runAvailableNow(spark, landing, schema, s"$tmp/sink", s"$tmp/ckpt")
+    val streamed = spark.read.parquet(s"$tmp/sink")
+
+    // streaming append-mode only emits windows sealed by the watermark;
+    // every emitted window must match the batch result exactly
+    val joined = streamed.alias("s").join(
+      batch.alias("b"),
+      col("s.window_start") === col("b.window_start") && col("s.event_type") === col("b.event_type"))
+    assert(streamed.count() > 0, "stream emitted no sealed windows")
+    assert(joined.count() == streamed.count(), "streamed window missing from batch result")
+    assert(joined.filter(
+      col("s.n_events") =!= col("b.n_events") ||
+        abs(col("s.total_value") - col("b.total_value")) > 1e-9).count() == 0)
+  }
+
+  test("streaming: gap sessionization closes sessions after inactivity") {
+    import spark.implicits._
+    val rows = Seq(
+      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "click", 2.0),
+      // 3h gap → new session
+      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 13:30:00"), "view", 5.0),
+      EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 7.0))
+    // batch mode: flatMapGroupsWithState processes each group once, no timeout
+    val sessions = EventStreams.sessionize(rows.toDS(), gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    // batch emits only sessions CLOSED by a later event; user 1's first
+    // session closes when the 13:30 event arrives
+    assert(sessions.exists(s =>
+      s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0 &&
+        s.session_end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00")))
+  }
+}
