@@ -64,6 +64,45 @@ object SparkEntry {
             col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     }),
+    // TPC-H Q3 shape: selective dim filter + fact join + grouped top-k.
+    "q3_shipping_priority" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(
+          t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5 shape: 6-way snowflake join with region filter — the join-
+    // order/broadcast stress test (nation+region broadcast, facts shuffle).
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+    // TPC-H Q12 shape: fact-fact join + categorical count matrix (count-
+    // only aggregates — no float surface at all).
+    "q12_priority_distribution" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 25)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"))
+    }),
     // A3: grouped MIN/MAX + midrange-"AVG" — the reference's datamart daily
     // rollup quirk (AVG is (max+min)/2, not the mean; load_datamart.py:128).
     "a3_midrange_by_brand" -> ((s, dir) => {
@@ -415,6 +454,34 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name, SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q12_priority_distribution" ->
+      """SELECT l_returnflag, o_orderpriority, COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity >= 25
+        |GROUP BY l_returnflag, o_orderpriority""".stripMargin,
     "a3_midrange_by_brand" ->
       """SELECT p_brand, MAX(p_retailprice) AS max_price, MIN(p_retailprice) AS min_price,
         |  (MAX(p_retailprice)+MIN(p_retailprice))/2 AS avg_price
