@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed warehouse zones (staging / warehouse / datamart dirs)
+  * with the write disciplines the reference implements as SQL statements:
+  *
+  *  - S5 truncate-and-load  → `overwriteAll`
+  *  - S7 daily upsert       → [[upsertPartitioned]]: dynamic partition
+  *    overwrite rewrites ONLY the partitions the increment touches — the
+  *    at-scale replacement for `INSERT ... ON DUPLICATE KEY UPDATE`
+  *    (load_aggregate.py:90-107). A 100 TB AGGREGATE table partitioned by
+  *    day never rewrites history to absorb today's snapshot.
+  *
+  * Time-partitioned facts (AGGREGATE by DATE_SK, events by day) get
+  * partition pruning for free: a `DATE_SK = n` predicate prunes to one
+  * directory (verified in ZonesSpec via the physical plan).
+  */
+object Zones {
+
+  /** Full-refresh write (TRUNCATE + INSERT parity). */
+  def overwriteAll(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Upsert an increment into a partitioned table by rewriting only the
+    * touched partitions: for each partition present in `increment`, the
+    * new content = old rows whose key is absent from the increment ∪ the
+    * increment (new version wins), written with dynamic partition
+    * overwrite so untouched partitions are untouched.
+    */
+  def upsertPartitioned(
+      spark: SparkSession,
+      path: String,
+      increment: DataFrame,
+      keys: Seq[String],
+      partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val exists = new java.io.File(path).exists()
+    val merged =
+      if (!exists) increment
+      else {
+        val current = spark.read.parquet(path)
+        // restrict the anti-join to touched partitions: the partition
+        // filter prunes the scan to those directories
+        val touched = increment.select(col(partitionCol)).distinct()
+        val touchedCurrent = current.join(touched, Seq(partitionCol), "left_semi")
+        graft.operators.Upsert.upsert(touchedCurrent, increment, keys)
+      }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

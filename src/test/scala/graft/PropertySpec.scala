@@ -1,0 +1,101 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clean, Scd2, Upsert}
+
+/** Property-style randomized checks (seeded → deterministic) for the
+  * cleaning expressions and SCD2/upsert invariants, per SURVEY §5.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("price parser: any dotted/suffixed rendering parses back to the value") {
+    val rnd = new Random(11)
+    val cases = Seq.fill(300) {
+      val v = math.abs(rnd.nextLong()) % 1000000000L
+      val s = if (rnd.nextBoolean()) f"$v%,d".replace(",", ".") else v.toString
+      val suffix = Seq("đ", "₫", "", "đ ")(rnd.nextInt(4))
+      (s + suffix, v)
+    }
+    val df = cases.toDF("raw", "expected")
+    val bad = df
+      .withColumn("parsed", Clean.parsePrice(col("raw")).cast("long"))
+      .filter(col("parsed") =!= col("expected"))
+    assert(bad.count() == 0, bad.take(3).mkString(","))
+  }
+
+  test("ram/storage split: combined fields split exactly; singles route by the 64GB rule") {
+    val rnd = new Random(12)
+    val pairs = Seq.fill(200)((1 + rnd.nextInt(2048), 1 + rnd.nextInt(2048)))
+    val df = pairs.toDF("a", "b").withColumn(
+      "raw", concat(col("a"), lit(" GB - "), col("b"), lit(" GB")))
+    val (ram, storage) = Clean.splitRamStorage(col("raw"))
+    val bad = df.select(col("a"), col("b"), ram.as("ram"), storage.as("storage"))
+      .filter(col("ram") =!= col("a") || col("storage") =!= col("b")).count()
+    assert(bad == 0)
+
+    val singles = Seq("8 GB", "256 GB", "63 GB", "64 GB").toDF("raw")
+    val (r2, s2) = Clean.splitRamStorage(col("raw"))
+    val got = singles.select(col("raw"), r2.as("r"), s2.as("s"))
+      .collect().map(x => x.getString(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    assert(got("8 GB") == ((8, -1)) && got("63 GB") == ((63, -1)))
+    assert(got("256 GB") == ((-1, 256)) && got("64 GB") == ((-1, 64)))
+  }
+
+  test("scd2 invariants hold over random multi-round mutation sequences") {
+    val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+    val rnd = new Random(13)
+    (1 to 3).foreach { trial =>
+      val rounds = Seq.fill(4)(
+        Seq.fill(25)((1 + rnd.nextInt(40), 1 + rnd.nextInt(9))).distinctBy(_._1))
+      var history = Scd2.emptyHistory(Seq((1, 1)).toDF("key", "attr"), "timestamp_ntz")
+      rounds.zipWithIndex.foreach { case (snapshot, i) =>
+        val snap = snapshot.toDF("key", "attr")
+        val ts = lit(f"2024-01-${i + 1}%02d 00:00:00").cast("timestamp_ntz")
+        history = Scd2.apply(history, snap, Seq("key"), Seq("key"), Seq("attr"), ts, sentinel)
+      }
+      val current = history.filter(col("expired_at") === sentinel).cache()
+      // ≤ 1 current row per key
+      assert(current.groupBy("key").count().filter(col("count") > 1).count() == 0,
+        s"trial $trial: duplicate current rows")
+      // every key ever staged has exactly one current row
+      val staged = rounds.flatten.map(_._1).toSet
+      assert(current.select("key").distinct().count() == staged.size, s"trial $trial")
+      // expiry never precedes creation
+      assert(history.filter(col("expired_at") < col("created_at")).count() == 0, s"trial $trial")
+      // the current attr for a key equals its LAST staged value
+      val lastStaged = rounds.zipWithIndex
+        .flatMap { case (snap, i) => snap.map { case (k, a) => (k, i, a) } }
+        .groupBy(_._1).map { case (k, vs) => (k, vs.maxBy(_._2)._3) }
+      val bad = current.select("key", "attr").collect()
+        .count(r => lastStaged(r.getInt(0)) != r.getInt(1))
+      assert(bad == 0, s"trial $trial: stale current attrs")
+    }
+  }
+
+  test("upsert/insertIgnore algebra: keys unique, winners correct") {
+    val rnd = new Random(14)
+    (1 to 3).foreach { _ =>
+      val base = Seq.fill(30)((1 + rnd.nextInt(15), rnd.nextInt(100))).toMap.toSeq
+      val inc = Seq.fill(10)((1 + rnd.nextInt(15), 100 + rnd.nextInt(100))).toMap.toSeq
+      val baseDf = base.toDF("k", "v")
+      val incDf = inc.toDF("k", "v")
+      val incKeys = inc.map(_._1)
+      val baseKeys = base.map(_._1)
+
+      val up = Upsert.upsert(baseDf, incDf, Seq("k"))
+      assert(up.groupBy("k").count().filter(col("count") > 1).count() == 0)
+      assert(up.filter(col("k").isInCollection(incKeys) && col("v") < 100).count() == 0,
+        "upsert: increment version must win")
+      assert(up.count() == (baseKeys ++ incKeys).distinct.size)
+
+      val ig = Upsert.insertIgnore(baseDf, incDf, Seq("k"))
+      assert(ig.groupBy("k").count().filter(col("count") > 1).count() == 0)
+      assert(ig.filter(col("k").isInCollection(baseKeys) && col("v") >= 100).count() == 0,
+        "insertIgnore: existing version must win")
+    }
+  }
+}

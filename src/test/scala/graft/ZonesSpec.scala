@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Zones
+
+/** Partitioned-zone write/upsert semantics + partition-pruning proof. */
+class ZonesSpec extends SparkSpec {
+
+  test("partitioned upsert rewrites only touched partitions; pruning hits the plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zones").toFile.getAbsolutePath
+    val path = s"$dir/aggregate"
+
+    val day1 = Seq((1L, 100, 10.0), (2L, 100, 20.0), (3L, 101, 30.0))
+      .toDF("product_sk", "date_sk", "price")
+    Zones.upsertPartitioned(spark, path, day1, Seq("product_sk", "date_sk"), "date_sk")
+
+    // remember partition 101's file set to prove it is not rewritten
+    def files(p: Int) = Option(new java.io.File(s"$path/date_sk=$p").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val p101Before = files(101)
+
+    // day-2 increment: update product 1 in partition 100, add partition 102
+    val day2 = Seq((1L, 100, 11.0), (9L, 102, 90.0)).toDF("product_sk", "date_sk", "price")
+    Zones.upsertPartitioned(spark, path, day2, Seq("product_sk", "date_sk"), "date_sk")
+
+    val all = Zones.read(spark, path)
+    assert(all.count() == 4)
+    assert(all.filter(col("product_sk") === 1).select("price").head().getDouble(0) == 11.0,
+      "new version wins in the touched partition")
+    assert(all.filter(col("date_sk") === 101).count() == 1, "untouched partition intact")
+    assert(files(101) == p101Before, "untouched partition files not rewritten")
+
+    // partition pruning: a date_sk predicate must reach the scan as a
+    // partition filter, reading one directory
+    val planned = all.filter(col("date_sk") === 102)
+    val scan = planned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("date_sk"),
+      s"expected partition filter in scan:\n$scan")
+    assert(planned.count() == 1)
+  }
+}
