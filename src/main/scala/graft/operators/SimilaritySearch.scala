@@ -32,10 +32,16 @@ object SimilaritySearch {
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
   /** Cosine similarity, evaluated as (dot / norm_a) / norm_b — fixed
-    * operation order so results are bit-stable across runs.
+    * operation order so results are bit-stable across runs. Dispatches to
+    * the fused codegen kernel [[graft.functions.CosineSimilarity]] when
+    * registered (all [[graft.Sessions]] sessions); the composable
+    * higher-order-function form is the fallback with identical numerics.
     */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / norm(a) / norm(b)
+  def cosine(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
+    else dot(a, b) / norm(a) / norm(b)
+  }
 
   /** Exact cosine top-k: for each query vector, the k most similar corpus
     * vectors (excluding itself), ranked desc with id tie-break.
@@ -53,6 +59,100 @@ object SimilaritySearch {
     q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF coarse quantizer: Lloyd's k-means over a driver-side sample.
+    * Sampling + driver fit is the standard IVF recipe even at 100 TB —
+    * the quantizer needs only a few ×k representative vectors, and the
+    * trained centroids broadcast as plan literals.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 8,
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>"))
+      .orderBy(rand(seed))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
+    var centroids = sample.take(k).map(_.clone())
+    val dim = centroids(0).length
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (L2), as a column expression: an
+    * array<struct<dist,idx>> minimum — ties break to the lower index.
+    */
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    cellsRanked(v, centroids)(0).getField("idx")
+
+  private def cellsRanked(v: Column, centroids: Array[Array[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      val plane = array(c.map(lit): _*)
+      val diff = zip_with(v, plane, (x, y) => (x - y) * (x - y))
+      struct(
+        aggregate(diff, lit(0.0), (acc, x) => acc + x).as("dist"),
+        lit(i).as("idx"))
+    }: _*))
+
+  /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid; each
+    * query probes its `nProbe` closest cells and brute-forces only those
+    * buckets. One shuffle keyed by cell; probe cost ≈ nProbe/k of the
+    * corpus. Output schema matches [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed = seed)
+    val c = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      nearestCell(col(vecCol).cast("array<double>"), centroids).as("cell"))
+    val q = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      slice(cellsRanked(col(vecCol).cast("array<double>"), centroids), 1, nProbe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe").getField("idx").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")

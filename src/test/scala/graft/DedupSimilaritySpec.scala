@@ -69,6 +69,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered recall@10 = $recall")
   }
 
+  test("IVF ANN on clustered embeddings: near-perfect recall probing few cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    val approx = SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+      nCells = 12, nProbe = 3)
+    val exactPairs = exact.select("query_id", "neighbor_id")
+    val hit = approx.select("query_id", "neighbor_id")
+      .join(exactPairs, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exactPairs.count()
+    assert(recall >= 0.9, s"ivf clustered recall@10 = $recall")
+  }
+
   test("LSH ANN on near-random embeddings beats the probed-bucket baseline") {
     // testdata embeddings are near-orthogonal (max cos ≈ 0.5): recall is
     // bounded by the probed fraction; auto-bits picks 3 bits → multi-probe
