@@ -397,6 +397,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }),
+    // IVF ANN (scale path #2; recall<1 → rows-only, tested vs k1).
+    "k3_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
 
     // ── Multimodal (beyond-reference) ────────────────────────────────────
     // binary payload column + partition-wise (stub) decode: documents'
