@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY §4 / builder scale notes).
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in [[graft.Sessions]]) handles most skew at runtime by
+  * splitting oversized partitions. Salting is the static fallback for the
+  * pathological case AQE can't fix: ONE join key so hot that a single
+  * key's rows exceed an executor (e.g. the 'Unknown'/sentinel key after
+  * cleaning, SURVEY §1 sentinel conventions).
+  */
+object SkewJoin {
+
+  /** Salted inner equi-join, result-identical to `big.join(small, keys)`:
+    * the big side gets a deterministic salt in [0, salts) hashed from its
+    * whole row; the small side is replicated once per salt value, so every
+    * (key, salt) pair finds its match while the hot key's rows spread over
+    * `salts` reducers.
+    */
+  def saltedInnerJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn(
+      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val repSmall = small.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig
+      .join(repSmall, keys :+ "__salt")
+      .drop("__salt")
+  }
+
+  /** Skewed-aggregate two-phase rollup: partial aggregate on (keys, salt)
+    * then final on keys — the map-side-combine pattern made explicit for
+    * aggregates Spark can't partially aggregate (e.g. collect-like).
+    * `agg1` must be decomposable: agg2(agg1 per salt) == agg(all).
+    */
+  def twoPhaseAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      agg1: Seq[Column],
+      agg2: Seq[Column]): DataFrame = {
+    val salted = df.withColumn(
+      "__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).cast("int"))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(agg1.head, agg1.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(agg2.head, agg2.tail: _*)
+  }
+}

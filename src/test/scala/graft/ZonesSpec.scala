@@ -7,6 +7,42 @@ import graft.sources.Zones
 /** Partitioned-zone write/upsert semantics + partition-pruning proof. */
 class ZonesSpec extends SparkSpec {
 
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    // 90% of rows share one hot key
+    val big = (1 to 5000).map(i =>
+      (if (rnd.nextDouble() < 0.9) 1 else 1 + rnd.nextInt(50), i.toDouble))
+      .toDF("k", "v")
+    val small = (1 to 50).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("k", "name")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(big, small, Seq("k"), 8)
+      .groupBy("k", "name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assertSameRows(salted, plain, "salted vs plain join")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("bucketwh").toFile.getAbsolutePath
+    val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, s"x$i")).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/ta").saveAsTable("graft_bucket_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/tb").saveAsTable("graft_bucket_b")
+    try {
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("partitioned upsert rewrites only touched partitions; pruning hits the plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zones").toFile.getAbsolutePath
