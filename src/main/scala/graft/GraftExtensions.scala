@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b) takes two array<double> arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count(a, b) takes two sorted array<bigint> arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
   }
 }

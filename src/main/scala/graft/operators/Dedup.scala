@@ -34,16 +34,26 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** |A∩B| on sorted hash arrays: fused two-pointer kernel when the
+    * session registers it, hash-set `array_intersect` fallback.
+    */
+  private def intersectCount(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("sorted_intersect_count"))
+      call_function("sorted_intersect_count", a, b)
+    else size(array_intersect(a, b))
+  }
+
   /** id + distinct word-n-gram shingle set, the shared front of the
-    * Jaccard/MinHash paths. `hgrams` carries the xxhash64 image of each
-    * shingle: candidate joins and intersections run on 8-byte longs
-    * instead of strings (same set cardinalities up to a ~n²/2⁶⁴ collision
-    * chance — negligible).
+    * Jaccard/MinHash paths. `hgrams` carries the SORTED xxhash64 image of
+    * the shingle set: candidate joins move 8-byte longs instead of strings
+    * and intersections run as two-pointer merges (same set cardinalities
+    * up to a ~n²/2⁶⁴ collision chance — negligible).
     */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
-      .withColumn("hgrams", transform(col("grams"), g => xxhash64(g)))
+      .withColumn("hgrams", array_sort(transform(col("grams"), g => xxhash64(g))))
 
   /** All-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING (PPJoin-
     * style): under a global shingle order (document frequency ascending —
@@ -82,7 +92,7 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hgrams").as("gb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("inter", intersectCount(col("ga"), col("gb")))
       .withColumn(
         "jaccard",
         col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
@@ -141,7 +151,7 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("hgrams").as("grams_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hgrams").as("grams_b")), "id_b")
     withGrams
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("inter", intersectCount(col("grams_a"), col("grams_b")))
       .withColumn(
         "jaccard",
         col("inter").cast("double") / (size(col("grams_a")) + size(col("grams_b")) - col("inter")))
