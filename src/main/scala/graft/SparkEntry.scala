@@ -403,6 +403,45 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }),
 
+    // ── Time-series / streaming-parity (beyond-reference) ────────────────
+    // batch run of the streaming windowed aggregation (EventStreams).
+    "st1_windowed_counts" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedCounts(t(s, dir, "events"))
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+    }),
+    // gap sessionization, batch form: window-function islands (lag → gap
+    // flag → running session index) — the set-based equivalent of the
+    // streaming flatMapGroupsWithState operator.
+    "st2_sessionize_batch" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000 * 1000
+      val tsUs = unix_micros(col("ts").cast("timestamp")) // exact integer µs
+      t(s, dir, "events")
+        .withColumn("ts_us", tsUs)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_session")).over(byUser))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
+    // salted hot-key join (result ≡ plain join; the salt spreads one key
+    // over many reducers).
+    "sk1_salted_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+        .withColumn("user_bucket", when(col("user_id") % 3 === 0, 0L).otherwise(col("user_id") % 50))
+      val dim = t(s, dir, "events").select((col("user_id") % 50).as("user_bucket")).distinct()
+        .withColumn("bucket_name", concat(lit("bucket_"), col("user_bucket")))
+      SkewJoin.saltedInnerJoin(events, dim, Seq("user_bucket"), 8)
+        .groupBy("bucket_name")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    }),
+
     // ── Multimodal (beyond-reference) ────────────────────────────────────
     // binary payload column + partition-wise (stub) decode: documents'
     // utf-8 bytes stand in for media blobs; features derive from the raw
@@ -723,6 +762,34 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    "st1_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,10))) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st2_sessionize_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "sk1_salted_join" ->
+      """WITH ev AS (
+        |  SELECT *, CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 50 END AS user_bucket
+        |  FROM events),
+        |dim AS (
+        |  SELECT DISTINCT user_id % 50 AS user_bucket FROM events),
+        |named AS (SELECT user_bucket, 'bucket_' || CAST(user_bucket AS VARCHAR) AS bucket_name FROM dim)
+        |SELECT bucket_name, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,10))) AS total
+        |FROM ev JOIN named USING (user_bucket)
+        |GROUP BY bucket_name""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  ascii(substr(text, 1, 1)) AS width, ascii(substr(text, 2, 1)) AS height,

@@ -27,7 +27,12 @@ object EventStreams {
       .withColumn("ts", ts)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // decimal accumulation → exact and order/partition-independent
+        // (double sums drift in the last ulps between runs and engines)
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
