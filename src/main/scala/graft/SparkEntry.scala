@@ -124,6 +124,32 @@ object SparkEntry {
           max("o_totalprice").as("quarter_max_price"))
         .withColumn("quarter_avg_price", (col("quarter_min_price") + col("quarter_max_price")) / 2)
     }),
+    // Hierarchical ROLLUP with subtotal rows (beyond-reference breadth;
+    // grouping-set nulls mark the subtotal levels).
+    "a7_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("calendar_year"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice"), 18, 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    // exact distinct aggregation (expands to two-phase distinct+agg).
+    "a8_distinct_counts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // discrete percentiles (exact order-statistic elements — no
+    // interpolation, so engine-comparable on doubles).
+    "a9_percentile_disc" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
+          count(lit(1)).as("n"))
+    }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
       t(s, dir, "events")
@@ -536,6 +562,20 @@ object SparkEntry {
         |  MIN(o_totalprice) AS quarter_min_price, MAX(o_totalprice) AS quarter_max_price,
         |  (MIN(o_totalprice)+MAX(o_totalprice))/2 AS quarter_avg_price
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "a7_rollup_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS calendar_year, o_orderpriority,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue, COUNT(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+    "a8_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a9_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "a1_count_gate" ->
       """SELECT COUNT(*) AS n_today FROM events
         |WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
