@@ -276,6 +276,22 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
     }),
+    // categorical pivot (wide matrix from long facts).
+    "w3_pivot_status_matrix" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+    }),
+    // generator/explode: token frequency table via unnest.
+    "t4_token_frequencies" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+    }),
     "w2_top10_orders" -> ((s, dir) => {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -640,6 +656,16 @@ object SparkEntry {
         |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin,
     "w2_top10_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "w3_pivot_status_matrix" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "t4_token_frequencies" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token""".stripMargin,
     "f8_classify_brand" ->
       """SELECT p_partkey,
         |  CASE WHEN contains(lower(p_name), 'green') THEN 'Green'

@@ -22,6 +22,19 @@ class ZonesSpec extends SparkSpec {
     assertSameRows(salted, plain, "salted vs plain join")
   }
 
+  test("two-phase salted aggregate equals direct aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val df = (1 to 3000).map(i => (if (rnd.nextDouble() < 0.8) 1 else 1 + rnd.nextInt(10), i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val twoPhase = graft.operators.SkewJoin.twoPhaseAgg(
+      df, Seq("k"), salts = 8,
+      agg1 = Seq(sum("v").as("s1"), count(lit(1)).as("n1")),
+      agg2 = Seq(sum("s1").as("s"), sum("n1").as("n")))
+    assertSameRows(twoPhase, direct, "two-phase vs direct aggregate")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("bucketwh").toFile.getAbsolutePath
