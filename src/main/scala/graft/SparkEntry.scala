@@ -445,6 +445,41 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }),
 
+    // ── Temporal joins (beyond-reference; Spark has no native as-of) ─────
+    // backward as-of: every event carries the user's last purchase value
+    // at that moment (union + window — no inequality nested loop).
+    "tj1_asof_last_purchase" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TemporalJoins.asofBackward(
+        events.select("event_id", "user_id", "ts"),
+        purchases, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("value"), rightOrder = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("asof.value").as("last_purchase_value"))
+    }),
+    // binned point-in-interval range join: lineitems shipped within 30
+    // days of a sampled order's date (equi-join on time bins + residual).
+    "tj2_range_ship_window" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val windows = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey").as("w_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(30L) * dayUs)
+      val ships = t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      TemporalJoins.pointInInterval(ships, windows, "ship_us", "w_start", "w_end", 30L * dayUs)
+        .groupBy("w_orderkey")
+        .agg(count(lit(1)).as("n_shipped"))
+    }),
+
     // ── Time-series / streaming-parity (beyond-reference) ────────────────
     // batch run of the streaming windowed aggregation (EventStreams).
     "st1_windowed_counts" -> ((s, dir) => {
@@ -828,6 +863,21 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    "tj1_asof_last_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "tj2_range_ship_window" ->
+      """WITH windows AS (
+        |  SELECT o_orderkey AS w_orderkey, epoch_us(o_orderdate) AS w_start,
+        |    epoch_us(o_orderdate) + 30::BIGINT * 86400000000 AS w_end
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT w_orderkey, COUNT(*) AS n_shipped
+        |FROM lineitem JOIN windows
+        |  ON epoch_us(l_shipdate) >= w_start AND epoch_us(l_shipdate) <= w_end
+        |GROUP BY w_orderkey""".stripMargin,
     "st1_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,10))) AS total_value
