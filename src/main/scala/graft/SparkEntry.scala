@@ -150,6 +150,13 @@ object SparkEntry {
           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
           count(lit(1)).as("n"))
     }),
+    // HLL sketch distinct (engine-specific sketch → rows-only gate; the
+    // ≤5%-error bound vs exact COUNT DISTINCT is asserted in SketchSpec).
+    "a10_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
       t(s, dir, "events")
