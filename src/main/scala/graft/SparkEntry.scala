@@ -326,7 +326,7 @@ object SparkEntry {
     // decimal; db_control_sql.sql:181-186). Raw strings are constructed
     // deterministically from order totals so the oracle can replay them.
     "f3_price_parse" -> ((s, dir) => {
-      val raw = t(s, dir, "orders").select(
+      val raw = Tables.rebalance(t(s, dir, "orders"), 0L).select(
         col("o_orderkey"),
         when(col("o_orderkey") % 100 === 0, lit(""))
           .otherwise(concat(round(col("o_totalprice") * 100).cast("long").cast("string"), lit("đ")))
@@ -336,7 +336,7 @@ object SparkEntry {
     // F4/F5: regex numeric extraction + bounded decimal cast with -1
     // sentinel (screen size, db_control_sql.sql:188).
     "f4_screen_size_parse" -> ((s, dir) => {
-      val raw = t(s, dir, "part").select(
+      val raw = Tables.rebalance(t(s, dir, "part"), 0L).select(
         col("p_partkey"),
         when(col("p_partkey") % 100 === 0, lit(""))
           .otherwise(concat(col("p_size").cast("string"), lit("."), (col("p_partkey") % 10).cast("string"), lit(" inches")))
