@@ -9,10 +9,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // operators may cache intermediates; drop them so queries are
-      // timed in isolation instead of fighting for storage memory
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // operators may cache intermediates; drop them (OUTSIDE the timed
+      // region) so the next query isn't fighting for storage memory
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

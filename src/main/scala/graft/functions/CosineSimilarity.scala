@@ -41,7 +41,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // mismatched dimensions → NULL, matching the composable fallback
+    // (zip_with null-pads and the sum poisons) — a truncated/corrupt
+    // vector must surface, not score on its prefix
+    if (y.numElements() != n) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -68,9 +72,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = $a.getDouble($i);
          |  double $yv = $b.getDouble($i);

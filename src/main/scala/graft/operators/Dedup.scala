@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * external DuckDB gate can still verify results against hash-free brute
   * force. Exact dedup keys on md5 (standard everywhere) so its
   * fingerprints are portable across engines.
+  *
+  * Cache lifecycle: the pair operators `.cache()` their shingle/signature
+  * frames (consumed 2-3× within one job). The handles stay pinned for the
+  * session — long-lived drivers looping over corpora should
+  * `spark.catalog.clearCache()` (or unpersist) between batches, as
+  * graft.Bench does.
   */
 object Dedup {
 

@@ -195,11 +195,15 @@ object SimilaritySearch {
       bits: Int = 0,
       multiProbe: Boolean = true,
       seed: Long = 42L): DataFrame = {
-    val head = corpus.select(size(col(vecCol)), count(lit(1)).over()).head()
-    val dim = head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val nBits =
       if (bits > 0) bits
-      else math.max(1, (math.log(head.getLong(1).toDouble / (4.0 * k)) / math.log(2)).floor.toInt)
+      else {
+        // distributed count (a global count().over() window would funnel
+        // the whole corpus through one partition just to read a scalar)
+        val n = corpus.count()
+        math.max(1, (math.log(n.toDouble / (4.0 * k)) / math.log(2)).floor.toInt)
+      }
     val planes = hyperplanes(dim, nBits, seed)
     val c = corpus.select(
       col(idCol).cast("long").as("neighbor_id"),

@@ -26,8 +26,15 @@ object SkewJoin {
       keys: Seq[String],
       salts: Int): DataFrame = {
     require(salts > 0)
+    // row-content hash + per-partition row position: IDENTICAL duplicate
+    // rows of the hot key still spread across salts (a pure content hash
+    // would re-create the single hot reducer for them), while the value
+    // stays deterministic for a fixed input partitioning
     val saltedBig = big.withColumn(
-      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      "__salt",
+      pmod(
+        xxhash64(struct(big.columns.map(col): _*)) + monotonically_increasing_id(),
+        lit(salts)).cast("int"))
     val repSmall = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig

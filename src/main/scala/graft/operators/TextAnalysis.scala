@@ -113,13 +113,16 @@ object TextAnalysis {
     * for oracle checks. Cheap pre-filter before md5 confirmation.
     */
   def positionalFingerprint(text: Column): Column =
-    aggregate(
-      zip_with(
-        split(text, ""),
-        sequence(lit(1), length(text)),
-        (c, i) => ascii(c).cast("long") * ((i - 1) % 64 + 1)),
-      lit(0L),
-      (acc, x) => acc + x)
+    // empty text → 0 (sequence(1,0) would run DESCENDING and null-poison
+    // the zip; the SQL-oracle form coalesces the empty sum to 0)
+    when(length(text) === 0 || text.isNull, lit(0L)).otherwise(
+      aggregate(
+        zip_with(
+          split(text, ""),
+          sequence(lit(1), length(text)),
+          (c, i) => ascii(c).cast("long") * ((i - 1) % 64 + 1)),
+        lit(0L),
+        (acc, x) => acc + x))
 
   /** BPE-ish subword count: alnum runs are split into ≤4-char pieces
     * (ceil(len/4)), punctuation runs count one each — a deterministic,

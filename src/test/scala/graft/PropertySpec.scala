@@ -14,9 +14,11 @@ class PropertySpec extends SparkSpec {
 
   test("price parser: any dotted/suffixed rendering parses back to the value") {
     val rnd = new Random(11)
+    def dotted(v: Long): String = // locale-independent thousands dots
+      v.toString.reverse.grouped(3).mkString(".").reverse
     val cases = Seq.fill(300) {
       val v = math.abs(rnd.nextLong()) % 1000000000L
-      val s = if (rnd.nextBoolean()) f"$v%,d".replace(",", ".") else v.toString
+      val s = if (rnd.nextBoolean()) dotted(v) else v.toString
       val suffix = Seq("đ", "₫", "", "đ ")(rnd.nextInt(4))
       (s + suffix, v)
     }
