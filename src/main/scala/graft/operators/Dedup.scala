@@ -88,13 +88,23 @@ object Dedup {
       .join(dfreq, "g")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "g")
+      .select("id", "sz", "g", "pos")
+    // positional filter (PPJoin): a pair seen at prefix positions (pa, pb)
+    // can overlap at most 1 + min(|a|-pa, |b|-pb); J ≥ t needs overlap
+    // ≥ ceil(t/(1+t)·(|a|+|b|)) — prune pairs whose best shared prefix
+    // position can't reach it, BEFORE fetching the full shingle arrays.
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           col("a.sz") * threshold <= col("b.sz") && col("b.sz") * threshold <= col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+        (lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))).as("ub"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(max(col("ub")).as("ub"))
+      .filter(col("ub") >= ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold))))
+      .select("id_a", "id_b")
     cand
       .join(docs.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hgrams").as("gb")), "id_b")
