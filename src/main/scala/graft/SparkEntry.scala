@@ -420,6 +420,19 @@ object SparkEntry {
     "d4_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", 8)
     }),
+    // edit-distance near-dup confirmation: each mutated doc vs its
+    // original (levenshtein is exact-integer in both engines).
+    "d5_edit_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = nearDupCorpus(s, dir).filter(col("doc_id") >= 20000)
+        .select((col("doc_id") - 20000).as("doc_id"), col("text").as("text_mut"))
+      docs.join(mutated, "doc_id")
+        .select(
+          col("doc_id"),
+          levenshtein(col("text"), col("text_mut")).as("edit_dist"),
+          (levenshtein(col("text"), col("text_mut")).cast("double") /
+            greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
+    }),
     // embedding-cosine near-dup: perturbed probes matched back to corpus.
     "e1_embedding_neardup" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
@@ -859,6 +872,14 @@ object SparkEntry {
         |SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp,
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin,
+    "d5_edit_distance" ->
+      """WITH mutated AS (
+        |  SELECT doc_id,
+        |    array_to_string((list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))[6:], ' ') AS text_mut
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT d.doc_id, levenshtein(d.text, m.text_mut) AS edit_dist,
+        |  CAST(levenshtein(d.text, m.text_mut) AS DOUBLE) / greatest(length(d.text), length(m.text_mut)) AS rel_dist
+        |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
     "e1_embedding_neardup" ->

@@ -113,6 +113,30 @@ class ModulesSpec extends SparkSpec {
         abs(col("s.total_value") - col("b.total_value")) > 1e-9).count() == 0)
   }
 
+  test("streaming: sessionize emits timed-out sessions via the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+        EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "click", 2.0))
+      q.processAllAvailable()
+      // later traffic pushes the watermark past user 1's timeout
+      input.addData(
+        EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), "view", 6.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").as[EventStreams.UserSession].collect()
+      assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0),
+        s"timed-out session missing: ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
