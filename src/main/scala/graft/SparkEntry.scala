@@ -94,6 +94,32 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     }),
+    // TPC-H Q2 shape: correlated scalar subquery (cheapest part per
+    // brand), decorrelated by Catalyst into a join on the grouped min.
+    "q2_cheapest_per_brand" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val minPrice = part.groupBy(col("p_brand").as("mb"))
+        .agg(min("p_retailprice").as("min_price"))
+      part
+        .join(broadcast(minPrice),
+          col("p_brand") === col("mb") && col("p_retailprice") === col("min_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    }),
+    // null-safe equality join (MySQL <=> / SQL IS NOT DISTINCT FROM):
+    // NULL keys MATCH each other, unlike plain equi-joins.
+    "j10_nullsafe_join" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val a = part.select(
+        col("p_partkey"),
+        when(col("p_size") % 7 === 0, lit(null).cast("int")).otherwise(col("p_size")).as("sz"))
+      val b = part.select(
+        (col("p_partkey") + 1000000).as("other_key"),
+        when(col("p_size") % 7 === 0, lit(null).cast("int")).otherwise(col("p_size")).as("sz"))
+        .filter(col("other_key") % 200 === 0)
+      a.join(b, a("sz") <=> b("sz"))
+        .groupBy("other_key")
+        .agg(count(lit(1)).as("n_matches"))
+    }),
     // TPC-H Q12 shape: fact-fact join + categorical count matrix (count-
     // only aggregates — no float surface at all).
     "q12_priority_distribution" -> ((s, dir) => {
@@ -618,6 +644,20 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q2_cheapest_per_brand" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice = (
+        |  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "j10_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT p_partkey, CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_size END AS sz FROM part),
+        |b AS (
+        |  SELECT p_partkey + 1000000 AS other_key,
+        |    CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_size END AS sz
+        |  FROM part WHERE (p_partkey + 1000000) % 200 = 0)
+        |SELECT other_key, COUNT(*) AS n_matches
+        |FROM a JOIN b ON a.sz IS NOT DISTINCT FROM b.sz
+        |GROUP BY other_key""".stripMargin,
     "q12_priority_distribution" ->
       """SELECT l_returnflag, o_orderpriority, COUNT(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
