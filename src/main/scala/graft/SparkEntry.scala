@@ -299,6 +299,28 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
         .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
     }),
+    "set_intersect_nations" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+    // full outer join with coalesced key + presence flags.
+    "j11_full_outer_presence" -> ((s, dir) => {
+      val custN = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val suppN = t(s, dir, "supplier").filter(col("s_suppkey") % 3 === 0)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+      custN.join(suppN, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    // aggregation to a deterministic array (sorted distinct collect).
+    "g1_collect_sorted_sets" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(concat_ws(",", sort_array(collect_set(col("s_suppkey")))).as("supp_keys"))
+    }),
 
     // ── W-family: windows / sort / top-k ─────────────────────────────────
     "w1_top3_orders_per_segment" -> ((s, dir) => {
@@ -744,6 +766,18 @@ object SparkEntry {
       "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
     "set_except_nations" ->
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "set_intersect_nations" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "j11_full_outer_presence" ->
+      """WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+        |      WHERE s_suppkey % 3 = 0 GROUP BY 1)
+        |SELECT COALESCE(ck, sk) AS nationkey, COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON ck = sk""".stripMargin,
+    "g1_collect_sorted_sets" ->
+      """SELECT s_nationkey, array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS supp_keys
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "w1_top3_orders_per_segment" ->
       """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
