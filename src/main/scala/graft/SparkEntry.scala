@@ -176,6 +176,27 @@ object SparkEntry {
           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
           count(lit(1)).as("n"))
     }),
+    // A3 via a typed custom Aggregator: single-pass (min,max) buffer
+    // midrange — same answer as a3, different machinery (udaf surface).
+    "a11_midrange_udaf" -> ((s, dir) => {
+      s.udf.register("midrange", udaf(graft.functions.Midrange))
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(expr("midrange(p_retailprice)").as("avg_price"))
+    }),
+    // conditional aggregation (TPC-H Q14 shape): promo vs total revenue,
+    // both as exact decimal sums (a cross-engine double ratio would drift
+    // in the last ulp — consumers divide the decimals).
+    "q14_promo_share" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    }),
     // HLL sketch distinct (engine-specific sketch → rows-only gate; the
     // ≤5%-error bound vs exact COUNT DISTINCT is asserted in SketchSpec).
     "a10_hll_distinct" -> ((s, dir) => {
@@ -703,6 +724,15 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a11_midrange_udaf" ->
+      """SELECT p_brand, (MAX(p_retailprice)+MIN(p_retailprice))/2 AS avg_price
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(28,10))) AS promo_revenue,
+        |  SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "a9_percentile_disc" ->
       """SELECT o_orderpriority,
         |  quantile_disc(o_totalprice, 0.5) AS p50,
