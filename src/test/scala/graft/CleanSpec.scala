@@ -31,6 +31,19 @@ class CleanSpec extends SparkSpec {
     assert(out(1)._1 == 3 && out(1)._2 == -1.0)
   }
 
+  test("url normalization: relative links prefixed, absolute kept, empty → Unknown") {
+    import spark.implicits._
+    val df = Seq(
+      ("/p/iphone", "https://site.vn"),
+      ("https://cdn.x/y.jpg", "https://site.vn"),
+      ("", "https://site.vn")).toDF("link", "base")
+    val out = df.select(graft.operators.Clean.normalizeUrl(col("link"), col("base")).as("u"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "https://site.vn/p/iphone")
+    assert(out(1) == "https://cdn.x/y.jpg")
+    assert(out(2) == "Unknown")
+  }
+
   test("quality filter drops sub-threshold rows") {
     import spark.implicits._
     val junk = Seq(("x", "y", "z")).toDF("TEN", "LINK", "LINK_ANH")

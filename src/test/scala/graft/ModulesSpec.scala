@@ -73,6 +73,23 @@ class ModulesSpec extends SparkSpec {
     assert(!out.columns.contains("QUA_TANG"))
   }
 
+  test("csv ingest: latest-by-mtime file resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_latest").toFile
+    def mk(name: String, mtime: Long): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, "ID\n1\n")
+      f.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis() - 100000
+    mk("products_raw_2025_11_21.csv", base)
+    mk("products_raw_2025_11_23.csv", base + 2000)
+    mk("products_raw_2025_11_22.csv", base + 1000)
+    mk("unrelated.csv", base + 9000) // wrong prefix, must be ignored
+    val got = CsvIngest.latestByMtime(dir.getAbsolutePath)
+    assert(got.exists(_.endsWith("products_raw_2025_11_23.csv")), s"got $got")
+    assert(CsvIngest.latestByMtime("/nonexistent-dir").isEmpty)
+  }
+
   test("run ledger: idempotency + mutual-exclusion gates") {
     val l0 = RunLedger.empty(spark)
     assert(!RunLedger.ranToday(l0, "transform", "2025-11-23"))
