@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.control.RunLedger
+import graft.operators.Scd2
+import graft.sources.{CsvIngest, Zones}
+
+/** The reference's full daily batch (run_all.bat:20-64) as ONE runnable
+  * Spark job over parquet zones:
+  *
+  *   gate (already ran today? → skip)
+  *   → ingest landing CSV (or parquet) → staging raw
+  *   → clean → SCD2 history zone
+  *   → dim_brand / dim_product → aggregate snapshot (partitioned upsert)
+  *   → datamart rollups (full refresh)
+  *   → run ledger SUCCESS row with the SCD2 stats message
+  *
+  * Usage: runMain graft.pipeline.DailyRun <landingDir> <warehouseDir> <runTs>
+  *   landingDir: directory of products_raw_*.csv (latest by mtime wins)
+  *               or a parquet file of raw rows
+  *   runTs:      injected "now" (yyyy-MM-dd HH:mm:ss) — F11 determinism
+  */
+object DailyRun {
+  val ProcessName = "daily_pipeline"
+
+  def main(args: Array[String]): Unit = {
+    val Array(landingDir, whDir, runTs) = args.take(3)
+    val spark = Sessions
+      .builder("graft-daily", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outcome = run(spark, landingDir, whDir, runTs)
+    println(s"""{"pipeline":"$ProcessName","outcome":"$outcome"}""")
+    spark.stop()
+  }
+
+  /** Returns "SKIPPED" (gate) or "SUCCESS". */
+  def run(spark: SparkSession, landingDir: String, whDir: String, runTs: String): String = {
+    val runDate = runTs.substring(0, 10)
+    val ledgerPath = s"$whDir/control/process_log"
+    val ledger0 =
+      if (new java.io.File(ledgerPath).exists()) Zones.read(spark, ledgerPath)
+      else RunLedger.empty(spark)
+    // gates BEFORE registering (the reference's livelock, inverted)
+    if (RunLedger.ranToday(ledger0, ProcessName, runDate) ||
+        RunLedger.anyRunning(ledger0, ProcessName)) return "SKIPPED"
+    val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
+    Zones.overwriteAll(ledger1.localCheckpoint(true), ledgerPath)
+
+    // [3] landing → staging raw (truncate-and-load)
+    val raw = readLanding(spark, landingDir, runTs)
+    Zones.overwriteAll(raw, s"$whDir/staging/products_general")
+
+    // [4] clean + SCD2 against the history zone
+    val dimDate = ensureDimDate(spark, whDir)
+    val cleaned = ProductPipeline.clean(
+      Zones.read(spark, s"$whDir/staging/products_general"), dimDate)
+    val historyPath = s"$whDir/staging/products_expired"
+    val history0 =
+      if (new java.io.File(historyPath).exists()) Zones.read(spark, historyPath)
+      else Scd2.emptyHistory(cleaned, "timestamp_ntz")
+    val (history1, stats) = ProductPipeline.scdUpdate(
+      history0, cleaned, lit(runTs).cast("timestamp_ntz"))
+    Zones.overwriteAll(history1.localCheckpoint(true), historyPath)
+
+    // [5] dims
+    val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+    val history = Zones.read(spark, historyPath)
+    val brandPath = s"$whDir/warehouse/dim_brand"
+    val productPath = s"$whDir/warehouse/dim_product"
+    val brand0 =
+      if (new java.io.File(brandPath).exists()) Zones.read(spark, brandPath)
+      else ProductPipeline.emptyDimBrand(spark)
+    val product0 =
+      if (new java.io.File(productPath).exists()) Zones.read(spark, productPath)
+      else ProductPipeline.emptyDimProduct(spark)
+    val (brand1, product1) = ProductPipeline.loadDims(history, brand0, product0, sentinel)
+    // materialize BOTH before overwriting either: product1's plan reads the
+    // current dim_brand files, which the first overwrite deletes
+    val brand1M = brand1.localCheckpoint(true)
+    val product1M = product1.localCheckpoint(true)
+    Zones.overwriteAll(brand1M, brandPath)
+    Zones.overwriteAll(product1M, productPath)
+
+    // [6] aggregate snapshot — per-day partitioned upsert
+    val today = dimDate.filter(col("FULL_DATE") === lit(runDate).cast("date"))
+      .select("DATE_SK", "CALENDAR_YEAR", "INT_MONTH").head()
+    val snapshot = Zones.read(spark, productPath).select(
+      col("BRAND_SK"), col("PRODUCT_SK"), col("ID_CONFIG"),
+      lit(today.getInt(0)).as("DATE_SK"),
+      lit(today.getInt(1)).as("CALENDAR_YEAR"),
+      lit(today.getInt(2)).as("CALENDAR_MONTH"),
+      col("MAX_PRICE"), col("MIN_PRICE"))
+    Zones.upsertPartitioned(
+      spark, s"$whDir/warehouse/aggregate", snapshot,
+      Seq("PRODUCT_SK", "DATE_SK"), "DATE_SK")
+
+    // [7] datamart rollups (full refresh — load_datamart.py:112,138)
+    val aggregate = Zones.read(spark, s"$whDir/warehouse/aggregate")
+    Zones.overwriteAll(
+      ProductPipeline.datamartDaily(aggregate), s"$whDir/datamart/dm_product_daily_price")
+    Zones.overwriteAll(
+      ProductPipeline.datamartQuarterly(aggregate, dimDate),
+      s"$whDir/datamart/dm_product_quarterly_trend")
+
+    val done = RunLedger.finishRun(
+      Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs, Some(stats))
+    Zones.overwriteAll(done.localCheckpoint(true), ledgerPath)
+    "SUCCESS"
+  }
+
+  private def readLanding(spark: SparkSession, landingDir: String, runTs: String): DataFrame = {
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      Seq("TEN", "LINK", "LINK_ANH", "GIA_CU", "GIA_MOI", "KICH_THUOC_MAN_HINH", "RAM", "BO_NHO")
+        .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))
+        .prepended(org.apache.spark.sql.types.StructField("ID", org.apache.spark.sql.types.IntegerType))
+        .appended(org.apache.spark.sql.types.StructField("NGAY", org.apache.spark.sql.types.TimestampNTZType))
+        .appended(org.apache.spark.sql.types.StructField("ID_CONFIG", org.apache.spark.sql.types.IntegerType)))
+    CsvIngest.latestByMtime(landingDir) match {
+      case Some(csv) =>
+        CsvIngest.readAligned(
+          spark, csv, rawSchema,
+          stamps = Map(
+            "NGAY" -> lit(runTs).cast("timestamp_ntz"),
+            "ID_CONFIG" -> coalesce(col("SITE_ID").try_cast("int"), lit(1))))
+      case None => // parquet landing (fixture replay path)
+        spark.read.parquet(landingDir)
+    }
+  }
+
+  private def ensureDimDate(spark: SparkSession, whDir: String): DataFrame = {
+    val path = s"$whDir/warehouse/dim_date"
+    if (!new java.io.File(path).exists()) {
+      val dd = graft.operators.DimDate.generate(spark)
+      val upper = dd.columns.foldLeft(dd)((d, c) => d.withColumnRenamed(c, c.toUpperCase))
+      Zones.overwriteAll(upper, path)
+    }
+    Zones.read(spark, path)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DailyRun
+import graft.sources.Zones
+
+/** Operational end-to-end: DailyRun over the fixture corpus builds every
+  * zone, a same-day rerun is gated to SKIPPED, and a next-day run with
+  * price changes expires history and adds an aggregate partition.
+  */
+class DailyRunSpec extends SparkSpec {
+
+  test("daily pipeline: day 1, idempotent same-day rerun, day 2 changes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing").toFile.getAbsolutePath
+
+    // day 1 landing = fixture raw rows as parquet (no CSV → parquet path)
+    fixture("products_general").write.mode("overwrite").parquet(s"$landing/day1")
+    assert(DailyRun.run(spark, s"$landing/day1", wh, "2025-11-23 18:51:37") == "SUCCESS")
+
+    val history1 = Zones.read(spark, s"$wh/staging/products_expired")
+    assert(history1.count() == 239)
+    assert(Zones.read(spark, s"$wh/warehouse/dim_product").count() > 0)
+    assert(Zones.read(spark, s"$wh/datamart/dm_product_daily_price").count() > 0)
+
+    // same-day rerun: gate must skip without touching zones
+    assert(DailyRun.run(spark, s"$landing/day1", wh, "2025-11-23 20:00:00") == "SKIPPED")
+    assert(Zones.read(spark, s"$wh/staging/products_expired").count() == 239)
+
+    // day 2: 30 price drops → expired rows + re-inserts + a second
+    // aggregate partition
+    fixture("products_general")
+      .withColumn("GIA_MOI",
+        when(col("ID") <= 30, concat((col("ID") * 1000).cast("string"), lit("đ")))
+          .otherwise(col("GIA_MOI")))
+      .write.mode("overwrite").parquet(s"$landing/day2")
+    assert(DailyRun.run(spark, s"$landing/day2", wh, "2025-11-24 18:51:37") == "SUCCESS")
+
+    val history2 = Zones.read(spark, s"$wh/staging/products_expired")
+    assert(history2.count() > 239, "day-2 re-inserts must append history")
+    assert(history2.filter(col("expired_at") === lit("2025-11-24 18:51:37").cast("timestamp_ntz")).count() > 0)
+    val agg = Zones.read(spark, s"$wh/warehouse/aggregate")
+    assert(agg.select("DATE_SK").distinct().count() == 2)
+    // ledger carries both SUCCESS rows with the stats message
+    val ledger = Zones.read(spark, s"$wh/control/process_log")
+    assert(ledger.filter(col("status") === "SUCCESS").count() == 2)
+    assert(ledger.filter(col("message").contains("Rows Processed: 239")).count() == 2)
+  }
+}
