@@ -106,6 +106,25 @@ class ModulesSpec extends SparkSpec {
       "New Rows Inserted: 239. Old Rows Expired (Updated): 0.")
   }
 
+  test("sql registry: commands stored as rows execute against temp views") {
+    import spark.implicits._
+    val registry = Seq(
+      ("clean_names", "SELECT id, upper(name) AS name FROM people WHERE name <> ''"),
+      ("count_all", "SELECT count(*) AS n FROM people"))
+      .toDF("command_name", "sql_query")
+    val commands = graft.control.SqlRegistry.load(registry)
+    val people = Seq((1, "an"), (2, ""), (3, "bo")).toDF("id", "name")
+    val cleaned = graft.control.SqlRegistry.execute(
+      spark, commands, "clean_names", Map("people" -> people))
+    assert(cleaned.collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "AN"), (3, "BO")))
+    val n = graft.control.SqlRegistry.execute(
+      spark, commands, "count_all", Map("people" -> people)).head().getLong(0)
+    assert(n == 3)
+    intercept[IllegalArgumentException] {
+      graft.control.SqlRegistry.execute(spark, commands, "nope", Map.empty)
+    }
+  }
+
   test("streaming: windowedCounts batch result matches a streaming AvailableNow run") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
