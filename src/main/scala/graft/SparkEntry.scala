@@ -495,8 +495,12 @@ object SparkEntry {
       Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 3, 32, 16, 0.6)
     }),
     // SimHash near-dup pairs (xxhash64-based — no SQL oracle, rows-only).
+    // maxHamming=3 → 4×16-bit pigeonhole chunks: the scale configuration
+    // (2^16-value band keys keep buckets selective on a large corpus).
+    // Wider radii (collide-y 4-bit chunks) are a small-corpus mode,
+    // recall-covered in DedupSimilaritySpec.
     "d4_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", 8)
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", 3)
     }),
     // edit-distance near-dup confirmation: each mutated doc vs its
     // original (levenshtein is exact-integer in both engines).
@@ -511,7 +515,10 @@ object SparkEntry {
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
     }),
-    // embedding-cosine near-dup: perturbed probes matched back to corpus.
+    // embedding-cosine near-dup: perturbed probes matched back to corpus
+    // through the banded sign-bit LSH bucket join (the 100 TB path — no
+    // cross join; probe⇄source angle ≈ 0.01 rad → miss P ~1e-13). The
+    // brute-force form stays as the ScalaTest oracle (DedupSimilaritySpec).
     "e1_embedding_neardup" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -520,10 +527,8 @@ object SparkEntry {
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("pe"))
-      probes.crossJoin(v)
-        .withColumn("sim", SimilaritySearch.cosine(col("pe"), col("e")))
-        .filter(col("sim") >= 0.99)
-        .select(col("probe_id"), col("vec_id").as("match_id"))
+      Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99)
+        .select(col("id_a").as("probe_id"), col("id_b").as("match_id"))
     }),
 
     // ── Similarity search (beyond-reference) ─────────────────────────────

@@ -151,16 +151,23 @@ object Dedup {
       .cache()
     val banded = docs.select(
       col("id"),
+      size(col("hgrams")).as("sz"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => struct(
             b.as("band"),
             concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // size-ratio bound (same as the PPJoin path): J ≥ t forces
+    // t·|a| ≤ |b| ≤ |a|/t, so mismatched-size bucket-mates are pruned
+    // BEFORE the distinct and before shingle arrays are fetched — the
+    // confirm join then moves arrays only for pairs that can still win.
     val cand = banded.alias("x")
       .join(banded.alias("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
+      .filter(
+        col("x.id") < col("y.id") &&
+          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val withGrams = cand
@@ -242,8 +249,10 @@ object Dedup {
   }
 
   /** Exact-content dedup at embedding level: pairs of vectors with cosine
-    * similarity ≥ threshold. Brute-force inverted on nothing — quadratic;
-    * use [[SimilaritySearch.lshBuckets]] candidates at scale.
+    * similarity ≥ threshold. Brute-force all-pairs — quadratic, the
+    * small-scale oracle of [[embeddingNearDupJoin]] /
+    * [[embeddingNearDupPairsLsh]], which bucket candidates with banded
+    * sign-bit LSH and never materialize the cross join.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -259,4 +268,83 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Banded sign-bit LSH signatures as (band, key) rows: `bands`
+    * independent signatures of `bitsPerBand` random hyperplanes each.
+    * Two vectors at angle θ share a given band with P = (1 − θ/π)^r, and
+    * are candidates if ANY band matches: P(miss) = (1 − (1−θ/π)^r)^bands.
+    * At a 0.99-cosine threshold (θ ≤ 0.142 rad) the default 8×8 scheme
+    * misses a true pair with P ≤ 3.5e-6 — and the near-1 similarities
+    * real near-dups carry make it ~1e-13. Each band key has 2^r values,
+    * so candidate volume scales as bands·n²/2^r per band-bucket — tune
+    * `bitsPerBand` up with corpus size to keep buckets O(1).
+    */
+  private def bandedSignatures(
+      v: Column,
+      planes: Seq[Array[Double]],
+      bands: Int,
+      bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        SimilaritySearch
+          .signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+          .as("key"))
+    }: _*)
+
+  /** Bipartite embedding near-dup join (e.g. new-batch probes vs corpus):
+    * pairs (id_a from `left`, id_b from `right`) with cosine ≥ threshold.
+    * Candidates come from the banded LSH bucket join — the scale path; no
+    * cross join at any corpus size. Recall per [[bandedSignatures]].
+    */
+  def embeddingNearDupJoin(
+      left: DataFrame,
+      leftId: String,
+      leftVec: String,
+      right: DataFrame,
+      rightId: String,
+      rightVec: String,
+      threshold: Double,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val l = left.select(col(leftId).as("id_a"), col(leftVec).cast("array<double>").as("va"))
+    val r = right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
+    val dim = r.select(size(col("vb"))).head().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    val lb = l.select(
+      col("id_a"),
+      explode(bandedSignatures(col("va"), planes, bands, bitsPerBand)).as("bk"))
+      .select(col("id_a"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val rb = r.select(
+      col("id_b"),
+      explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
+      .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // ids-only candidates first; vectors join back once per distinct pair,
+    // so the band shuffle moves (long, int, long) rows — not embeddings
+    val cand = lb.join(rb, Seq("band", "key"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(l, "id_a")
+      .join(r, "id_b")
+      .withColumn("sim", SimilaritySearch.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Self-join form of [[embeddingNearDupJoin]]: same output contract as
+    * the brute-force [[embeddingNearDupPairs]] (id_a < id_b), candidates
+    * via banded LSH buckets.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame =
+    embeddingNearDupJoin(df, idCol, vecCol, df, idCol, vecCol, threshold, bands, bitsPerBand, seed)
+      .filter(col("id_a") < col("id_b"))
 }

@@ -40,6 +40,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit == withinRadius || hit >= total * 9 / 10, s"simhash recall $hit/$total")
   }
 
+  test("simhash scale mode (maxHamming=3, 16-bit chunks) still finds tight near-dups") {
+    // the gate's configuration: 4×16-bit pigeonhole chunks — selective
+    // band keys (2^16 values), the setting that survives a large corpus
+    val expectedPairs = corpus.filter(col("doc_id") >= 20000)
+      .select((col("doc_id") - 20000).as("id_a"), col("doc_id").as("id_b"))
+    val found = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .select("id_a", "id_b")
+    val hit = expectedPairs.join(found, Seq("id_a", "id_b"), "left_semi").count()
+    assert(hit > 0, s"scale-mode simhash found no constructed near-dups (gate would be empty)")
+  }
+
   test("exact dedup collapses literal copies only") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val withCopies = docs.unionByName(
@@ -87,6 +98,39 @@ class DedupSimilaritySpec extends SparkSpec {
       .join(exactPairs, Seq("query_id", "neighbor_id"), "left_semi").count()
     val recall = hit.toDouble / exactPairs.count()
     assert(recall >= 0.9, s"ivf clustered recall@10 = $recall")
+  }
+
+  test("banded-LSH embedding near-dup equals brute force, without a cross join") {
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probes = v.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000).as("probe_id"),
+      concat(array(element_at(col("e"), 1) + lit(0.01)), slice(col("e"), 2, 10000)).as("pe"))
+    val brute = probes.crossJoin(v)
+      .withColumn("sim", SimilaritySearch.cosine(col("pe"), col("e")))
+      .filter(col("sim") >= 0.99)
+      .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"))
+    val lsh = Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99)
+    assertSameRows(lsh, brute, "banded lsh vs brute force near-dup")
+    assert(brute.count() > 0, "probes must match their source vectors")
+    // the scale guarantee: candidates come from the band-bucket equi-join
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup must not fall back to an all-pairs join:\n$plan")
+  }
+
+  test("self-join banded-LSH near-dup pairs equal the brute-force pairs") {
+    // salt the corpus with near-identical copies so self-pairs exist
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val salted = v.unionByName(
+      v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.01)), slice(col("e"), 2, 10000)).as("e")))
+    val brute = Dedup.embeddingNearDupPairs(salted, "vec_id", "e", 0.99)
+    val lsh = Dedup.embeddingNearDupPairsLsh(salted, "vec_id", "e", 0.99)
+    assertSameRows(lsh, brute, "self-join banded lsh vs brute force")
+    assert(brute.count() > 0)
   }
 
   test("LSH ANN on near-random embeddings beats the probed-bucket baseline") {
