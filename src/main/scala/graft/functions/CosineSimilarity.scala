@@ -36,6 +36,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return NULL for non-null inputs (dimension mismatch, null
+  // elements); without this override nullSafeCodeGen would resolve
+  // ev.isNull to the literal `false` for non-nullable children and the
+  // generated `false = true;` assignment would fail Janino compilation
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -28,8 +28,11 @@ object SkewJoin {
     require(salts > 0)
     // row-content hash + per-partition row position: IDENTICAL duplicate
     // rows of the hot key still spread across salts (a pure content hash
-    // would re-create the single hot reducer for them), while the value
-    // stays deterministic for a fixed input partitioning
+    // would re-create the single hot reducer for them). The salt value
+    // itself is NOT stable across retries/repartitioning
+    // (monotonically_increasing_id depends on task placement) — that is
+    // fine: it only picks a reducer, and the join RESULT is
+    // salt-independent because the small side carries every salt value.
     val saltedBig = big.withColumn(
       "__salt",
       pmod(

@@ -48,9 +48,12 @@ object Zones {
         val touchedCurrent = current.join(touched, Seq(partitionCol), "left_semi")
         graft.operators.Upsert.upsert(touchedCurrent, increment, keys)
       }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-write option (NOT the session conf): scoping dynamic overwrite
+    // to this writer leaves later partitioned overwrites in the session
+    // with the default truncate semantics
     merged.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
   }
