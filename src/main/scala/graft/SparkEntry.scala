@@ -434,6 +434,53 @@ object SparkEntry {
       val (ram, storage) = Clean.splitRamStorage(col("raw"))
       raw.select(col("p_partkey"), ram.as("ram"), storage.as("storage"))
     }),
+    // A5: the 4-branch min/max price derivation (load_dwh.py:166-184):
+    // -1/NULL mean "absent"; both absent → NULL.
+    "a5_price_minmax" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 5 === 0, lit(-1.0))
+          .when(col("p_partkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("p_retailprice")).as("gia_cu"),
+        when(col("p_partkey") % 3 === 0, lit(-1.0))
+          .otherwise(col("p_retailprice") * 0.9).as("gia_moi"))
+      val (minP, maxP) =
+        graft.pipeline.ProductPipeline.priceMinMax(col("gia_cu"), col("gia_moi"))
+      raw.select(col("p_partkey"), minP.as("min_price"), maxP.as("max_price"))
+    }),
+    // F9: URL normalization — relative links get the site base prefix,
+    // blank/NULL become 'Unknown' (crawl.py:197-200).
+    "f9_normalize_url" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 10 === 0, lit(""))
+          .when(col("p_partkey") % 10 === 1, lit(null).cast("string"))
+          .when(col("p_partkey") % 3 === 0, concat(lit("/sp/item-"), col("p_partkey").cast("string")))
+          .otherwise(concat(lit("https://base.example/item-"), col("p_partkey").cast("string")))
+          .as("link"))
+      raw.select(
+        col("p_partkey"),
+        Clean.normalizeUrl(col("link"), lit("https://base.example")).as("url"))
+    }),
+    // F14/F5: MySQL CAST(s AS SIGNED) fallback semantics on RAM-like
+    // strings — leading-digit prefix, 0 when none, -1 sentinel for
+    // missing ('1 TB'→1, 'Đen512'→0, ''→-1; db_control_sql.sql:191-193).
+    "f14_int_parse" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 13 === 0, lit(""))
+          .when(col("p_partkey") % 11 === 0, lit("Đen512"))
+          .when(col("p_partkey") % 7 === 0, lit("1 TB"))
+          .when(col("p_partkey") % 3 === 0, concat(col("p_size").cast("string"), lit(" GB")))
+          .otherwise(col("p_size").cast("string"))
+          .as("raw"))
+      val stripped = regexp_replace(col("raw"), "GB| ", "")
+      raw.select(
+        col("p_partkey"),
+        when(col("raw").isNull || col("raw") === "", lit(-1))
+          .otherwise(graft.pipeline.ProductPipeline.mysqlIntCast(stripped))
+          .as("v"))
+    }),
     // F12: date-dimension generation (populate_dim_date.py:36-81) — 19
     // Vietnamese-calendar attributes incl. the quirky week-0 numbering.
     "f12_dim_date" -> ((s, _) => DimDate.generate(s, "2020-01-01", "2021-12-31")),
@@ -866,6 +913,51 @@ object SparkEntry {
         |  FROM part)
         |SELECT p_partkey, CAST(CAST(COALESCE(TRY_CAST(NULLIF(regexp_extract(raw_size, '[0-9]*\.?[0-9]+', 0), '') AS DECIMAL(4,2)),
         |  CAST(-1 AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS screen_size
+        |FROM raw""".stripMargin,
+    "a5_price_minmax" ->
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 5 = 0 THEN -1.0
+        |         WHEN p_partkey % 7 = 0 THEN NULL
+        |         ELSE p_retailprice END AS gia_cu,
+        |    CASE WHEN p_partkey % 3 = 0 THEN -1.0
+        |         ELSE p_retailprice * 0.9 END AS gia_moi
+        |  FROM part),
+        |eff AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN gia_cu IS NOT NULL AND gia_cu <> -1 THEN gia_cu END AS cu,
+        |    CASE WHEN gia_moi IS NOT NULL AND gia_moi <> -1 THEN gia_moi END AS moi
+        |  FROM raw)
+        |SELECT p_partkey,
+        |  COALESCE(LEAST(cu, moi), cu, moi) AS min_price,
+        |  COALESCE(GREATEST(cu, moi), cu, moi) AS max_price
+        |FROM eff""".stripMargin,
+    "f9_normalize_url" ->
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 10 = 0 THEN ''
+        |         WHEN p_partkey % 10 = 1 THEN NULL
+        |         WHEN p_partkey % 3 = 0 THEN '/sp/item-' || CAST(p_partkey AS VARCHAR)
+        |         ELSE 'https://base.example/item-' || CAST(p_partkey AS VARCHAR) END AS link
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CASE WHEN link IS NULL OR link = '' THEN 'Unknown'
+        |       WHEN NOT starts_with(link, 'http') THEN 'https://base.example' || link
+        |       ELSE link END AS url
+        |FROM raw""".stripMargin,
+    "f14_int_parse" ->
+      """WITH raw AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 13 = 0 THEN ''
+        |         WHEN p_partkey % 11 = 0 THEN 'Đen512'
+        |         WHEN p_partkey % 7 = 0 THEN '1 TB'
+        |         WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR) || ' GB'
+        |         ELSE CAST(p_size AS VARCHAR) END AS raw
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CASE WHEN raw IS NULL OR raw = '' THEN -1
+        |       ELSE COALESCE(TRY_CAST(regexp_extract(regexp_replace(raw, 'GB| ', '', 'g'), '^-?[0-9]+', 0) AS INT), 0)
+        |       END AS v
         |FROM raw""".stripMargin,
     "f10_ram_storage_split" ->
       """WITH raw AS (

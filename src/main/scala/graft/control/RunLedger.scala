@@ -49,6 +49,18 @@ object RunLedger {
         col("status") === "RUNNING" && col("end_time").isNull)
       .isEmpty
 
+  /** Stale-aware mutual-exclusion gate: RUNNING rows whose start_time is
+    * more than `staleHours` before `nowTs` no longer block. A hard-killed
+    * JVM (no chance to write its FAILED row) must not deadlock the daily
+    * gate forever.
+    */
+  def anyRunning(ledger: DataFrame, processName: String, nowTs: String, staleHours: Int): Boolean =
+    !ledger.filter(
+      col("process_name") === processName &&
+        col("status") === "RUNNING" && col("end_time").isNull &&
+        col("start_time") > lit(nowTs).cast("timestamp") - expr(s"INTERVAL $staleHours HOURS"))
+      .isEmpty
+
   /** Register a RUNNING row with the next deterministic id. */
   def startRun(ledger: DataFrame, processName: String, runTs: String): (DataFrame, Long) = {
     val nextId = ledger.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1
@@ -70,10 +82,12 @@ object RunLedger {
       id: Long,
       status: String,
       endTs: String,
-      stats: Option[graft.operators.ScdStats] = None): DataFrame = {
+      stats: Option[graft.operators.ScdStats] = None,
+      messageOverride: Option[String] = None): DataFrame = {
     val message = stats.map(s =>
       s"SCD Type 2 completed successfully. Rows Processed: ${s.rowsInput}. " +
         s"New Rows Inserted: ${s.rowsInserted}. Old Rows Expired (Updated): ${s.rowsExpired}.")
+      .orElse(messageOverride)
       .getOrElse(status)
     val updated = ledger.filter(col("id") === id)
       .withColumn("end_time", lit(endTs).cast("timestamp"))

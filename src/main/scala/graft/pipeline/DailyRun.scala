@@ -26,6 +26,11 @@ import graft.sources.{CsvIngest, Zones}
 object DailyRun {
   val ProcessName = "daily_pipeline"
 
+  /** A RUNNING row older than this no longer blocks the gate — covers a
+    * hard-killed driver that never reached its FAILED close.
+    */
+  val StaleRunningHours = 24
+
   def main(args: Array[String]): Unit = {
     val Array(landingDir, whDir, runTs) = args.take(3)
     val spark = Sessions
@@ -37,7 +42,9 @@ object DailyRun {
     spark.stop()
   }
 
-  /** Returns "SKIPPED" (gate) or "SUCCESS". */
+  /** Returns "SKIPPED" (gate) or "SUCCESS"; rethrows after recording a
+    * FAILED ledger row if any stage fails.
+    */
   def run(spark: SparkSession, landingDir: String, whDir: String, runTs: String): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/process_log"
@@ -46,10 +53,31 @@ object DailyRun {
       else RunLedger.empty(spark)
     // gates BEFORE registering (the reference's livelock, inverted)
     if (RunLedger.ranToday(ledger0, ProcessName, runDate) ||
-        RunLedger.anyRunning(ledger0, ProcessName)) return "SKIPPED"
+        RunLedger.anyRunning(ledger0, ProcessName, runTs, StaleRunningHours)) return "SKIPPED"
     val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
-    Zones.overwriteAll(ledger1.localCheckpoint(true), ledgerPath)
+    Zones.overwriteSwap(ledger1, ledgerPath)
+    // any failure past this point must close the RUNNING row, or the
+    // mutual-exclusion gate would skip every future run
+    try runStages(spark, landingDir, whDir, runTs, runDate, ledgerPath, runId)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        val failed = RunLedger.finishRun(
+          Zones.read(spark, ledgerPath), runId, "FAILED", runTs,
+          messageOverride = Some(s"FAILED: $msg"))
+        Zones.overwriteSwap(failed, ledgerPath)
+        throw e
+    }
+  }
 
+  private def runStages(
+      spark: SparkSession,
+      landingDir: String,
+      whDir: String,
+      runTs: String,
+      runDate: String,
+      ledgerPath: String,
+      runId: Long): String = {
     // [3] landing → staging raw (truncate-and-load)
     val raw = readLanding(spark, landingDir, runTs)
     Zones.overwriteAll(raw, s"$whDir/staging/products_general")
@@ -64,7 +92,7 @@ object DailyRun {
       else Scd2.emptyHistory(cleaned, "timestamp_ntz")
     val (history1, stats) = ProductPipeline.scdUpdate(
       history0, cleaned, lit(runTs).cast("timestamp_ntz"))
-    Zones.overwriteAll(history1.localCheckpoint(true), historyPath)
+    Zones.overwriteSwap(history1, historyPath)
 
     // [5] dims
     val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
@@ -78,12 +106,9 @@ object DailyRun {
       if (new java.io.File(productPath).exists()) Zones.read(spark, productPath)
       else ProductPipeline.emptyDimProduct(spark)
     val (brand1, product1) = ProductPipeline.loadDims(history, brand0, product0, sentinel)
-    // materialize BOTH before overwriting either: product1's plan reads the
-    // current dim_brand files, which the first overwrite deletes
-    val brand1M = brand1.localCheckpoint(true)
-    val product1M = product1.localCheckpoint(true)
-    Zones.overwriteAll(brand1M, brandPath)
-    Zones.overwriteAll(product1M, productPath)
+    // stage BOTH before swapping either: product1's plan reads the current
+    // dim_brand files, which the swap replaces
+    Zones.overwriteSwapAll(Seq(brand1 -> brandPath, product1 -> productPath))
 
     // [6] aggregate snapshot — per-day partitioned upsert
     val today = dimDate.filter(col("FULL_DATE") === lit(runDate).cast("date"))
@@ -108,7 +133,7 @@ object DailyRun {
 
     val done = RunLedger.finishRun(
       Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs, Some(stats))
-    Zones.overwriteAll(done.localCheckpoint(true), ledgerPath)
+    Zones.overwriteSwap(done, ledgerPath)
     "SUCCESS"
   }
 

@@ -35,7 +35,7 @@ object ProductPipeline {
     * be NULL for both (verified against the live dump: rows whose RAM
     * holds '1 TB' carry RAM=1, db_staging.sql products_transform).
     */
-  private def mysqlIntCast(s: Column): Column =
+  private[graft] def mysqlIntCast(s: Column): Column =
     coalesce(regexp_extract(s, "^-?[0-9]+", 0).try_cast("int"), lit(0))
 
   /** MySQL CAST(expr AS DECIMAL) semantics: leading decimal prefix, 0 when

@@ -58,5 +58,42 @@ object Zones {
       .parquet(path)
   }
 
+  /** Durable overwrite for read-modify-write cycles (new zone content is
+    * computed FROM the current zone files): stage the full result to
+    * `<path>.tmp`, then swap it over `path`. The staged write materializes
+    * the plan while the old files still exist, so no checkpoint is needed;
+    * unlike `localCheckpoint(true)` this keeps lineage recoverable on
+    * executor loss, and the zone is never in a deleted-but-not-rewritten
+    * state longer than one rename (atomic on HDFS-like filesystems).
+    */
+  def overwriteSwap(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    stage(df, path, partitionBy)
+    commitSwap(df.sparkSession, path)
+  }
+
+  /** Stage-all-then-swap-all, for result plans that read EACH OTHER's
+    * targets (e.g. the new dim_product scans the current dim_brand files):
+    * every staged write still sees the old files of every zone; renames
+    * happen only after all results are materialized.
+    */
+  def overwriteSwapAll(writes: Seq[(DataFrame, String)]): Unit = {
+    writes.foreach { case (df, p) => stage(df, p, Nil) }
+    writes.foreach { case (df, p) => commitSwap(df.sparkSession, p) }
+  }
+
+  private def stage(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
+    // mode=overwrite also clears a leftover tmp dir from a crashed run
+    overwriteAll(df, path + TmpSuffix, partitionBy)
+
+  private def commitSwap(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path + TmpSuffix), target))
+      throw new java.io.IOException(s"swap rename failed for $path")
+  }
+
+  private val TmpSuffix = ".__tmp__"
+
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 }

@@ -47,4 +47,31 @@ class DailyRunSpec extends SparkSpec {
     assert(ledger.filter(col("status") === "SUCCESS").count() == 2)
     assert(ledger.filter(col("message").contains("Rows Processed: 239")).count() == 2)
   }
+
+  test("a failing stage closes the RUNNING row as FAILED and does not deadlock the gate") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing").toFile.getAbsolutePath
+
+    // empty landing dir → the parquet read in stage 3 fails
+    intercept[Exception] {
+      DailyRun.run(spark, s"$landing/missing", wh, "2025-11-23 18:51:37")
+    }
+    val ledger = Zones.read(spark, s"$wh/control/process_log")
+    assert(ledger.filter(col("status") === "FAILED" && col("message").startsWith("FAILED:")).count() == 1)
+    assert(ledger.filter(col("status") === "RUNNING").count() == 0)
+
+    // the crash must not block the retry
+    fixture("products_general").write.mode("overwrite").parquet(s"$landing/day1")
+    assert(DailyRun.run(spark, s"$landing/day1", wh, "2025-11-23 19:00:00") == "SUCCESS")
+    assert(Zones.read(spark, s"$wh/staging/products_expired").count() == 239)
+  }
+
+  test("a stale RUNNING row (hard-killed driver) stops blocking after StaleRunningHours") {
+    val (ledger, _) = graft.control.RunLedger.startRun(
+      graft.control.RunLedger.empty(spark), DailyRun.ProcessName, "2025-11-22 10:00:00")
+    assert(graft.control.RunLedger.anyRunning(
+      ledger, DailyRun.ProcessName, "2025-11-22 12:00:00", DailyRun.StaleRunningHours))
+    assert(!graft.control.RunLedger.anyRunning(
+      ledger, DailyRun.ProcessName, "2025-11-23 12:00:00", DailyRun.StaleRunningHours))
+  }
 }
