@@ -658,6 +658,33 @@ object SparkEntry {
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
     }),
+    // TRUE streaming run of the sessionizer (flatMapGroupsWithState +
+    // event-time timeout) over the events parquet via Trigger.AvailableNow.
+    // Append mode emits the deterministic closed-session subset: sessions
+    // closed inline by a later event of the same user, plus final sessions
+    // whose timeout (end + gap) the final watermark (max ts − gap) passed;
+    // the per-user trailing session stays in state. The oracle derives
+    // exactly that subset from the batch window-function form.
+    "st3_sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the drop is a single file; a glob path keeps FileStreamSource from
+      // injecting basePath=<the file> (which its own per-batch relation
+      // then rejects as "must be a directory")
+      val stream = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+      val rows = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.EventRow]
+      val name = s"st3_sessions_${System.nanoTime()}"
+      graft.streaming.EventStreams
+        .sessionizeAvailableNow(s, rows, 30, name)
+        .select(
+          col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+    }),
     // salted hot-key join (result ≡ plain join; the salt spreads one key
     // over many reducers).
     "sk1_salted_join" -> ((s, dir) => {
@@ -1135,6 +1162,26 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "st3_sessionize_stream" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_idx),
+        |last AS (SELECT user_id, MAX(session_end) AS last_end FROM sess GROUP BY user_id),
+        |mx AS (SELECT MAX(ts) AS maxts FROM events)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
+        |WHERE s.session_end < l.last_end
+        |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
     "sk1_salted_join" ->
       """WITH ev AS (
         |  SELECT *, CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 50 END AS user_bucket

@@ -38,14 +38,23 @@ object EventStreams {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
-  case class EventRow(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
-  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastSeenUs: Long, nEvents: Long, totalValue: Double)
   case class UserSession(
       user_id: Long,
-      session_start: java.sql.Timestamp,
-      session_end: java.sql.Timestamp,
+      session_start: java.time.Instant,
+      session_end: java.time.Instant,
       n_events: Long,
       total_value: Double)
+
+  /** Exact micros — session boundaries must match the batch (window-
+    * function) form bit-for-bit, and the events feed carries sub-ms
+    * precision, so state never rounds through milliseconds.
+    */
+  private def us(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instantUs(u: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L)
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of user inactivity (event-time timeout), emitting
@@ -56,7 +65,7 @@ object EventStreams {
       events: Dataset[EventRow],
       gapMinutes: Int): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -66,23 +75,20 @@ object EventStreams {
             val s = state.get
             state.remove()
             Iterator(UserSession(
-              userId,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastSeen),
-              s.nEvents, s.totalValue))
+              userId, instantUs(s.startUs), instantUs(s.lastSeenUs), s.nEvents, s.totalValue))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => us(e.ts))
             var closed = List.empty[UserSession]
             var st = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = us(e.ts)
               st match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
-                  st = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                case Some(s) if t - s.lastSeenUs <= gapUs =>
+                  st = Some(s.copy(lastSeenUs = t, nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed ::= UserSession(
-                    userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastSeen),
-                    s.nEvents, s.totalValue)
+                    userId, instantUs(s.startUs), instantUs(s.lastSeenUs), s.nEvents, s.totalValue)
                   st = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   st = Some(SessionState(t, t, 1, e.value))
@@ -90,11 +96,36 @@ object EventStreams {
             }
             st.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+              // timeout is a millisecond API: round UP so it never fires
+              // a sub-ms early (emission time only — content is exact µs)
+              state.setTimeoutTimestamp(Math.floorDiv(s.lastSeenUs + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }
         })
+  }
+
+  /** One-shot streaming run of [[sessionize]] over a parquet drop
+    * (Trigger.AvailableNow), returning the emitted (closed) sessions.
+    * Append-mode semantics make the output the deterministic prefix of the
+    * batch result: sessions closed inline by a later event of the same
+    * user, plus final sessions whose timeout the final watermark
+    * (max event time − gap) passed. Trailing sessions stay in state.
+    */
+  def sessionizeAvailableNow(
+      spark: SparkSession,
+      events: Dataset[EventRow],
+      gapMinutes: Int,
+      queryName: String): DataFrame = {
+    val q = sessionize(events, gapMinutes)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 
   /** Daily-drop replication: consume a landing directory exactly once per

@@ -157,15 +157,15 @@ class ModulesSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
     try {
       input.addData(
-        EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
-        EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "click", 2.0))
+        EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:00:00Z"), "click", 1.0),
+        EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:10:00Z"), "click", 2.0))
       q.processAllAvailable()
       // later traffic pushes the watermark past user 1's timeout
       input.addData(
-        EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "view", 5.0))
+        EventStreams.EventRow(2L, java.time.Instant.parse("2024-01-01T14:00:00Z"), "view", 5.0))
       q.processAllAvailable()
       input.addData(
-        EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), "view", 6.0))
+        EventStreams.EventRow(2L, java.time.Instant.parse("2024-01-01T15:00:00Z"), "view", 6.0))
       q.processAllAvailable()
       val out = spark.table("sessions_out").as[EventStreams.UserSession].collect()
       assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0),
@@ -173,21 +173,39 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: AvailableNow sessionize equals the closed-session subset of batch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("st3_sessionize_stream")(spark, dir)
+    val batch = SparkEntry.queries("st2_sessionize_batch")(spark, dir)
+    val maxUs = Tables.load(spark, dir, "events")
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val lastEnd = batch.groupBy("user_id").agg(max("session_end").as("last_end"))
+    // append mode emits: inline-closed sessions (a later session exists for
+    // the user) ∪ final sessions timed out by the final watermark
+    val expected = batch.join(lastEnd, "user_id")
+      .filter(
+        col("session_end") < col("last_end") ||
+          unix_micros(col("session_end").cast("timestamp")) + 2L * 1800000000L < maxUs)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(streamed.count() > 0, "stream emitted no sessions")
+    assertSameRows(streamed, expected, "st3 stream/batch parity")
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
-      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
-      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "click", 2.0),
+      EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:00:00Z"), "click", 1.0),
+      EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:10:00Z"), "click", 2.0),
       // 3h gap → new session
-      EventStreams.EventRow(1L, java.sql.Timestamp.valueOf("2024-01-01 13:30:00"), "view", 5.0),
-      EventStreams.EventRow(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 7.0))
+      EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T13:30:00Z"), "view", 5.0),
+      EventStreams.EventRow(2L, java.time.Instant.parse("2024-01-01T10:00:00Z"), "click", 7.0))
     // batch mode: flatMapGroupsWithState processes each group once, no timeout
     val sessions = EventStreams.sessionize(rows.toDS(), gapMinutes = 30)
-      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+      .collect().sortBy(s => (s.user_id, s.session_start))
     // batch emits only sessions CLOSED by a later event; user 1's first
     // session closes when the 13:30 event arrives
     assert(sessions.exists(s =>
       s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0 &&
-        s.session_end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00")))
+        s.session_end == java.time.Instant.parse("2024-01-01T10:10:00Z")))
   }
 }
