@@ -562,6 +562,45 @@ object SparkEntry {
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
     }),
+    // duplicate-cluster resolution: connected components over the LSH-
+    // confirmed near-dup pairs (label propagation, one shuffle join per
+    // round, rounds = cluster diameter); the oracle closes the same pair
+    // set with a recursive CTE. Downstream keep-is_canonical = the dedup.
+    "d6_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 3, 32, 16, 0.6)
+      Curation.dupClusters(pairs, "id_a", "id_b")
+    }),
+    // test-set decontamination: coverage of each (excerpted) test doc's
+    // 3-grams inside any train doc — prefix-filtered inverted-index join,
+    // exact-confirmed. Containment = |A∩B|/|B| (asymmetric by design).
+    "d7_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val test = docs.filter(col("doc_id") % 10 === 0).select(
+        col("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 3, 40)).as("text"))
+      Curation.containmentPairs(docs, "doc_id", test, "doc_id", "text", 3, 0.8)
+    }),
+    // TF-IDF term weights (linear idf N/df — one IEEE division, exactly
+    // oracle-comparable; log-idf variant is spec-tested).
+    "t5_tfidf" -> ((s, dir) => {
+      Curation.tfIdf(t(s, dir, "documents"), "doc_id", "text", minDf = 5, minTf = 2)
+    }),
+    // deterministic train/val/test assignment from md5-hash buckets —
+    // split membership is reproducible across engines, runs and clusters.
+    "c1_hash_split" -> ((s, dir) => {
+      Curation.hashSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split")
+    }),
+    // stratified Bernoulli sample over the same buckets: per-language
+    // keep rates (en downsampled, fr upsampled, rest at the default).
+    "c2_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 25, "fr" -> 75), defaultPct = 50)
+        .select("doc_id", "lang")
+    }),
     // embedding-cosine near-dup: perturbed probes matched back to corpus
     // through the banded sign-bit LSH bucket join (the 100 TB path — no
     // cross join; probe⇄source angle ≈ 0.01 rad → miss P ~1e-13). The
@@ -1120,6 +1159,43 @@ object SparkEntry {
         |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
+    "d6_dup_clusters" -> dupClustersOracle,
+    "d7_decontaminate" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |traing AS (
+        |  SELECT doc_id AS train_id, list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)), i -> array_to_string(tk[i:i+2], ' '))) AS gs
+        |  FROM tokd WHERE len(tk) > 0),
+        |testg AS (
+        |  SELECT doc_id AS test_id, list_distinct(list_transform(
+        |    range(1, greatest(len(tk2) - 1, 1)), i -> array_to_string(tk2[i:i+2], ' '))) AS gs
+        |  FROM (SELECT doc_id, tk[3:42] AS tk2 FROM tokd WHERE doc_id % 10 = 0)
+        |  WHERE len(tk2) > 0)
+        |SELECT a.train_id, b.test_id,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(b.gs) AS containment
+        |FROM traing a, testg b
+        |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(b.gs) >= 0.8""".stripMargin,
+    "t5_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfn AS (SELECT term, COUNT(*) AS df_n FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+        |SELECT id, term, tf, df_n, CAST(tf AS DOUBLE) * nd / df_n AS tfidf
+        |FROM tf JOIN dfn USING (term), n
+        |WHERE df_n >= 5 AND tf >= 2""".stripMargin,
+    "c1_hash_split" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+    "c2_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${bucketSql("doc_id")} <
+        |  CASE lang WHEN 'en' THEN 25 WHEN 'fr' THEN 75 ELSE 50 END""".stripMargin,
     "e1_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |probes AS (
@@ -1212,11 +1288,12 @@ object SparkEntry {
         |  FROM sims) WHERE rn <= 10""".stripMargin
   )
 
-  /** Shared oracle for d2/d3: brute-force 3-gram Jaccard ≥ 0.6 over the
-    * near-dup corpus (d3's LSH must find exactly these pairs when recall=1).
+  /** CTE block producing brute-force 3-gram pair stats over the near-dup
+    * corpus — shared by the d2/d3 pair oracle and the d6 clustering
+    * oracle (which closes the pair set transitively).
     */
-  private val ngramJaccardOracle: String =
-    """WITH corpus AS (
+  private val ngramPairCtes: String =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 20000,
@@ -1233,7 +1310,45 @@ object SparkEntry {
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, count(*) AS inter
       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Shared oracle for d2/d3: brute-force 3-gram Jaccard ≥ 0.6 over the
+    * near-dup corpus (d3's LSH must find exactly these pairs when recall=1).
+    */
+  private val ngramJaccardOracle: String =
+    s"""WITH $ngramPairCtes
       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard
       |FROM pairs WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.6""".stripMargin
+
+  /** d6 oracle: transitive closure of the confirmed pair set via a
+    * recursive CTE (min reachable id = the cluster label).
+    */
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |dup AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM dup
+      |  UNION SELECT id_b, id_a FROM dup),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+      |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT id, cluster_id, cluster_size, id = cluster_id AS is_canonical
+      |FROM lab JOIN sizes USING (cluster_id)""".stripMargin
+
+  /** Engine-portable deterministic bucket in [0,100) — the SQL mirror of
+    * [[graft.operators.Curation.hashBucket]] (first four md5 hex nibbles).
+    */
+  private def bucketSql(idExpr: String): String = {
+    def nib(i: Int): String = {
+      val a = s"ascii(substr(md5(CAST($idExpr AS VARCHAR)), $i, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 100)"
+  }
 }

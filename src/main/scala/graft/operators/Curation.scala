@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: term weighting,
+  * duplicate-cluster resolution, test-set decontamination, deterministic
+  * splits and stratified sampling. Beyond-reference scope (the reference
+  * warehouse curates nothing; its closest analog is the quality filter,
+  * sql_script/db_control_sql.sql:165-207).
+  *
+  * Scale design: every operator is declarative DataFrame work — shuffles
+  * only on (doc, term) or (cluster label) keys, no driver-side funnels.
+  * The one driver loop (connected components) iterates O(diameter) rounds
+  * of distributed joins; near-dup clusters have tiny diameters, so rounds
+  * stay single-digit at any corpus size.
+  */
+object Curation {
+
+  /** (id, term, tf, df_n, tfidf) per document term after `minDf`/`minTf`
+    * pruning. The emitted score uses LINEAR inverse document frequency
+    * (n_docs/df): tf·N/df is one IEEE division, bit-identical across
+    * engines, which keeps the op oracle-checkable exactly. [[tfIdfLog]]
+    * gives the classical log-idf weight for ranking use.
+    *
+    * The corpus size is computed distributed and broadcast as a literal —
+    * a count, not a collect of rows.
+    */
+  def tfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1,
+      minTf: Int = 1): DataFrame = {
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val termTf = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val termDf = termTf.groupBy("term").agg(count(lit(1)).as("df_n"))
+    termTf
+      .join(termDf, "term")
+      .filter(col("df_n") >= minDf && col("tf") >= minTf)
+      .select(
+        col("id"), col("term"), col("tf"), col("df_n"),
+        (col("tf").cast("double") * lit(nDocs.toDouble) / col("df_n").cast("double"))
+          .as("tfidf"))
+  }
+
+  /** Classical log-idf weight: tf · ln(N / df). Same plan shape as
+    * [[tfIdf]]; ln is transcendental (last-ulp engine-dependent), so this
+    * variant is spec-tested rather than oracle-hashed.
+    */
+  def tfIdfLog(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1,
+      minTf: Int = 1): DataFrame =
+    tfIdf(df, idCol, textCol, minDf, minTf)
+      .withColumn("tfidf", col("tf") * log(col("tfidf") / col("tf")))
+
+  /** Connected components over an undirected pair set: (id, label) where
+    * label = the smallest id in the component. Plain label propagation —
+    * each round, every vertex takes the min of its own label and its
+    * neighbors' labels; converged when no label changes. Rounds =
+    * component diameter (near-dup clusters: single digits); each round is
+    * one shuffle join keyed on the vertex id. Results persist per round
+    * and the previous round unpersists, so lineage stays one round deep.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup resolution: cluster assignment + size + canonical doc flag
+    * for every document that appears in a dup pair. Downstream, keeping
+    * `is_canonical` rows (plus all unpaired docs) dedups the corpus.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(
+        col("id"),
+        col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Test-set decontamination: (train id, test id, containment) for every
+    * pair where the TEST doc's n-gram coverage |A∩B| / |B| ≥ threshold
+    * (A = train shingles, B = test shingles) — i.e. the test doc's content
+    * substantially appears inside the train doc. Coverage of B, not
+    * Jaccard: a short benchmark answer embedded in a long train doc is
+    * contamination even though their Jaccard is tiny.
+    *
+    * Prefix filter (lossless under any fixed global order): overlap ≥
+    * t·|B| forces a shared shingle within B's first |B| − ⌈t·|B|⌉ + 1
+    * shingles under that order, so only that prefix of the (small) test
+    * side joins the full inverted index over the train corpus — the
+    * standard decontamination shape: one linear index build over train,
+    * candidates bounded by the test prefix postings.
+    */
+  def containmentPairs(
+      train: DataFrame,
+      trainId: String,
+      test: DataFrame,
+      testId: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    def shingles(df: DataFrame, id: String): DataFrame =
+      df.select(
+          col(id).as("id"),
+          array_sort(transform(TextAnalysis.wordNgrams(col(textCol), n), g => xxhash64(g)))
+            .as("hgrams"))
+        .filter(size(col("hgrams")) > 0)
+    val tr = shingles(train, trainId).cache()
+    val te = shingles(test, testId).cache()
+    // hgrams are sorted: ascending hash order IS the global order, so the
+    // prefix is just the first k elements — no df ranking needed
+    val tePrefix = te.select(
+      col("id").as("test_id"),
+      explode(slice(
+        col("hgrams"), lit(1),
+        (size(col("hgrams")) - ceil(size(col("hgrams")) * threshold) + 1).cast("int"))).as("g"))
+    val trAll = tr.select(col("id").as("train_id"), explode(col("hgrams")).as("g"))
+    val cand = tePrefix.join(trAll, "g").select("train_id", "test_id").distinct()
+    cand
+      .join(tr.select(col("id").as("train_id"), col("hgrams").as("ga")), "train_id")
+      .join(te.select(col("id").as("test_id"), col("hgrams").as("gb")), "test_id")
+      .withColumn("containment", {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val inter =
+          if (spark.catalog.functionExists("sorted_intersect_count"))
+            call_function("sorted_intersect_count", col("ga"), col("gb"))
+          else size(array_intersect(col("ga"), col("gb")))
+        inter.cast("double") / size(col("gb"))
+      })
+      .filter(col("containment") >= threshold)
+      .select("train_id", "test_id", "containment")
+  }
+
+  /** Deterministic bucket in [0, 100) from the md5 hex of the id — engine-
+    * portable (md5 and ascii are identical everywhere), stable across
+    * runs, clusters, and engines, so split membership never drifts.
+    * First 4 hex nibbles → 16-bit value → mod 100.
+    */
+  def hashBucket(id: Column): Column = {
+    val hex = md5(id.cast("string"))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(hex, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48) // 'a'-'f' → 10-15, '0'-'9' → 0-9
+    }
+    (nibble(1) * 4096 + nibble(2) * 256 + nibble(3) * 16 + nibble(4)) % 100
+  }
+
+  /** Train/val/test assignment by cumulative percentage over the hash
+    * bucket: `splits` = (name, pct) with pcts summing to ≤ 100 (remainder
+    * falls to the last split). One narrow projection — no shuffle, no
+    * sampling state, reproducible everywhere.
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100)
+    val bucket = hashBucket(col(idCol))
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), acc) => when(bucket < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Stratified Bernoulli sample: per-stratum keep-percentage over the
+    * same deterministic bucket (strata absent from `pcts` keep
+    * `defaultPct`). Exact reproducibility beats exact rates at scale —
+    * the rate converges per stratum, membership never changes.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      pcts: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val pct = pcts.foldRight(lit(defaultPct): Column) { case ((k, p), acc) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < pct)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("connectedComponents labels every vertex with its component's min id") {
+    import spark.implicits._
+    // two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Curation.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dupClusters marks exactly one canonical doc per cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Curation.dupClusters(pairs, "id_a", "id_b").collect()
+    assert(out.count(_.getBoolean(3)) == 2) // one per cluster
+    assert(out.filter(_.getLong(1) == 1L).map(_.getLong(2)).forall(_ == 3L))
+    assert(out.filter(_.getLong(1) == 7L).map(_.getLong(2)).forall(_ == 2L))
+  }
+
+  test("hashSplit is deterministic and roughly proportional") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Curation.hashSplit(ids, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700, s"got $counts")
+    assert(counts("val") > 120 && counts("val") < 280, s"got $counts")
+    // determinism: a re-run assigns identical membership
+    val s2 = Curation.hashSplit(ids, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("stratifiedSample applies per-stratum rates over stable membership") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else "fr")).toDF("id", "lang")
+    val out = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 10, "fr" -> 90), 50)
+    val rates = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("en") < 200, s"en kept ${rates("en")} of 1000 at 10%")
+    assert(rates("fr") > 1600, s"fr kept ${rates("fr")} of 2000 at 90%")
+    // sampled ids are a subset of the full-rate run (nested membership)
+    val wider = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 60, "fr" -> 95), 50)
+    assert(out.join(wider, Seq("id"), "left_anti").isEmpty,
+      "raising the rate must only ADD members, never swap them")
+  }
+
+  test("tfIdfLog ranks corpus-rare terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta common common"),
+      (2L, "gamma common common"),
+      (3L, "delta common")).toDF("doc_id", "text")
+    val w = Curation.tfIdfLog(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // 'common' appears in every doc → idf ln(1) = 0
+    assert(math.abs(w((1L, "common"))) < 1e-12)
+    assert(w((1L, "beta")) > w((1L, "common")))
+    // tf 1 · ln(3/1); last-ulp tolerance — Spark's LOG is StrictMath-based
+    // (this very divergence is why the gate uses the linear-idf variant)
+    assert(math.abs(w((2L, "gamma")) - math.log(3.0)) < 1e-14)
+  }
+
+  test("containmentPairs finds an excerpt inside its source, not unrelated docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"),
+      (2L, "completely different content about databases and distributed systems at scale")).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "brown fox jumps over the lazy dog"), // excerpt of doc 1
+      (200L, "unrelated benchmark question text entirely")).toDF("doc_id", "text")
+    val out = Curation.containmentPairs(train, "doc_id", test, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 100L)))
+  }
+}
