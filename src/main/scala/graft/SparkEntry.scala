@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
 
 import graft.operators._
+import graft.sources.CsvIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -561,6 +562,45 @@ object SparkEntry {
           levenshtein(col("text"), col("text_mut")).as("edit_dist"),
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
+    }),
+    // CUBE superaggregate (all four grouping sets in one pass) with the
+    // grouping-id bitmask — map-side partial agg per set, single shuffle.
+    "a12_cube_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity"), 18, 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    // ranking-function suite over a unique total order (no ties → every
+    // rank/quantile value is deterministic; the divisions are single IEEE
+    // ops, exact in both engines).
+    "w4_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+    // S2 CSV landing source, gate-visible: parquet → headered CSV files →
+    // readAligned back (name intersection, try_cast to target types,
+    // stamped system column). The round trip is exact: Spark renders
+    // doubles as their shortest round-trippable decimal form.
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice", "p_size")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_gate").toString
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      val target = org.apache.spark.sql.types.StructType(
+        src.schema.fields :+
+          org.apache.spark.sql.types.StructField("ingest_note", StringType))
+      CsvIngest.readAligned(s, tmp, target, stamps = Map("ingest_note" -> lit("stamped")))
     }),
     // duplicate-cluster resolution: connected components over the LSH-
     // confirmed near-dup pairs (label propagation, one shuffle join per
@@ -1159,6 +1199,24 @@ object SparkEntry {
         |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
+    "a12_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "w4_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "s2_csv_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice, p_size,
+        |  'stamped' AS ingest_note
+        |FROM part""".stripMargin,
     "d6_dup_clusters" -> dupClustersOracle,
     "d7_decontaminate" ->
       """WITH tokd AS (
