@@ -563,6 +563,34 @@ object SparkEntry {
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
     }),
+    // repetition/quality signals (Gopher-style): most-frequent-trigram
+    // share + symbol ratio + mean token length per doc. One explode +
+    // two hash aggregations keyed on the doc — linear at any corpus size.
+    "t6_quality_signals" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tri = docs
+        .select(col("doc_id"), explode(TextAnalysis.wordNgramsAll(col("text"), 3)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_tri_n"), sum(col("c")).as("n_tri"))
+      docs
+        .join(tri, "doc_id")
+        .select(
+          col("doc_id"),
+          col("top_tri_n"), col("n_tri"),
+          (col("top_tri_n").cast("double") / col("n_tri")).as("top_tri_frac"),
+          (length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+            length(col("text"))).as("symbol_ratio"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+    }),
+    // frame-sampling plan for video-like payloads: stride-spaced indices,
+    // shuffle-free explode (the stage before per-frame decode at scale).
+    "mm2_frame_sample" -> ((s, dir) => {
+      val clips = t(s, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") % 100 + 1).as("frame_count"))
+      Multimodal.sampleFrames(clips, "frame_count", 5)
+        .select("doc_id", "frame_count", "frame_idx")
+    }),
     // CUBE superaggregate (all four grouping sets in one pass) with the
     // grouping-id bitmask — map-side partial agg per set, single shuffle.
     "a12_cube_revenue" -> ((s, dir) => {
@@ -1199,6 +1227,31 @@ object SparkEntry {
         |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
+    "t6_quality_signals" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+        |  FROM tokd),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, MAX(c) AS top_tri_n,
+        |        CAST(SUM(c) AS BIGINT) AS n_tri FROM cnt GROUP BY 1)
+        |SELECT d.doc_id, s.top_tri_n, s.n_tri,
+        |  CAST(s.top_tri_n AS DOUBLE) / s.n_tri AS top_tri_frac,
+        |  CAST(len(regexp_replace(lower(d.text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / len(d.text) AS symbol_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk)
+        |  END AS avg_token_len
+        |FROM tokd d JOIN sig s ON d.doc_id = s.doc_id""".stripMargin,
+    "mm2_frame_sample" ->
+      """SELECT doc_id, n_chars % 100 + 1 AS frame_count,
+        |  CAST(unnest(range(0, greatest(n_chars % 100 + 1 - 1, 0) + 1, 5)) AS BIGINT) AS frame_idx
+        |FROM documents""".stripMargin,
     "a12_cube_revenue" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

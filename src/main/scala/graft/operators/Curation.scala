@@ -61,37 +61,55 @@ object Curation {
       .withColumn("tfidf", col("tf") * log(col("tfidf") / col("tf")))
 
   /** Connected components over an undirected pair set: (id, label) where
-    * label = the smallest id in the component. Plain label propagation —
-    * each round, every vertex takes the min of its own label and its
-    * neighbors' labels; converged when no label changes. Rounds =
-    * component diameter (near-dup clusters: single digits); each round is
-    * one shuffle join keyed on the vertex id. Results persist per round
-    * and the previous round unpersists, so lineage stays one round deep.
+    * label = the smallest id in the component. Min-label propagation with
+    * pointer jumping (path halving): each round every vertex takes the
+    * min of its own, its neighbors', and its label's label — long chains
+    * collapse geometrically, so rounds = O(log diameter).
+    *
+    * Each round's frontier is materialized with an EAGER localCheckpoint —
+    * the iterative-algorithm idiom (GraphX/MLlib do the same): the
+    * pointer-jump self-join rewrites attribute ids on one side, which
+    * defeats plan-cache matching for `persist`ed frames and would
+    * re-execute the whole lineage every round. Truncating to a leaf per
+    * round makes every round O(frontier), and bounds plan growth. On a
+    * cluster where executor loss during the loop matters, swap in
+    * `checkpoint` against a reliable dir — same shape, durable blocks.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
-    var changed = 1L
-    while (changed > 0) {
+      .localCheckpoint(true)
+    // min-propagation only ever DECREASES labels, so the label sum is a
+    // strictly decreasing integer convergence witness: one cheap
+    // aggregation per round instead of a joined changed-row count.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val next = prop.alias("x")
+        .join(
+          prop.select(col("id").as("label"), col("label").as("parent")).alias("p"),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
-    edges.unpersist()
     labels
   }
 
@@ -140,14 +158,23 @@ object Curation {
         .filter(size(col("hgrams")) > 0)
     val tr = shingles(train, trainId).cache()
     val te = shingles(test, testId).cache()
-    // hgrams are sorted: ascending hash order IS the global order, so the
-    // prefix is just the first k elements — no df ranking needed
-    val tePrefix = te.select(
-      col("id").as("test_id"),
-      explode(slice(
-        col("hgrams"), lit(1),
-        (size(col("hgrams")) - ceil(size(col("hgrams")) * threshold) + 1).cast("int"))).as("g"))
     val trAll = tr.select(col("id").as("train_id"), explode(col("hgrams")).as("g"))
+    // global prefix order = train-corpus document frequency ASCENDING
+    // (rarest first), as in the PPJoin path: a corpus-ubiquitous shingle
+    // in a hash-ordered prefix would match half the index — df-ordering
+    // keeps prefix postings rare, so candidates stay near-linear. Any
+    // fixed global order is lossless for the prefix bound; shingles
+    // absent from train (df null→0) can't produce candidates anyway.
+    val dfTrain = trAll.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("test_id").orderBy(col("df"), col("g"))
+    val tePrefix = te
+      .select(col("id").as("test_id"), size(col("hgrams")).as("sz"), explode(col("hgrams")).as("g"))
+      .join(dfTrain, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("test_id", "g")
     val cand = tePrefix.join(trAll, "g").select("train_id", "test_id").distinct()
     cand
       .join(tr.select(col("id").as("train_id"), col("hgrams").as("ga")), "train_id")

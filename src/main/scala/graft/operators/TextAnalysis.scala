@@ -35,6 +35,19 @@ object TextAnalysis {
     array_distinct(grams)
   }
 
+  /** Word n-grams WITH multiplicity (unlike [[wordNgrams]]) — the unit for
+    * repetition signals, where how often a gram repeats IS the signal.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Ratio of a-z characters to total length (0 for empty text). */
   def alphaRatio(text: Column): Column = {
     val lowered = lower(text)
