@@ -563,6 +563,52 @@ object SparkEntry {
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
     }),
+    // TPC-H Q7 shape: nation-pair trade volume by ship year — two dim
+    // joins on the same broadcast table under different roles, fact joins
+    // shuffle on their keys, conditional pair filter before aggregation.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(
+          col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+    // TPC-H Q8 shape: one nation's market share inside a region by order
+    // year — ratio of two exact decimal sums (single IEEE division).
+    "q8_market_share" -> ((s, dir) => {
+      val nc = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val ns = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val vol = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .select(
+          year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+      vol.groupBy("o_year")
+        .agg(
+          (dsum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(0.0)) /
+            dsum(col("volume"))).as("mkt_share"))
+    }),
     // repetition/quality signals (Gopher-style): most-frequent-trigram
     // share + symbol ratio + mean token length per doc. One explode +
     // two hash aggregations keyed on the doc — linear at any corpus size.
@@ -1227,6 +1273,35 @@ object SparkEntry {
         |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice*(1.0-l_discount) AS volume,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey)
+        |SELECT o_year,
+        |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY o_year""".stripMargin,
     "t6_quality_signals" ->
       """WITH tokd AS (
         |  SELECT doc_id, text,
