@@ -629,6 +629,25 @@ object SparkEntry {
             length(col("text"))).as("symbol_ratio"),
           TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
     }),
+    // PII redaction + per-kind hit counts over a corpus salted with
+    // synthetic emails/phones/IPs (deterministic from doc_id). One
+    // codegen'd regexp chain — linear scan, no shuffle.
+    "t7_pii_redact" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" call +1 555 01"), col("doc_id")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" from 10.0."), col("doc_id") % 256, lit(".1")))
+          .otherwise(col("text")).as("text"))
+      val (ne, np, nip) = TextAnalysis.piiCounts(col("text"))
+      salted.select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"),
+        ne.as("n_email"), np.as("n_phone"), nip.as("n_ip"))
+    }),
     // frame-sampling plan for video-like payloads: stride-spaced indices,
     // shuffle-free explode (the stage before per-frame decode at scale).
     "mm2_frame_sample" -> ((s, dir) => {
@@ -1323,6 +1342,24 @@ object SparkEntry {
         |       ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk)
         |  END AS avg_token_len
         |FROM tokd d JOIN sig s ON d.doc_id = s.doc_id""".stripMargin,
+    "t7_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         WHEN doc_id % 7 = 1 THEN text || ' call +1 555 01' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 7 = 2 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
+        |FROM salted""".stripMargin,
     "mm2_frame_sample" ->
       """SELECT doc_id, n_chars % 100 + 1 AS frame_count,
         |  CAST(unnest(range(0, greatest(n_chars % 100 + 1 - 1, 0) + 1, 5)) AS BIGINT) AS frame_idx

@@ -137,6 +137,33 @@ object TextAnalysis {
         lit(0L),
         (acc, x) => acc + x))
 
+  /** PII patterns kept RE2-compatible (no lookaround, no backrefs) so the
+    * same literal patterns run in Spark (java.util.regex), RE2-based
+    * engines, and the DuckDB oracle.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9][0-9 -]{7,}[0-9]"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers and IPv4 addresses with typed tags —
+    * fixed replacement order so output is engine-reproducible. Pure
+    * regexp_replace chain: codegen'd, linear scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
+  /** Per-kind PII hit counts (for routing/weighting decisions upstream of
+    * redaction).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    regexp_count(text, lit(emailPattern)),
+    regexp_count(text, lit(phonePattern)),
+    regexp_count(text, lit(ipv4Pattern)))
+
   /** BPE-ish subword count: alnum runs are split into ≤4-char pieces
     * (ceil(len/4)), punctuation runs count one each — a deterministic,
     * tokenizer-free token-budget estimate.

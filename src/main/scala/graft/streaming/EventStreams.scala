@@ -128,6 +128,32 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: for each left event, right events of
+    * the same user within [left.ts, left.ts + withinMinutes]. Watermarks
+    * on BOTH sides bound the join state (Spark drops buffered rows once
+    * the other side's watermark passes the interval) — without them a
+    * stream-stream join buffers forever. The same plan runs in batch for
+    * back-fill.
+    */
+  def intervalJoin(
+      left: Dataset[EventRow],
+      right: Dataset[EventRow],
+      withinMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left.toDF().withWatermark("ts", s"$withinMinutes minutes").alias("l")
+    val r = right.toDF().withWatermark("ts", s"$withinMinutes minutes").alias("r")
+    l.join(
+        r,
+        expr(
+          s"""l.user_id = r.user_id AND
+             |r.ts >= l.ts AND r.ts <= l.ts + interval $withinMinutes minutes""".stripMargin))
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"),
+        col("r.ts").as("right_ts"),
+        col("r.value").as("right_value"))
+  }
+
   /** Daily-drop replication: consume a landing directory exactly once per
     * invocation (Trigger.AvailableNow), appending windowed counts to the
     * sink — the reference's run_all.bat cadence without a scheduler.

@@ -191,6 +191,28 @@ class ModulesSpec extends SparkSpec {
     assertSameRows(streamed, expected, "st3 stream/batch parity")
   }
 
+  test("streaming: stream-stream interval join emits in-window matches only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, iso: String, t: String, v: Double) =
+      EventStreams.EventRow(u, java.time.Instant.parse(iso), t, v)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val buys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.intervalJoin(clicks.toDS(), buys.toDS(), 30)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01T10:00:00Z", "click", 0.0))
+      buys.addData(
+        ev(1, "2024-01-01T10:10:00Z", "buy", 5.0),  // in window → match
+        ev(1, "2024-01-01T11:30:00Z", "buy", 7.0),  // past window → no match
+        ev(2, "2024-01-01T10:10:00Z", "buy", 9.0))  // other user → no match
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").collect()
+      assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getDouble(3) == 5.0,
+        s"unexpected join output: ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(

@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan audits for the headline queries — the properties that
+  * decide whether a plan survives a 100× scale-up: predicate pushdown to
+  * the scan, column pruning, broadcast dims, map-side partial
+  * aggregation. These assert the plan SHAPE, not timings, so they hold on
+  * any host.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6: range predicates reach the parquet scan as pushed filters") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"filters not pushed:\n$p")
+  }
+
+  test("q5: snowflake dims join as broadcasts, not shuffles") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q1: aggregation combines map-side before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("t5: documents scan prunes to the two referenced columns") {
+    val p = plan("t5_tfidf")
+    assert(p.contains("doc_id") && !p.contains("n_chars") && !p.contains("source"),
+      s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("q7: both nation roles broadcast; no cartesian anywhere") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"unexpected join strategy:\n$p")
+  }
+
+  test("tj2: range join runs as binned equi-join, not nested loop") {
+    val p = plan("tj2_range_ship_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated:\n$p")
+  }
+}
