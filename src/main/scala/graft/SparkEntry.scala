@@ -681,6 +681,36 @@ object SparkEntry {
           percent_rank().over(w).as("prank"),
           cume_dist().over(w).as("cdist"))
     }),
+    // bounded-frame moving aggregate: trailing-4 average per customer.
+    // The frame sum accumulates in decimal (exact at any row order), so
+    // the windowed value is engine-reproducible; avg = one IEEE division.
+    "w5_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, 0)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(28, 10))).over(w)
+            .cast("double").as("sum_w"),
+          count(lit(1)).over(w).as("n_w"))
+        .withColumn("mov_avg", col("sum_w") / col("n_w"))
+    }),
+    // mergeable quantile sketch (KLL-family builtin): rows-only gate, the
+    // accuracy bound is spec-asserted against exact percentile_disc.
+    "a13_approx_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_percentile(
+            col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000))
+            .as("qs"))
+        .select(
+          col("o_orderpriority"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"))
+    }),
     // S2 CSV landing source, gate-visible: parquet → headered CSV files →
     // readAligned back (name intersection, try_cast to target types,
     // stamped system column). The round trip is exact: Spark renders
@@ -1378,6 +1408,17 @@ object SparkEntry {
         |  cume_dist() OVER w AS cdist
         |FROM orders WHERE o_orderkey % 97 = 0
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "w5_moving_avg" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_custkey % 20 = 0),
+        |win AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_w,
+        |    COUNT(*) OVER w AS n_w
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderkey, o_custkey, sum_w, n_w, sum_w / n_w AS mov_avg
+        |FROM win""".stripMargin,
     "s2_csv_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice, p_size,
         |  'stamped' AS ingest_note

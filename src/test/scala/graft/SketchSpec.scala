@@ -7,6 +7,20 @@ import org.apache.spark.sql.functions._
   * against the exact answer instead).
   */
 class SketchSpec extends SparkSpec {
+  test("approx_percentile agrees with exact percentile_disc at high accuracy") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val approx = SparkEntry.queries("a13_approx_quantiles")(spark, "/root/testdata/sf0.01")
+    val exact = orders.groupBy("o_orderpriority").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"))
+    val worst = approx.join(exact, "o_orderpriority")
+      .select(greatest(
+        abs(col("p50") - col("e50")) / col("e50"),
+        abs(col("p90") - col("e90")) / col("e90")).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    assert(worst <= 0.01, s"worst relative quantile error $worst")
+  }
+
   test("approx_count_distinct stays within 5% of exact at rsd=0.02") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.groupBy("l_returnflag")
