@@ -71,18 +71,22 @@ object Curation {
     * pointer-jump self-join rewrites attribute ids on one side, which
     * defeats plan-cache matching for `persist`ed frames and would
     * re-execute the whole lineage every round. Truncating to a leaf per
-    * round makes every round O(frontier), and bounds plan growth. On a
-    * cluster where executor loss during the loop matters, swap in
-    * `checkpoint` against a reliable dir — same shape, durable blocks.
+    * round makes every round O(frontier), and bounds plan growth. When
+    * the session has a reliable checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`), rounds checkpoint there instead —
+    * durable blocks that survive executor loss mid-loop on a cluster.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     // min-propagation only ever DECREASES labels, so the label sum is a
     // strictly decreasing integer convergence witness: one cheap
     // aggregation per round instead of a joined changed-row count.
@@ -98,13 +102,13 @@ object Curation {
       val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val next = prop.alias("x")
-        .join(
-          prop.select(col("id").as("label"), col("label").as("parent")).alias("p"),
-          Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val propM = materialize(prop)
+      val next = materialize(
+        propM.alias("x")
+          .join(
+            propM.select(col("id").as("label"), col("label").as("parent")).alias("p"),
+            Seq("label"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label")))
       val s = next.agg(sum(col("label"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
