@@ -563,6 +563,55 @@ object SparkEntry {
           (levenshtein(col("text"), col("text_mut")).cast("double") /
             greatest(length(col("text")), length(col("text_mut")))).as("rel_dist"))
     }),
+    // TPC-H Q13 shape: count-of-counts distribution — customers BY how
+    // many orders they have, zeros included via the left join.
+    "q13_count_distribution" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q18 shape: IN-subquery over a grouped HAVING → left-semi join
+    // on the aggregated key set.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .filter(col("qty") > 150)
+        .select("l_orderkey")
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    // TPC-H Q11 shape: groups exceeding a fraction of the GLOBAL total —
+    // the scalar subquery broadcasts one row against the grouped frame.
+    "q11_value_share" -> ((s, dir) => {
+      val byNation = t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(dsum(col("s_acctbal"), 18, 2).as("nation_bal"))
+      val total = t(s, dir, "supplier")
+        .agg(dsum(col("s_acctbal"), 18, 2).as("total_bal"))
+      byNation.crossJoin(broadcast(total))
+        .filter(col("nation_bal") > col("total_bal") * 0.04)
+        .select("s_nationkey", "nation_bal")
+    }),
+    // TPC-H Q22 shape: above-average-balance customers with no orders —
+    // scalar-subquery threshold + anti join.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(dsum(col("c_acctbal"), 18, 2).as("s"), count(lit(1)).as("n"))
+        .select((col("s") / col("n")).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_idle"), dsum(col("c_acctbal"), 18, 2).as("idle_bal"))
+    }),
     // TPC-H Q7 shape: nation-pair trade volume by ship year — two dim
     // joins on the same broadcast table under different roles, fact joins
     // shuffle on their keys, conditional pair filter before aggregation.
@@ -1322,6 +1371,37 @@ object SparkEntry {
         |FROM documents d JOIN mutated m ON d.doc_id = m.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> ngramJaccardOracle,
     "d3_minhash_lsh" -> ngramJaccardOracle,
+    "q13_count_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)""".stripMargin,
+    "q11_value_share" ->
+      """WITH bn AS (
+        |  SELECT s_nationkey,
+        |    CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS nation_bal
+        |  FROM supplier GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
+        |  FROM supplier)
+        |SELECT s_nationkey, nation_bal FROM bn, t WHERE nation_bal > total_bal * 0.04""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, COUNT(*) AS n_idle,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS idle_bal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal AND c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
