@@ -154,6 +154,33 @@ object EventStreams {
         col("r.value").as("right_value"))
   }
 
+  /** Stream → warehouse-zone bridge: land a stream into a day-partitioned
+    * parquet zone with per-batch UPSERT semantics (new version of a key
+    * wins, untouched partitions untouched) — the streaming form of the
+    * reference's daily incremental load. foreachBatch is the right sink
+    * here because the zone write is a multi-step batch operation (merge +
+    * dynamic partition overwrite), not an append: each micro-batch runs
+    * it transactionally per epoch, and AvailableNow gives the daily-drop
+    * cadence without a scheduler.
+    */
+  def upsertZoneSink(
+      events: DataFrame,
+      zonePath: String,
+      keys: Seq[String],
+      partitionCol: String,
+      checkpointDir: String): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Zones.upsertPartitioned(
+          batch.sparkSession, zonePath, batch.toDF(), keys, partitionCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Daily-drop replication: consume a landing directory exactly once per
     * invocation (Trigger.AvailableNow), appending windowed counts to the
     * sink — the reference's run_all.bat cadence without a scheduler.

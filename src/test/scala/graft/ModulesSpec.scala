@@ -213,6 +213,30 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: foreachBatch upsert sink lands drops into a partitioned zone") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_szone").toFile.getAbsolutePath
+    val landing = s"$tmp/landing"
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      EventStreams.upsertZoneSink(
+        spark.readStream.schema(schema).parquet(landing),
+        s"$tmp/zone", Seq("event_id"), "day", s"$tmp/ckpt")
+    }
+    Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 30.0))
+      .toDF("event_id", "day", "value").write.mode("append").parquet(landing)
+    run()
+    assert(spark.read.parquet(s"$tmp/zone").count() == 3)
+    // second drop: event 2 re-keyed with a new value + a new event —
+    // checkpointed AvailableNow processes ONLY the new files
+    Seq((2L, "2024-01-01", 99.0), (4L, "2024-01-02", 40.0))
+      .toDF("event_id", "day", "value").write.mode("append").parquet(landing)
+    run()
+    val zone = spark.read.parquet(s"$tmp/zone")
+    assert(zone.count() == 4)
+    assert(zone.filter(col("event_id") === 2L).head().getAs[Double]("value") == 99.0)
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
