@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinhashSignature, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count(a, b) takes two sorted array<bigint> arguments")
         SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "minhash_signature(hgrams, k) takes array<bigint> and a literal hash count")
+        MinhashSignature(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

@@ -122,11 +122,20 @@ object Dedup {
     * md5-over-string variant measured ~5× slower end-to-end); the LSH
     * output is still exactly verified because candidates are confirmed
     * with true Jaccard before emission.
+    *
+    * Uses the fused one-pass kernel ([[graft.functions.MinhashSignature]])
+    * when the session registers it — bit-identical to the composed form
+    * below, without materializing `numHashes` intermediate arrays per row.
     */
-  def minhashSignature(hgrams: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hgrams, g => xxhash64(i, g))))
+  def minhashSignature(hgrams: Column, numHashes: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("minhash_signature"))
+      call_function("minhash_signature", hgrams, lit(numHashes))
+    else
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(hgrams, g => xxhash64(i, g))))
+  }
 
   /** MinHash + banded LSH near-dup pairs, exact-Jaccard-confirmed.
     * `numHashes` minhashes split into `bands`; docs sharing any band's full

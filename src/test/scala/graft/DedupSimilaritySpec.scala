@@ -10,6 +10,22 @@ import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
 class DedupSimilaritySpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  test("fused minhash_signature kernel is bit-identical to the composed form") {
+    val hg = Tables.load(spark, sf, "documents")
+      .select(array_sort(transform(
+        graft.operators.TextAnalysis.wordNgrams(col("text"), 3),
+        g => xxhash64(g))).as("hgrams"))
+      .filter(size(col("hgrams")) > 0)
+    val k = 32
+    val composed = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(col("hgrams"), g => xxhash64(i, g))))
+    val fused = call_function("minhash_signature", col("hgrams"), lit(k))
+    val diff = hg.select(composed.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff rows differ between fused and composed signatures")
+  }
+
   private def corpus = {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     docs.unionByName(
