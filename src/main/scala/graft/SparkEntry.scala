@@ -369,6 +369,15 @@ object SparkEntry {
         .withColumnRenamed("F", "n_f")
         .withColumnRenamed("O", "n_o")
     }),
+    // unpivot (melt): the wide status matrix back to long form — the
+    // inverse of w3's pivot, a narrow generator with no shuffle.
+    "w6_unpivot" -> ((s, dir) => {
+      queries("w3_pivot_status_matrix")(s, dir)
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("n_f"), col("n_o")),
+          "status_col", "n")
+    }),
     // generator/explode: token frequency table via unnest.
     "t4_token_frequencies" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1480,6 +1489,14 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "w6_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |    COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, status_col, n
+        |FROM wide UNPIVOT (n FOR status_col IN (n_f, n_o))""".stripMargin,
     "w4_rank_suite" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(dense_rank() OVER w AS INT) AS drank,
