@@ -12,6 +12,21 @@ import graft.operators.{Clean, Scd2, Upsert}
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("hash buckets: every id lands in [0,100) and every split covers it") {
+    val ids = (1L to 5000L).toDF("id")
+    val buckets = ids.select(graft.operators.Curation.hashBucket(col("id")).as("b"))
+    assert(buckets.filter(col("b") < 0 || col("b") >= 100).isEmpty)
+    // split assignment is total: every row gets exactly one label
+    val split = graft.operators.Curation.hashSplit(
+      ids, "id", Seq("a" -> 33, "b" -> 33, "c" -> 34))
+    assert(split.filter(col("split").isNull).isEmpty)
+    assert(split.count() == 5000)
+    // boundary exactness: bucket < 33 ⇔ 'a'
+    assert(split
+      .withColumn("b", graft.operators.Curation.hashBucket(col("id")))
+      .filter((col("b") < 33) =!= (col("split") === "a")).isEmpty)
+  }
+
   test("price parser: any dotted/suffixed rendering parses back to the value") {
     val rnd = new Random(11)
     def dotted(v: Long): String = // locale-independent thousands dots
