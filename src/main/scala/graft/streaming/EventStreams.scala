@@ -111,6 +111,12 @@ object EventStreams {
     * batch result: sessions closed inline by a later event of the same
     * user, plus final sessions whose timeout the final watermark
     * (max event time − gap) passed. Trailing sessions stay in state.
+    *
+    * The memory sink collects results to the driver — right for the
+    * verification gate and one-shot inspection it serves. A production
+    * run writes the same [[sessionize]] stream to a durable sink
+    * (parquet / [[upsertZoneSink]]-style foreachBatch) instead; only the
+    * sink line changes.
     */
   def sessionizeAvailableNow(
       spark: SparkSession,
