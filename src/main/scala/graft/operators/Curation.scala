@@ -162,7 +162,9 @@ object Curation {
         .filter(size(col("hgrams")) > 0)
     val tr = shingles(train, trainId).cache()
     val te = shingles(test, testId).cache()
-    val trAll = tr.select(col("id").as("train_id"), explode(col("hgrams")).as("g"))
+    // the exploded train postings feed BOTH the df ranking and the
+    // candidate join — cache the skinny (long, long) rows once
+    val trAll = tr.select(col("id").as("train_id"), explode(col("hgrams")).as("g")).cache()
     // global prefix order = train-corpus document frequency ASCENDING
     // (rarest first), as in the PPJoin path: a corpus-ubiquitous shingle
     // in a hash-ordered prefix would match half the index — df-ordering
