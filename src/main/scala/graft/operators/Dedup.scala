@@ -84,11 +84,15 @@ object Dedup {
     val dfreq = postings.groupBy("g").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("g"))
+    // cached: the prefix postings are BOTH sides of the candidate self-
+    // join — without materialization the df join + window ranking runs
+    // twice (self-join aliases defeat plan reuse)
     val prefix = postings
       .join(dfreq, "g")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "g", "pos")
+      .cache()
     // positional filter (PPJoin): a pair seen at prefix positions (pa, pb)
     // can overlap at most 1 + min(|a|-pa, |b|-pb); J ≥ t needs overlap
     // ≥ ceil(t/(1+t)·(|a|+|b|)) — prune pairs whose best shared prefix
@@ -168,6 +172,7 @@ object Dedup {
             b.as("band"),
             concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
       .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache() // both sides of the bucket self-join — see prefix note above
     // size-ratio bound (same as the PPJoin path): J ≥ t forces
     // t·|a| ≤ |b| ≤ |a|/t, so mismatched-size bucket-mates are pruned
     // BEFORE the distinct and before shingle arrays are fetched — the
