@@ -251,6 +251,7 @@ object Dedup {
         array((0 until chunkCount).map(c =>
           struct(lit(c).as("c"), shiftright(col("simhash"), c * width).bitwiseAND(lit(mask)).as("v"))): _*)).as("ck"))
       .select(col("id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+      .cache() // both sides of the chunk self-join — see prefix note above
     chunks.alias("x")
       .join(chunks.alias("y"), Seq("c", "v"))
       .filter(col("x.id") < col("y.id"))
