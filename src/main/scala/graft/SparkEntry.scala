@@ -514,6 +514,36 @@ object SparkEntry {
         Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel)
       Scd2.apply(h1, snap2, Seq("id"), Seq("id"), Seq("price", "psize"), ts2, sentinel)
     }),
+    // J12: collation-insensitive SCD2 — the reference's SCD2 key columns
+    // collate utf8mb4_unicode_ci (db_staging.sql:4077): staging 'PROD-15'
+    // and history 'Prod-15' are the SAME key in MySQL. keyNorm =
+    // Scd2.mysqlCiNorm folds keys at join time only; stored rows keep
+    // their crawled case (so a re-inserted changed row carries staging's
+    // case, an unchanged case-variant row keeps history's case).
+    "j12_ci_scd2" -> ((s, dir) => {
+      val ts1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+      val ts2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+      val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+      val base = t(s, dir, "part").select(
+        col("p_partkey").as("id"),
+        concat(lit("Prod-"), col("p_partkey")).as("pname"),
+        col("p_retailprice").as("price"))
+      val h1 = base.select(
+        col("pname"), col("price"),
+        ts1.as(Scd2.CreatedAt), ts1.as(Scd2.UpdatedAt), sentinel.as(Scd2.ExpiredAt))
+      // day-2 staging: every 3rd key arrives UPPER-cased (same key under
+      // CI), every 10th price changes, every 7th is missing (stays
+      // current), every 13th is brand new.
+      val snap2 = base
+        .filter(col("id") % 7 =!= 0)
+        .select(
+          when(col("id") % 3 === 0, upper(col("pname"))).otherwise(col("pname")).as("pname"),
+          when(col("id") % 10 === 0, col("price") + 100.0).otherwise(col("price")).as("price"))
+        .unionByName(base.filter(col("id") % 13 === 0)
+          .select(concat(lit("NEW-"), col("id")).as("pname"), col("price")))
+      Scd2.apply(h1, snap2, Seq("pname"), Seq("pname"), Seq("price"), ts2, sentinel,
+        keyNorm = Scd2.mysqlCiNorm)
+    }),
 
     // ── Text analysis (training-data ops; beyond-reference) ──────────────
     // token counting, subword estimate, alpha ratio, quality score.
@@ -1321,6 +1351,42 @@ object SparkEntry {
         |  SELECT s.id, s.price, s.psize, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
         |    TIMESTAMP '9999-12-31 00:00:00'
         |  FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
+        |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
+    "j12_ci_scd2" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, 'Prod-' || CAST(p_partkey AS VARCHAR) AS pname, p_retailprice AS price
+        |  FROM part),
+        |h1 AS (
+        |  SELECT pname, price, TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS updated_at, TIMESTAMP '9999-12-31 00:00:00' AS expired_at
+        |  FROM base),
+        |snap2 AS (
+        |  SELECT CASE WHEN id % 3 = 0 THEN upper(pname) ELSE pname END AS pname,
+        |         CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price
+        |  FROM base WHERE id % 7 <> 0
+        |  UNION ALL SELECT 'NEW-' || CAST(id AS VARCHAR), price FROM base WHERE id % 13 = 0),
+        |new2 AS (
+        |  SELECT s.pname, s.price, TIMESTAMP '2024-01-02 00:00:00' AS created_at,
+        |    TIMESTAMP '2024-01-02 00:00:00' AS updated_at, TIMESTAMP '9999-12-31 00:00:00' AS expired_at
+        |  FROM snap2 s WHERE NOT EXISTS (
+        |    SELECT 1 FROM h1 t WHERE lower(t.pname) = lower(s.pname)
+        |      AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00')),
+        |ek AS (
+        |  SELECT DISTINCT lower(t.pname) AS ck
+        |  FROM h1 t JOIN snap2 s ON lower(t.pname) = lower(s.pname)
+        |    AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |  WHERE t.price <> s.price),
+        |h1m AS (
+        |  SELECT t.pname, t.price, t.created_at,
+        |    CASE WHEN ek.ck IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.updated_at END AS updated_at,
+        |    CASE WHEN ek.ck IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.expired_at END AS expired_at
+        |  FROM h1 t LEFT JOIN ek ON lower(t.pname) = ek.ck),
+        |reins AS (
+        |  SELECT s.pname, s.price, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |    TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM snap2 s WHERE lower(s.pname) IN (SELECT ck FROM ek))
         |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
     "t1_text_quality" ->
       """WITH toks AS (

@@ -51,9 +51,25 @@ object Scd2 {
       .withColumn(UpdatedAt, lit(null).cast(tsType))
       .withColumn(ExpiredAt, lit(null).cast(tsType))
 
+  /** MySQL `utf8mb4_unicode_ci` join-key fold (reference:
+    * sql_script/db_staging.sql:4077 — the SCD2 key columns collate
+    * case-insensitively, so `'iPhone'` and `'IPHONE'` are the SAME key).
+    * Fidelity note: full `unicode_ci` is also accent-insensitive at
+    * primary strength; we implement the case/width fold (`lower`), which
+    * covers every key the reference's crawler actually produces (ASCII +
+    * Vietnamese product names where accents are semantic and consistently
+    * crawled). Documented limitation: `'café' ≠ 'cafe'` here, `=` in MySQL.
+    */
+  val mysqlCiNorm: Column => Column = lower(_)
+
   /** Apply one SCD2 round. `history` must carry `staging`'s columns plus
     * created_at/updated_at/expired_at; pass an empty frame (with schema)
     * for the first run. Returns the new history.
+    *
+    * `keyNorm` folds match/expire keys at JOIN time only — stored values
+    * keep their original form, exactly like a MySQL CI-collated join.
+    * Pass [[mysqlCiNorm]] for `utf8mb4_unicode_ci` parity (default is
+    * binary comparison, Spark's native semantics).
     */
   def apply(
       history: DataFrame,
@@ -62,39 +78,47 @@ object Scd2 {
       expireKey: Seq[String],
       compareCols: Seq[String],
       runTs: Column,
-      sentinel: Column = lit(SentinelTs).cast("timestamp")): DataFrame = {
+      sentinel: Column = lit(SentinelTs).cast("timestamp"),
+      keyNorm: Column => Column = identity): DataFrame = {
     val current = history.filter(currentPred(sentinel))
 
-    // 1. brand-new keys: staging anti-join current on matchKey
+    // 1. brand-new keys: staging anti-join current on (normalized) matchKey
+    val curKeys = current
+      .select(matchKey.map(k => keyNorm(col(k)).as(s"__mk_$k")): _*)
+      .distinct()
     val newRows = staging
-      .join(current.select(matchKey.map(col): _*).distinct(), matchKey, "left_anti")
+      .join(curKeys, matchKey.map(k => keyNorm(col(k)) === col(s"__mk_$k")).reduce(_ && _), "left_anti")
       .withColumn(CreatedAt, runTs)
       .withColumn(UpdatedAt, runTs)
       .withColumn(ExpiredAt, sentinel)
 
     // 2. EXPIRED_KEYS: current×staging on matchKey where any compared attr
-    //    differs (NULL-rejecting <>). Cached: consumed by steps 3 and 4.
+    //    differs (NULL-rejecting <>). Keys are folded for the join but the
+    //    emitted expire-key values are the folded form (both sides agree
+    //    under keyNorm, so either side's fold is canonical).
+    //    Cached: consumed by steps 3 and 4.
     val t = current.alias("t")
     val s = staging.alias("s")
     val changedKeys = t
-      .join(s, matchKey.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _))
+      .join(s, matchKey.map(k => keyNorm(col(s"t.$k")) === keyNorm(col(s"s.$k"))).reduce(_ && _))
       .where(compareCols.map(c => col(s"t.$c") =!= col(s"s.$c")).reduce(_ || _))
-      .select(expireKey.map(k => col(s"t.$k")): _*)
+      .select(expireKey.map(k => keyNorm(col(s"t.$k")).as(s"__ck_$k")): _*)
       .distinct()
       .cache()
 
-    // 3. expire: mark current rows whose expireKey is in changedKeys
+    // 3. expire: mark current rows whose (normalized) expireKey is in changedKeys
     val hit = changedKeys.withColumn("__scd_hit", lit(true))
     val isExpiring = col("__scd_hit").isNotNull && currentPred(sentinel)
     val marked = history
-      .join(hit, expireKey, "left")
+      .join(hit, expireKey.map(k => keyNorm(col(k)) === col(s"__ck_$k")).reduce(_ && _), "left")
       .withColumn(UpdatedAt, when(isExpiring, runTs).otherwise(col(UpdatedAt)))
       .withColumn(ExpiredAt, when(isExpiring, runTs).otherwise(col(ExpiredAt)))
       .drop("__scd_hit")
+      .drop(expireKey.map(k => s"__ck_$k"): _*)
 
-    // 4. re-insert: staging rows whose expireKey is in changedKeys
+    // 4. re-insert: staging rows whose (normalized) expireKey is in changedKeys
     val reinserted = staging
-      .join(changedKeys, expireKey, "left_semi")
+      .join(changedKeys, expireKey.map(k => keyNorm(col(k)) === col(s"__ck_$k")).reduce(_ && _), "left_semi")
       .withColumn(CreatedAt, runTs)
       .withColumn(UpdatedAt, runTs)
       .withColumn(ExpiredAt, sentinel)
@@ -112,9 +136,10 @@ object Scd2 {
       expireKey: Seq[String],
       compareCols: Seq[String],
       runTs: Column,
-      sentinel: Column = lit(SentinelTs).cast("timestamp")): (DataFrame, ScdStats) = {
+      sentinel: Column = lit(SentinelTs).cast("timestamp"),
+      keyNorm: Column => Column = identity): (DataFrame, ScdStats) = {
     val cachedStaging = staging.cache()
-    val result = apply(history, cachedStaging, matchKey, expireKey, compareCols, runTs, sentinel)
+    val result = apply(history, cachedStaging, matchKey, expireKey, compareCols, runTs, sentinel, keyNorm)
     val rowsInput = cachedStaging.count()
     // inserted = rows carrying this run's created_at; expired = rows newly
     // closed with this run's expired_at — identical to the SPs ROW_COUNT()s.

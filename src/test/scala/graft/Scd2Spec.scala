@@ -63,6 +63,40 @@ class Scd2Spec extends SparkSpec {
     assert(h2.count() == 239 + 45)
   }
 
+  test("CI keyNorm: case-variant staging key matches history like utf8mb4_unicode_ci") {
+    import spark.implicits._
+    val ts1 = lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+    val ts2 = lit("2026-01-02 00:00:00").cast("timestamp_ntz")
+    // history: 'iPhone 15' @ 100, 'Galaxy S24' @ 200
+    val h1 = Seq(("iPhone 15", 100.0), ("Galaxy S24", 200.0)).toDF("TEN", "GIA")
+      .withColumn("created_at", ts1).withColumn("updated_at", ts1)
+      .withColumn("expired_at", sentinel)
+    // staging: 'IPHONE 15' with a changed price (same key under CI → must
+    // expire + re-insert, NOT insert-as-new), 'galaxy s24' unchanged price
+    // (same key, no compare diff → untouched, keeps history's case).
+    val day2 = Seq(("IPHONE 15", 150.0), ("galaxy s24", 200.0)).toDF("TEN", "GIA")
+    val (h2, stats) = Scd2.applyWithStats(
+      h1, day2, Seq("TEN"), Seq("TEN"), Seq("GIA"), ts2, sentinel,
+      keyNorm = Scd2.mysqlCiNorm)
+    assert(stats == graft.operators.ScdStats(2, 1, 1), s"stats: $stats")
+    val rows = h2.orderBy("created_at", "TEN").collect()
+    assert(rows.length == 3)
+    // expired old row keeps its original case and closes at ts2
+    val expired = h2.filter(col("expired_at") =!= sentinel).collect()
+    assert(expired.length == 1 && expired(0).getAs[String]("TEN") == "iPhone 15")
+    // re-inserted row carries STAGING's case (MySQL stores what it's given)
+    val current = h2.filter(col("expired_at") === sentinel)
+    assert(current.filter(col("TEN") === "IPHONE 15" && col("GIA") === 150.0).count() == 1)
+    // untouched row keeps history's case
+    assert(current.filter(col("TEN") === "Galaxy S24" && col("GIA") === 200.0).count() == 1)
+
+    // binary default (no keyNorm): the SAME staging would treat 'IPHONE 15'
+    // as a brand-new key — proving the flag changes semantics.
+    val (h2b, statsB) = Scd2.applyWithStats(h1, day2, Seq("TEN"), Seq("TEN"), Seq("GIA"), ts2, sentinel)
+    assert(statsB.rowsExpired == 0 && statsB.rowsInserted == 2, s"binary stats: $statsB")
+    assert(h2b.count() == 4)
+  }
+
   test("no-change run is a no-op with zero inserted/expired") {
     val staged = fixture("products_transform").drop("ID_SR")
     val ts1 = lit("2025-11-23 18:51:37").cast("timestamp_ntz")
