@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
 
+import graft.control.RunLedger
 import graft.operators._
 import graft.sources.CsvIngest
 
@@ -40,6 +41,32 @@ object SparkEntry {
     */
   private def dsum(c: Column, prec: Int = 28, scale: Int = 10): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  /** Shared SCD2 two-snapshot scenario over `part`: day 2 changes prices
+    * (÷10), drops rows (÷7) and adds new keys (÷13). Used by
+    * scd2_two_rounds, a2_scd_out_params and sp3_log_message.
+    */
+  private def scdSnaps(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val snap1 = t(s, dir, "part")
+      .select(col("p_partkey").as("id"), col("p_retailprice").as("price"), col("p_size").as("psize"))
+    val snap2 = snap1
+      .filter(col("id") % 7 =!= 0)
+      .withColumn("price", when(col("id") % 10 === 0, col("price") + 100.0).otherwise(col("price")))
+      .unionByName(snap1.filter(col("id") % 13 === 0).withColumn("id", col("id") + 100000))
+    (snap1, snap2)
+  }
+
+  /** Round-2 SCD2 stats over [[scdSnaps]] (shared by a2/sp3 gates). */
+  private def scdRound2Stats(s: SparkSession, dir: String): ScdStats = {
+    val ts1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val ts2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+    val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+    val (snap1, snap2) = scdSnaps(s, dir)
+    val h1 = Scd2.apply(
+      Scd2.emptyHistory(snap1, "timestamp_ntz"), snap1,
+      Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel)
+    Scd2.applyWithStats(h1, snap2, Seq("id"), Seq("id"), Seq("price", "psize"), ts2, sentinel)._2
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -503,12 +530,7 @@ object SparkEntry {
       val ts1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
       val ts2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
       val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
-      val snap1 = t(s, dir, "part")
-        .select(col("p_partkey").as("id"), col("p_retailprice").as("price"), col("p_size").as("psize"))
-      val snap2 = snap1
-        .filter(col("id") % 7 =!= 0)
-        .withColumn("price", when(col("id") % 10 === 0, col("price") + 100.0).otherwise(col("price")))
-        .unionByName(snap1.filter(col("id") % 13 === 0).withColumn("id", col("id") + 100000))
+      val (snap1, snap2) = scdSnaps(s, dir)
       val h1 = Scd2.apply(
         Scd2.emptyHistory(snap1, "timestamp_ntz"), snap1,
         Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel)
@@ -543,6 +565,63 @@ object SparkEntry {
           .select(concat(lit("NEW-"), col("id")).as("pname"), col("price")))
       Scd2.apply(h1, snap2, Seq("pname"), Seq("pname"), Seq("price"), ts2, sentinel,
         keyNorm = Scd2.mysqlCiNorm)
+    }),
+    // A2/SP2: the SCD2 SP's scalar OUT params (p_rows_input /
+    // p_rows_inserted / p_rows_expired — db_control_sql.sql:213-216) as a
+    // one-row frame from applyWithStats over the shared two-round scenario.
+    "a2_scd_out_params" -> ((s, dir) => {
+      import s.implicits._
+      val stats = scdRound2Stats(s, dir)
+      Seq((stats.rowsInput, stats.rowsInserted, stats.rowsExpired))
+        .toDF("rows_input", "rows_inserted", "rows_expired")
+    }),
+    // SP3 SP_ETL_Update_Log_Status: close the ledger row with the EXACT
+    // reference message format (db_control_sql.sql:279-307), stats wired
+    // from the real SCD2 round — the full start→transform→finish path.
+    "sp3_log_message" -> ((s, dir) => {
+      val stats = scdRound2Stats(s, dir)
+      val (ledger0, runId) =
+        RunLedger.startRun(RunLedger.empty(s), "transform_data", "2024-01-02 00:00:00")
+      RunLedger.finishRun(ledger0, runId, "SUCCESS", "2024-01-02 00:05:00", Some(stats))
+        .select(col("id"), col("process_name"), col("status"), col("message"))
+    }),
+    // S9: row UPDATE by key (SP_ETL_Update_Log_Status's UPDATE ... WHERE
+    // ID = p_id): 25 RUNNING ledger rows, close exactly #13 — only that
+    // row flips to SUCCESS with end_time + message set.
+    "s9_ledger_update" -> ((s, dir) => {
+      val ledger = t(s, dir, "nation").select(
+        (col("n_nationkey") + 1).cast("long").as("id"),
+        concat(lit("proc_"), lower(col("n_name"))).as("process_name"),
+        lit("2024-03-01 08:00:00").cast("timestamp").as("start_time"),
+        lit(null).cast("timestamp").as("end_time"),
+        lit("RUNNING").as("status"),
+        lit(null).cast("string").as("message"))
+      RunLedger.finishRun(ledger, 13L, "SUCCESS", "2024-03-01 09:00:00",
+          messageOverride = Some("closed by daily run"))
+        .select(col("id"), col("process_name"), col("status"), col("message"),
+          col("end_time").cast("timestamp_ntz").as("end_time"))
+    }),
+    // J7: the reference's PROCESS_LOG ⋈ PROCESS equi-join
+    // (check_status.py:21-23, load_datamart.py:44-48) — log rows resolve
+    // their process name through the broadcast process registry.
+    "j7_process_log_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val proc = nation.select(
+        (col("n_nationkey") + 1).cast("int").as("pid"),
+        concat(lit("proc_"), lower(col("n_name"))).as("process_name"))
+      val done = nation.select(
+        (col("n_nationkey") * 2 + 1).cast("int").as("id_log"),
+        (col("n_nationkey") + 1).cast("int").as("id_process"),
+        lit("SUCCESS").as("status"),
+        lit("2024-03-01 08:00:00").cast("timestamp_ntz").as("start_time"))
+      val running = nation.filter(col("n_nationkey") % 3 === 0).select(
+        (col("n_nationkey") * 2 + 2).cast("int").as("id_log"),
+        (col("n_nationkey") + 1).cast("int").as("id_process"),
+        lit("RUNNING").as("status"),
+        lit("2024-03-01 09:00:00").cast("timestamp_ntz").as("start_time"))
+      done.unionByName(running)
+        .join(broadcast(proc), col("id_process") === col("pid"))
+        .select("id_log", "process_name", "status", "start_time")
     }),
 
     // ── Text analysis (training-data ops; beyond-reference) ──────────────
@@ -880,9 +959,14 @@ object SparkEntry {
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }),
     // IVF ANN (scale path #2; recall<1 → rows-only, tested vs k1).
+    // nCells=256 exercises the production quantizer shape: the fused
+    // NearestCells kernel keeps the plan flat (the literal-array form
+    // would put 256×64 coordinates in the expression tree), nProbe=32
+    // keeps the probed fraction at 1/8 of the corpus.
     "k3_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+        nCells = 256, nProbe = 32)
     }),
 
     // ── Temporal joins (beyond-reference; Spark has no native as-of) ─────
@@ -1388,6 +1472,57 @@ object SparkEntry {
         |    TIMESTAMP '9999-12-31 00:00:00'
         |  FROM snap2 s WHERE lower(s.pname) IN (SELECT ck FROM ek))
         |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
+    "a2_scd_out_params" ->
+      """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
+        |snap2 AS (
+        |  SELECT id, CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price, psize
+        |  FROM snap1 WHERE id % 7 <> 0
+        |  UNION ALL SELECT id + 100000, price, psize FROM snap1 WHERE id % 13 = 0),
+        |new2 AS (SELECT s.id FROM snap2 s WHERE NOT EXISTS (SELECT 1 FROM snap1 t WHERE t.id = s.id)),
+        |ek AS (
+        |  SELECT DISTINCT t.id FROM snap1 t JOIN snap2 s ON t.id = s.id
+        |  WHERE t.price <> s.price OR t.psize <> s.psize),
+        |reins AS (SELECT s.id FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
+        |SELECT CAST((SELECT count(*) FROM snap2) AS BIGINT) AS rows_input,
+        |  CAST((SELECT count(*) FROM new2) + (SELECT count(*) FROM reins) AS BIGINT) AS rows_inserted,
+        |  CAST((SELECT count(*) FROM ek) AS BIGINT) AS rows_expired""".stripMargin,
+    "sp3_log_message" ->
+      """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
+        |snap2 AS (
+        |  SELECT id, CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price, psize
+        |  FROM snap1 WHERE id % 7 <> 0
+        |  UNION ALL SELECT id + 100000, price, psize FROM snap1 WHERE id % 13 = 0),
+        |new2 AS (SELECT s.id FROM snap2 s WHERE NOT EXISTS (SELECT 1 FROM snap1 t WHERE t.id = s.id)),
+        |ek AS (
+        |  SELECT DISTINCT t.id FROM snap1 t JOIN snap2 s ON t.id = s.id
+        |  WHERE t.price <> s.price OR t.psize <> s.psize),
+        |reins AS (SELECT s.id FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
+        |SELECT CAST(1 AS BIGINT) AS id, 'transform_data' AS process_name, 'SUCCESS' AS status,
+        |  'SCD Type 2 completed successfully. Rows Processed: '
+        |    || CAST((SELECT count(*) FROM snap2) AS VARCHAR)
+        |    || '. New Rows Inserted: '
+        |    || CAST((SELECT count(*) FROM new2) + (SELECT count(*) FROM reins) AS VARCHAR)
+        |    || '. Old Rows Expired (Updated): '
+        |    || CAST((SELECT count(*) FROM ek) AS VARCHAR) || '.' AS message""".stripMargin,
+    "s9_ledger_update" ->
+      """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id,
+        |  'proc_' || lower(n_name) AS process_name,
+        |  CASE WHEN n_nationkey + 1 = 13 THEN 'SUCCESS' ELSE 'RUNNING' END AS status,
+        |  CASE WHEN n_nationkey + 1 = 13 THEN 'closed by daily run' ELSE NULL END AS message,
+        |  CASE WHEN n_nationkey + 1 = 13 THEN TIMESTAMP '2024-03-01 09:00:00' ELSE NULL END AS end_time
+        |FROM nation""".stripMargin,
+    "j7_process_log_join" ->
+      """WITH proc AS (
+        |  SELECT CAST(n_nationkey + 1 AS INT) AS pid, 'proc_' || lower(n_name) AS process_name
+        |  FROM nation),
+        |logs AS (
+        |  SELECT CAST(n_nationkey * 2 + 1 AS INT) AS id_log, CAST(n_nationkey + 1 AS INT) AS id_process,
+        |    'SUCCESS' AS status, TIMESTAMP '2024-03-01 08:00:00' AS start_time FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey * 2 + 2 AS INT), CAST(n_nationkey + 1 AS INT), 'RUNNING',
+        |    TIMESTAMP '2024-03-01 09:00:00'
+        |  FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT id_log, process_name, status, start_time FROM logs JOIN proc ON id_process = pid""".stripMargin,
     "t1_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
