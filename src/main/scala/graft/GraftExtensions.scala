@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinhashSignature, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinhashSignature, NearestCells, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSignature(
           children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "nearest_cells(v, centroids, nProbe) takes array<double>, a literal " +
+            "array<array<double>> centroid matrix, and a literal probe count")
+        val m = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val centroids = Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray())
+        NearestCells(
+          children.head,
+          centroids,
+          children(2).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

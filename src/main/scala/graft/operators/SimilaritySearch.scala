@@ -64,10 +64,32 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Fraction-based training sample: `sample()` is a narrow per-partition
+    * coin-flip and the trailing `limit` is a CollectLimit, so the driver
+    * payload is O(sampleSize) rows no matter how many partitions the
+    * corpus has. The previous `orderBy(rand).limit` compiled to
+    * TakeOrdered: EVERY partition returned up to sampleSize full vectors
+    * to a driver-side merge — ~4×10⁸ vectors at 100 TB / 10⁵ partitions.
+    * Exposed for the plan-audit spec (must contain no global sort).
+    */
+  private[graft] def trainingSample(
+      corpus: DataFrame,
+      vecCol: String,
+      sampleSize: Int,
+      seed: Long): DataFrame = {
+    val projected = corpus.select(col(vecCol).cast("array<double>"))
+    val n = projected.count()
+    val base =
+      if (n <= sampleSize) projected
+      // 1.2× oversample keeps P(short sample) negligible; limit trims back
+      else projected.sample(withReplacement = false, math.min(1.0, 1.2 * sampleSize / n), seed)
+    base.limit(sampleSize)
+  }
+
   /** IVF coarse quantizer: Lloyd's k-means over a driver-side sample.
     * Sampling + driver fit is the standard IVF recipe even at 100 TB —
     * the quantizer needs only a few ×k representative vectors, and the
-    * trained centroids broadcast as plan literals.
+    * trained centroids ship once per task inside the kernel expression.
     */
   def trainCentroids(
       corpus: DataFrame,
@@ -76,10 +98,7 @@ object SimilaritySearch {
       iters: Int = 8,
       sampleSize: Int = 4096,
       seed: Long = 42L): Array[Array[Double]] = {
-    val sample = corpus
-      .select(col(vecCol).cast("array<double>"))
-      .orderBy(rand(seed))
-      .limit(sampleSize)
+    val sample = trainingSample(corpus, vecCol, sampleSize, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"need ≥ $k sample vectors, got ${sample.length}")
@@ -109,11 +128,29 @@ object SimilaritySearch {
     centroids
   }
 
-  /** Index of the nearest centroid (L2), as a column expression: an
-    * array<struct<dist,idx>> minimum — ties break to the lower index.
+  /** The `nProbe` nearest centroids (squared L2, ties to the lower index)
+    * as array<int> ascending by distance. Dispatches to the fused codegen
+    * kernel [[graft.functions.NearestCells]] when registered (all
+    * [[graft.Sessions]] sessions): the centroid matrix rides along as ONE
+    * flat double[] per task instead of k×dim plan literals, so the plan
+    * stays flat at production cell counts (4k–64k). The composable
+    * `array_sort`-over-literals form is the fallback with identical
+    * ordering — viable only at toy k.
     */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("nearest_cells"))
+      call_function("nearest_cells", v,
+        typedlit(centroids.map(_.toSeq).toSeq), lit(nProbe))
+    else
+      transform(
+        slice(cellsRanked(v, centroids), 1, nProbe),
+        s => s.getField("idx"))
+  }
+
+  /** Index of the single nearest centroid (L2, ties to the lower index). */
   def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    cellsRanked(v, centroids)(0).getField("idx")
+    nearestCells(v, centroids, 1)(0)
 
   private def cellsRanked(v: Column, centroids: Array[Array[Double]]): Column =
     array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
@@ -146,9 +183,8 @@ object SimilaritySearch {
     val q = queries.select(
       col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
-      slice(cellsRanked(col(vecCol).cast("array<double>"), centroids), 1, nProbe).as("cells"))
-      .select(col("query_id"), col("qv"), explode(col("cells")).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe").getField("idx").as("cell"))
+      nearestCells(col(vecCol).cast("array<double>"), centroids, nProbe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

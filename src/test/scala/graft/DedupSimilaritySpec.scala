@@ -26,6 +26,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diff == 0, s"$diff rows differ between fused and composed signatures")
   }
 
+  test("NearestCells kernel matches exhaustive driver-side quantization") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val k = 300
+    val nProbe = 7
+    val centroids = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    val got = df
+      .select(col("id"), SimilaritySearch.nearestCells(col("v"), centroids, nProbe).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSeq
+      assert(got(id) == expected, s"id $id: got ${got(id)}, want $expected")
+    }
+  }
+
   private def corpus = {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     docs.unionByName(

@@ -45,4 +45,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join degenerated:\n$p")
   }
+
+  test("IVF quantizer sample: no global sort, driver payload O(sampleSize)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = graft.operators.SimilaritySearch
+      .trainingSample(emb, "embedding", 64, 42L)
+      .queryExecution.executedPlan.toString
+    // orderBy(rand).limit compiled to TakeOrdered (per-partition sort +
+    // driver merge of up-to-sampleSize rows PER PARTITION) — the scale
+    // bug this plan must not regress to
+    assert(!p.contains("TakeOrdered") && !p.contains("Sort "),
+      s"sample plan sorts:\n$p")
+    assert(p.contains("CollectLimit") || p.contains("GlobalLimit"),
+      s"sample plan lacks a limit:\n$p")
+  }
+
+  test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
+    val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
+    val analyzed = df.queryExecution.analyzed
+    val kernels = analyzed.expressions.flatMap(_.collect {
+      case n: graft.functions.NearestCells => n
+    })
+    val hasKernel = analyzed.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[graft.functions.NearestCells])) => p
+    }.nonEmpty
+    assert(hasKernel || kernels.nonEmpty, "nearest_cells kernel not in plan")
+    // the literal-array fallback at nCells=256×dim64 would put 16k+
+    // Literal nodes in the tree; the kernel keeps the matrix out of it
+    val literalCount = analyzed.expressions.map(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+    }.size).sum
+    assert(literalCount < 1000, s"plan carries $literalCount literals — matrix leaked into tree")
+  }
 }
