@@ -815,6 +815,30 @@ object SparkEntry {
         TextAnalysis.redactPii(col("text")).as("clean_text"),
         ne.as("n_email"), np.as("n_phone"), nip.as("n_ip"))
     }),
+    // Gopher repetition signals (dup-line / dup-paragraph fractions +
+    // char-mass variants). The flat corpus has no newlines, so the gate
+    // synthesizes structure deterministically: ' merge ' → blank line
+    // (paragraph break), ' the ' → line break; every doc re-appends its
+    // first line and every 4th doc its first paragraph, so both signal
+    // families are non-trivial. Exact integer ratios in one double
+    // division — engine-exact.
+    "t8_repetition_signals" -> ((s, dir) => {
+      val st0 = regexp_replace(
+        regexp_replace(col("text"), " merge ", "\n\n"), " the ", "\n")
+      // first-line copy BEFORE the paragraph copy: a trailing single-\n
+      // append would otherwise merge into the copied paragraph and no
+      // paragraph would ever repeat verbatim
+      val st = concat(
+        st0, lit("\n"), substring_index(st0, "\n", 1),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n\n"), substring_index(st0, "\n\n", 1))).otherwise(lit("")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.dupLineFraction(st).as("dup_line_frac"),
+        TextAnalysis.dupLineCharFraction(st).as("dup_line_char_frac"),
+        TextAnalysis.dupParagraphFraction(st).as("dup_para_frac"),
+        TextAnalysis.dupParagraphCharFraction(st).as("dup_para_char_frac"))
+    }),
     // frame-sampling plan for video-like payloads: stride-spaced indices,
     // shuffle-free explode (the stage before per-frame decode at scale).
     "mm2_frame_sample" -> ((s, dir) => {
@@ -1680,6 +1704,39 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip
         |FROM salted""".stripMargin,
+    "t8_repetition_signals" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' merge ', chr(10) || chr(10)), ' the ', chr(10)) AS st0
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    st0 || chr(10) || split_part(st0, chr(10), 1)
+        |      || CASE WHEN doc_id % 4 = 0
+        |           THEN chr(10) || chr(10) || split_part(st0, chr(10) || chr(10), 1)
+        |           ELSE '' END AS st
+        |  FROM s0),
+        |parts AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(st, chr(10)), x -> x <> '') AS ln,
+        |    list_filter(regexp_split_to_array(st, '\n{2,}'), x -> x <> '') AS pg
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN len(ln) = 0 THEN 0.0
+        |    ELSE CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE) / len(ln) END AS dup_line_frac,
+        |  CASE WHEN COALESCE(list_sum(list_transform(ln, x -> length(x))), 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(list_sum(list_transform(
+        |           list_filter(ln, x -> len(list_filter(ln, y -> y = x)) > 1),
+        |           x -> length(x))), 0) AS DOUBLE)
+        |      / list_sum(list_transform(ln, x -> length(x))) END AS dup_line_char_frac,
+        |  CASE WHEN len(pg) = 0 THEN 0.0
+        |    ELSE CAST(len(pg) - len(list_distinct(pg)) AS DOUBLE) / len(pg) END AS dup_para_frac,
+        |  CASE WHEN COALESCE(list_sum(list_transform(pg, x -> length(x))), 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(list_sum(list_transform(
+        |           list_filter(pg, x -> len(list_filter(pg, y -> y = x)) > 1),
+        |           x -> length(x))), 0) AS DOUBLE)
+        |      / list_sum(list_transform(pg, x -> length(x))) END AS dup_para_char_frac
+        |FROM parts""".stripMargin,
     "mm2_frame_sample" ->
       """SELECT doc_id, n_chars % 100 + 1 AS frame_count,
         |  CAST(unnest(range(0, greatest(n_chars % 100 + 1 - 1, 0) + 1, 5)) AS BIGINT) AS frame_idx

@@ -164,6 +164,42 @@ object TextAnalysis {
     regexp_count(text, lit(phonePattern)),
     regexp_count(text, lit(ipv4Pattern)))
 
+  /** Non-empty lines of a document (split on newline). */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => l =!= "")
+
+  /** Non-empty paragraphs (split on blank-line runs). */
+  def docParagraphs(text: Column): Column =
+    filter(split(text, "\n{2,}"), p => p =!= "")
+
+  /** Gopher repetition signal (Rae et al. 2021, table A1): fraction of
+    * items that are duplicates of another item — (n − n_distinct) / n,
+    * 0 for an empty list. Integer ratio in one double division, so the
+    * value is engine-exact.
+    */
+  def dupFraction(items: Column): Column =
+    when(size(items) === 0, lit(0.0))
+      .otherwise((size(items) - size(array_distinct(items))).cast("double") / size(items))
+
+  /** Gopher character-mass companion to [[dupFraction]]: fraction of
+    * characters living in items that occur more than once (ALL occurrences
+    * count, per the paper). The membership scan is O(items²) per row —
+    * items are a document's lines/paragraphs (tens), not tokens, so this
+    * stays a cheap narrow map at any corpus size.
+    */
+  def dupCharFraction(items: Column): Column = {
+    val totalChars = aggregate(items, lit(0L), (acc, x) => acc + length(x))
+    val dupChars = aggregate(
+      filter(items, x => size(filter(items, y => y === x)) > 1),
+      lit(0L), (acc, x) => acc + length(x))
+    when(totalChars === 0, lit(0.0)).otherwise(dupChars.cast("double") / totalChars)
+  }
+
+  def dupLineFraction(text: Column): Column = dupFraction(docLines(text))
+  def dupLineCharFraction(text: Column): Column = dupCharFraction(docLines(text))
+  def dupParagraphFraction(text: Column): Column = dupFraction(docParagraphs(text))
+  def dupParagraphCharFraction(text: Column): Column = dupCharFraction(docParagraphs(text))
+
   /** BPE-ish subword count: alnum runs are split into ≤4-char pieces
     * (ceil(len/4)), punctuation runs count one each — a deterministic,
     * tokenizer-free token-budget estimate.

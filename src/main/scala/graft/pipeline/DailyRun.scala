@@ -26,6 +26,13 @@ import graft.sources.{CsvIngest, Zones}
 object DailyRun {
   val ProcessName = "daily_pipeline"
 
+  /** Catalog name + bucket count of the aggregate zone table. 32 buckets
+    * is the local[32] setting; size to ~executor-count × small-factor on
+    * a real cluster.
+    */
+  val AggregateTable = "graft_aggregate"
+  val AggregateBuckets = 32
+
   /** A RUNNING row older than this no longer blocks the gate — covers a
     * hard-killed driver that never reached its FAILED close.
     */
@@ -110,7 +117,10 @@ object DailyRun {
     // dim_brand files, which the swap replaces
     Zones.overwriteSwapAll(Seq(brand1 -> brandPath, product1 -> productPath))
 
-    // [6] aggregate snapshot — per-day partitioned upsert
+    // [6] aggregate snapshot — per-day partitioned upsert into the
+    // BUCKETED zone table: day partitions keep pruning, PRODUCT_SK
+    // buckets let the daily merge and every downstream star join run
+    // without shuffling the (at scale, 100 TB) aggregate side
     val today = dimDate.filter(col("FULL_DATE") === lit(runDate).cast("date"))
       .select("DATE_SK", "CALENDAR_YEAR", "INT_MONTH").head()
     val snapshot = Zones.read(spark, productPath).select(
@@ -119,12 +129,13 @@ object DailyRun {
       lit(today.getInt(1)).as("CALENDAR_YEAR"),
       lit(today.getInt(2)).as("CALENDAR_MONTH"),
       col("MAX_PRICE"), col("MIN_PRICE"))
-    Zones.upsertPartitioned(
-      spark, s"$whDir/warehouse/aggregate", snapshot,
-      Seq("PRODUCT_SK", "DATE_SK"), "DATE_SK")
+    Zones.upsertBucketed(
+      spark, AggregateTable, s"$whDir/warehouse/aggregate", snapshot,
+      Seq("PRODUCT_SK", "DATE_SK"), "DATE_SK", Seq("PRODUCT_SK"), AggregateBuckets)
 
-    // [7] datamart rollups (full refresh — load_datamart.py:112,138)
-    val aggregate = Zones.read(spark, s"$whDir/warehouse/aggregate")
+    // [7] datamart rollups (full refresh — load_datamart.py:112,138);
+    // reading through the table keeps the bucketed distribution visible
+    val aggregate = spark.table(AggregateTable)
     Zones.overwriteAll(
       ProductPipeline.datamartDaily(aggregate), s"$whDir/datamart/dm_product_daily_price")
     Zones.overwriteAll(

@@ -81,6 +81,135 @@ object Zones {
     writes.foreach { case (df, p) => commitSwap(df.sparkSession, p) }
   }
 
+  /** Register `path` as an external BUCKETED (and optionally partitioned)
+    * table — idempotent, so a fresh session (in-memory catalog) re-attaches
+    * to an existing zone each run. Bucketing is catalog metadata: a reader
+    * that goes through `spark.table(name)` gets scans pre-distributed by
+    * `bucketCols`, so the daily upsert merge join and every repeated
+    * star join on the bucket key run WITHOUT shuffling the big side —
+    * at 100 TB the exchange this removes is the nightly bottleneck.
+    * Partitioning (e.g. by DATE_SK) is kept orthogonal: pruning still
+    * selects the touched day directories.
+    */
+  def ensureBucketedTable(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    // a session catalog can outlive a warehouse dir (tests, repointed
+    // runs): a registered table whose location is NOT `path` must be
+    // re-registered, or writes would land in the stale location
+    if (spark.catalog.tableExists(name)) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(ident).location)
+      if (loc.toUri.getPath != new org.apache.hadoop.fs.Path(path).toUri.getPath)
+        spark.sql(s"DROP TABLE `$name`")
+    }
+    if (!spark.catalog.tableExists(name)) {
+      // partition columns must close the column list for CREATE TABLE
+      val ordered = schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
+        partitionCols.map(c => schema(c))
+      val colsDdl = ordered.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val partClause =
+        if (partitionCols.isEmpty) ""
+        else s"PARTITIONED BY (${partitionCols.map(c => s"`$c`").mkString(", ")})"
+      val bucketClause =
+        s"CLUSTERED BY (${bucketCols.map(c => s"`$c`").mkString(", ")}) " +
+          s"SORTED BY (${bucketCols.map(c => s"`$c`").mkString(", ")}) INTO $nBuckets BUCKETS"
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS `$name` ($colsDdl) USING PARQUET " +
+          s"$partClause $bucketClause LOCATION '$path'")
+    }
+    if (partitionCols.nonEmpty) {
+      // RECOVER scans the location — create it first (brand-new zone)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+      spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    }
+  }
+
+  /** Upsert an increment into a bucketed (+ day-partitioned) zone table.
+    * Same merge semantics as [[upsertPartitioned]], but the current side
+    * reads through the bucketed table so the anti-join needs NO exchange
+    * on the (big) zone side — only the small daily increment shuffles
+    * into the bucket layout. The new content of the touched partitions is
+    * staged as a bucketed stage table at `path.tmp`, then the touched
+    * partition directories swap in (bucket file names carry the bucket id,
+    * so a rename preserves the layout) and the catalog re-syncs.
+    */
+  def upsertBucketed(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      increment: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      bucketCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureBucketedTable(
+      spark, name, path, increment.schema, bucketCols, nBuckets, Seq(partitionCol))
+    val exists = new java.io.File(path).exists() &&
+      spark.table(name).limit(1).count() > 0
+    val merged =
+      if (!exists) increment
+      else {
+        val current = spark.table(name)
+        // touched partition VALUES collect to the driver — O(#days in the
+        // increment), 1 for a daily run — and prune the scan STATICALLY
+        // (a semi join would need DPP, and under sort-merge would shuffle
+        // the zone side on the partition col, defeating the buckets)
+        val touchedVals = increment.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0))
+        val touchedCurrent = current.filter(col(partitionCol).isin(touchedVals: _*))
+        graft.operators.Upsert.upsert(touchedCurrent, increment, keys)
+      }
+    val stageName = s"${name}__stage"
+    spark.sql(s"DROP TABLE IF EXISTS `$stageName`")
+    // the merge keys extend the bucket cols (e.g. PRODUCT_SK + DATE_SK vs
+    // buckets on PRODUCT_SK): allow subset co-partitioning so the zone
+    // side joins in place and ONLY the small daily increment shuffles —
+    // the conf is restored right after the write
+    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReq = spark.conf.getOption(reqKey)
+    spark.conf.set(reqKey, "false")
+    try {
+      merged.write.mode("overwrite")
+        .partitionBy(partitionCol)
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", path + TmpSuffix)
+        .saveAsTable(stageName)
+    } finally prevReq match {
+      case Some(v) => spark.conf.set(reqKey, v)
+      case None => spark.conf.unset(reqKey)
+    }
+    // swap ONLY the touched partition directories under the zone path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpRoot = new org.apache.hadoop.fs.Path(path + TmpSuffix)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    fs.listStatus(tmpRoot).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol=")) {
+        val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        fs.delete(target, true)
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(s"bucketed swap rename failed for $target")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$stageName`") // external: files unaffected
+    fs.delete(tmpRoot, true)
+    spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    spark.catalog.refreshTable(name)
+    // returned for plan audits ONLY (the zone side must join without an
+    // Exchange) — the zone content it reads has since been swapped
+    merged
+  }
+
   private def stage(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
     // mode=overwrite also clears a leftover tmp dir from a crashed run
     overwriteAll(df, path + TmpSuffix, partitionBy)

@@ -134,6 +134,30 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Durable-sink variant of [[sessionizeAvailableNow]] — the production
+    * path: the same sessionize stream lands in a parquet sink under a
+    * checkpoint (exactly-once per epoch, restartable, nothing collects to
+    * the driver). Returns the sink read back for convenience; at scale
+    * the caller reads the sink directory on its own cadence.
+    */
+  def sessionizeToParquet(
+      spark: SparkSession,
+      events: Dataset[EventRow],
+      gapMinutes: Int,
+      sinkDir: String,
+      checkpointDir: String): DataFrame = {
+    val q = sessionize(events, gapMinutes)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Stream-stream interval join: for each left event, right events of
     * the same user within [left.ts, left.ts + withinMinutes]. Watermarks
     * on BOTH sides bound the join state (Spark drops buffered rows once

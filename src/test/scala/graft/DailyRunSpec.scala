@@ -42,6 +42,28 @@ class DailyRunSpec extends SparkSpec {
     assert(history2.filter(col("expired_at") === lit("2025-11-24 18:51:37").cast("timestamp_ntz")).count() > 0)
     val agg = Zones.read(spark, s"$wh/warehouse/aggregate")
     assert(agg.select("DATE_SK").distinct().count() == 2)
+    // the aggregate zone is a bucketed table: the day-2 merge-shape join
+    // and the star join on PRODUCT_SK must not shuffle the aggregate side
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReq = spark.conf.getOption(reqKey)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(reqKey, "false")
+    try {
+      val aggTable = spark.table(DailyRun.AggregateTable)
+      val dim = Zones.read(spark, s"$wh/warehouse/dim_product").select("PRODUCT_SK")
+      assertZoneSideUnshuffled(aggTable.join(dim, "PRODUCT_SK"), "aggregate star join")
+      val merge = aggTable
+        .join(Zones.read(spark, s"$wh/warehouse/aggregate").select("PRODUCT_SK", "DATE_SK"),
+          Seq("PRODUCT_SK", "DATE_SK"), "left_anti")
+      assertZoneSideUnshuffled(merge, "aggregate upsert-shape join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevReq match {
+        case Some(v) => spark.conf.set(reqKey, v)
+        case None => spark.conf.unset(reqKey)
+      }
+    }
     // ledger carries both SUCCESS rows with the stats message
     val ledger = Zones.read(spark, s"$wh/control/process_log")
     assert(ledger.filter(col("status") === "SUCCESS").count() == 2)

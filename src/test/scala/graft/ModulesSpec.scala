@@ -191,6 +191,28 @@ class ModulesSpec extends SparkSpec {
     assertSameRows(streamed, expected, "st3 stream/batch parity")
   }
 
+  test("streaming: parquet-sink sessionize (production path) equals the memory-sink gate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stsink").toFile.getAbsolutePath
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+    val rows = stream
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[EventStreams.EventRow]
+    val sunk = EventStreams
+      .sessionizeToParquet(spark, rows, 30, s"$tmp/sessions", s"$tmp/ckpt")
+      .select(
+        col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+    val memorySink = SparkEntry.queries("st3_sessionize_stream")(spark, dir)
+    assert(sunk.count() > 0, "parquet sink is empty")
+    assertSameRows(sunk, memorySink, "parquet-sink vs memory-sink sessionize")
+  }
+
   test("streaming: stream-stream interval join emits in-window matches only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

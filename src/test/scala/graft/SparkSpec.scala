@@ -19,6 +19,33 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def fixture(name: String): DataFrame =
     spark.read.parquet(s"src/test/resources/fixtures/$name.parquet")
 
+  /** Assert the first sort-merge/hash join in `df`'s physical plan keeps
+    * its LEFT (zone/big) side shuffle-free and bucketed — the invariant
+    * bucketed zones exist to provide. Structural, not textual: exchanges
+    * on the small side are expected and ignored.
+    */
+  def assertZoneSideUnshuffled(df: DataFrame, label: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val zoneSide: Option[SparkPlan] = root.collectFirst {
+      case j: SortMergeJoinExec => j.left
+      case j: ShuffledHashJoinExec => j.left
+    }
+    assert(zoneSide.nonEmpty, s"$label: no shuffled join in plan:\n$root")
+    val side = zoneSide.get
+    assert(side.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"$label: zone side shuffles:\n$side")
+    assert(
+      side.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
+      s"$label: zone side not a bucketed scan:\n$side")
+  }
+
   /** Order-insensitive whole-frame equality with readable diffs. Decimals
     * are normalized to double, timestamps to ISO strings.
     */

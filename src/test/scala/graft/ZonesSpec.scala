@@ -56,6 +56,47 @@ class ZonesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed zone upsert: updates win, untouched days intact, zone side joins shuffle-free") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("bucketzone").toFile.getAbsolutePath
+    val tbl = "graft_test_bucket_zone"
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the plan audit below derives the merge plan lazily (after the
+    // method restored its conf scope), so mirror the subset-co-partition
+    // setting the real write ran under
+    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevReq = spark.conf.getOption(reqKey)
+    spark.conf.set(reqKey, "false")
+    try {
+      val day1 = (1 to 100).map(i => (i.toLong, 10, i * 1.0)).toDF("product_sk", "date_sk", "price")
+      Zones.upsertBucketed(spark, tbl, s"$wh/agg", day1,
+        Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 8)
+      // day 2: re-snapshot part of day 10 + a fresh day 11
+      val day2 = ((40 to 60).map(i => (i.toLong, 10, -1.0)) ++
+        (1 to 50).map(i => (i.toLong, 11, i * 2.0)))
+        .toDF("product_sk", "date_sk", "price")
+      val merged = Zones.upsertBucketed(spark, tbl, s"$wh/agg", day2,
+        Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 8)
+      val result = spark.table(tbl)
+      assert(result.count() == 150)
+      assert(result.filter(col("date_sk") === 10).count() == 100, "untouched day-10 keys kept")
+      assert(result.filter(col("date_sk") === 10 && col("price") === -1.0).count() == 21,
+        "new version wins for re-snapshotted keys")
+      assert(result.filter(col("date_sk") === 11).count() == 50)
+      // the zone side of the merge join reads its buckets in place; only
+      // the small increment shuffles to match
+      assertZoneSideUnshuffled(merged, "bucketed zone merge")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      prevReq match {
+        case Some(v) => spark.conf.set(reqKey, v)
+        case None => spark.conf.unset(reqKey)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("partitioned upsert rewrites only touched partitions; pruning hits the plan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zones").toFile.getAbsolutePath
