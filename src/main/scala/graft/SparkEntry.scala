@@ -776,6 +776,174 @@ object SparkEntry {
           (dsum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(0.0)) /
             dsum(col("volume"))).as("mkt_share"))
     }),
+    // TPC-H Q4 shape: order-priority checking — EXISTS-correlated semi
+    // join (the testdata has no l_commitdate/l_receiptdate, so "late" is
+    // adapted to l_shipdate > o_orderdate + 60 days). The semi join
+    // shuffles on orderkey once; count aggregation is partial-agg'd.
+    "q4_order_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(
+          t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q9 shape: product-type profit by nation×year. The testdata
+    // has no partsupp, so supply cost is adapted to 0.6×p_retailprice per
+    // unit. 5-table join: facts shuffle on their keys, part filter prunes
+    // before the join, nation broadcasts.
+    "q9_product_profit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.6) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+    }),
+    // TPC-H Q10 shape: returned-item reporting — top 20 customers by
+    // refund-quarter revenue from 'R' lines; deterministic tie-break on
+    // c_custkey so the LIMIT picks identical rows on both engines.
+    "q10_returned_items" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q15 shape: top supplier — per-supplier quarter revenue vs its
+    // global max, the max joined back as a broadcast one-row scalar (no
+    // global sort / single-partition window).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      // both sides carry the identical float64 bits (decimal-exact sum →
+      // one deterministic cast), so the equality join is engine-stable
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+    // TPC-H Q16 shape: supplier count per (brand,type,size). The testdata
+    // has no partsupp, so the part↔supplier relation is taken from
+    // lineitem; the comment-LIKE supplier exclusion is adapted to
+    // s_acctbal < 0, applied as a broadcast anti join (NOT IN with
+    // non-null keys ≡ anti join).
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val excluded = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem")
+        .join(
+          t(s, dir, "part").filter(
+            col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part AVG decorrelated into a grouped aggregate joined back on
+    // partkey (Catalyst's own decorrelation shape). Quantities are
+    // integral doubles; the avg is decimal-sum/count so the 0.2×avg
+    // threshold is bit-identical on both engines.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((dsum(col("l_quantity"), 18, 2) / count(lit(1))).as("avg_qty"))
+      li
+        .join(t(s, dir, "part").filter(
+          col("p_brand") === "Brand#3" && col("p_type") === "SMALL"),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+    // TPC-H Q19 shape: discounted revenue under three OR'd brand/size/
+    // quantity branches — a single scan with one disjunctive residual
+    // predicate after the part join (no union of three scans).
+    "q19_discounted_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#21" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+    // TPC-H Q20 shape: potential part promotion — suppliers whose 1997
+    // shipped volume of 'red' parts exceeds a threshold (partsupp
+    // availqty adapted to shipped-quantity HAVING). Nested IN subqueries
+    // become two semi joins; the part filter broadcasts.
+    "q20_potential_promotion" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").contains("red")).select("p_partkey")
+      val bigShippers = t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity"), 18, 2).as("ship_qty"))
+        .filter(col("ship_qty") > 300.0)
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the double
+    // EXISTS/NOT EXISTS correlation kept as one semi + one anti join on
+    // orderkey ("late" adapted to l_shipdate > o_orderdate + 60 days; no
+    // receipt/commit dates in the testdata). The late frame appears on
+    // both sides of a self-join → cache() it so the exprId-dedup rewrite
+    // doesn't recompute its lineage twice.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val late = li
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .cache()
+      val l2 = li.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      val l3 = late.select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+      late
+        .join(l2,
+          col("x_orderkey") === col("l_orderkey") && col("x_suppkey") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3,
+          col("y_orderkey") === col("l_orderkey") && col("y_suppkey") =!= col("l_suppkey"),
+          "left_anti")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     // repetition/quality signals (Gopher-style): most-frequent-trigram
     // share + symbol ratio + mean token length per doc. One explode +
     // two hash aggregations keyed on the doc — linear at any corpus size.
@@ -1665,6 +1833,105 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS mkt_share
         |FROM vol GROUP BY o_year""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) - 0.6*p_retailprice*l_quantity
+        |    AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |JOIN avgq ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_potential_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    GROUP BY l_suppkey
+        |    HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 300.0)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "t6_quality_signals" ->
       """WITH tokd AS (
         |  SELECT doc_id, text,
