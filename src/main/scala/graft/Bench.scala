@@ -28,7 +28,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    // stdout under sbt gets prefixed and tail-truncated, which loses the
+    // per-query map — also land the identical JSON at a liftable path
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -623,6 +623,46 @@ object SparkEntry {
         .join(broadcast(proc), col("id_process") === col("pid"))
         .select("id_log", "process_name", "status", "start_time")
     }),
+    // S10 control plane: the CONFIG table + crawl_log daily gate
+    // (crawl.py:284-291) — sites with no SUCCESS log row today, as one
+    // anti join instead of the reference's N+1 point lookups. Site %3==0
+    // succeeded today, %3==1 succeeded only yesterday and is RUNNING now,
+    // %3==2 never ran → the needing-crawl set is everything but %3==0.
+    "s10_crawl_meta" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val cfg = nation.select(
+        (col("n_nationkey") + 1).cast("long").as("id"),
+        col("n_name").as("site_name"),
+        concat(lit("https://"), lower(col("n_name")), lit(".example.com")).as("url"))
+      val idc = (col("n_nationkey") + 1).cast("long").as("id_config")
+      val log = nation.filter(col("n_nationkey") % 3 === 0).select(
+        idc, lit("2024-01-05 08:00:00").cast("timestamp").as("run_date"),
+        lit("SUCCESS").as("status"))
+        .unionByName(nation.filter(col("n_nationkey") % 3 === 1).select(
+          idc, lit("2024-01-04 08:00:00").cast("timestamp").as("run_date"),
+          lit("SUCCESS").as("status")))
+        .unionByName(nation.filter(col("n_nationkey") % 3 === 1).select(
+          idc, lit("2024-01-05 09:00:00").cast("timestamp").as("run_date"),
+          lit("RUNNING").as("status")))
+      graft.control.CrawlMeta.sitesNeedingCrawl(cfg, log, "2024-01-05")
+        .select("id", "site_name", "url")
+    }),
+    // SP lifecycle (transform_staging.py:24-58): a registry row carrying
+    // a DELIMITER-wrapped CREATE PROCEDURE … END$$ blob (with non-ASCII
+    // comment chars, as the reference rows have) is regex-extracted,
+    // cleaned, installed under its declared name and called over a view.
+    "sp4_proc_install" -> ((s, dir) => {
+      val registry = Map(
+        "SP_NATION_COUNTS" -> ("DELIMITER $$\n" +
+          "CREATE PROCEDURE SP_Nation_Counts ()\n" +
+          "BEGIN\n-- đếm quốc gia theo vùng\n" +
+          "SELECT n_regionkey AS region_key, count(*) AS n_nations" +
+          " FROM nations_v GROUP BY n_regionkey;\nEND$$\nDELIMITER ;"),
+        "PLAIN_DML" -> "UPDATE PROCESS_LOG SET STATUS = %s WHERE ID = %s")
+      graft.control.SqlRegistry.callProcedure(
+        s, graft.control.SqlRegistry.installProcedures(registry),
+        "SP_NATION_COUNTS", Map("nations_v" -> t(s, dir, "nation")))
+    }),
 
     // ── Text analysis (training-data ops; beyond-reference) ──────────────
     // token counting, subword estimate, alpha ratio, quality score.
@@ -1715,6 +1755,29 @@ object SparkEntry {
         |    TIMESTAMP '2024-03-01 09:00:00'
         |  FROM nation WHERE n_nationkey % 3 = 0)
         |SELECT id_log, process_name, status, start_time FROM logs JOIN proc ON id_process = pid""".stripMargin,
+    "s10_crawl_meta" ->
+      """WITH cfg AS (
+        |  SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS site_name,
+        |    'https://' || lower(n_name) || '.example.com' AS url
+        |  FROM nation),
+        |log AS (
+        |  SELECT CAST(n_nationkey + 1 AS BIGINT) AS id_config,
+        |    TIMESTAMP '2024-01-05 08:00:00' AS run_date, 'SUCCESS' AS status
+        |  FROM nation WHERE n_nationkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1 AS BIGINT), TIMESTAMP '2024-01-04 08:00:00', 'SUCCESS'
+        |  FROM nation WHERE n_nationkey % 3 = 1
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1 AS BIGINT), TIMESTAMP '2024-01-05 09:00:00', 'RUNNING'
+        |  FROM nation WHERE n_nationkey % 3 = 1)
+        |SELECT id, site_name, url FROM cfg
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM log
+        |  WHERE id_config = cfg.id AND status = 'SUCCESS'
+        |    AND CAST(run_date AS DATE) = DATE '2024-01-05')""".stripMargin,
+    "sp4_proc_install" ->
+      """SELECT n_regionkey AS region_key, COUNT(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "t1_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk

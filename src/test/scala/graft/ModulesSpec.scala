@@ -276,4 +276,91 @@ class ModulesSpec extends SparkSpec {
       s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0 &&
         s.session_end == java.time.Instant.parse("2024-01-01T10:10:00Z")))
   }
+
+  test("crawl meta: per-site ledger gates, finish updates, config lineage") {
+    import spark.implicits._
+    import graft.control.CrawlMeta
+    val cfg = Seq(
+      (1L, "siteA", "https://a.example.com"),
+      (2L, "siteB", "https://b.example.com"),
+      (3L, "siteC", "https://c.example.com"))
+      .toDF("id", "site_name", "url")
+    val log0 = CrawlMeta.emptyLog(spark)
+    assert(CrawlMeta.sitesNeedingCrawl(cfg, log0, "2024-01-05").count() == 3)
+    assert(!CrawlMeta.allCrawledToday(cfg, log0, "2024-01-05"))
+
+    // start site 1 → RUNNING row; a second same-day start is skipped
+    val (log1, Some(id1)) = CrawlMeta.startCrawl(log0, 1L, "siteA", "2024-01-05 08:00:00")
+    assert(id1 == 1L)
+    val (log1b, none) = CrawlMeta.startCrawl(log1, 1L, "siteA", "2024-01-05 08:05:00")
+    assert(none.isEmpty && log1b.count() == 1)
+    // ...but a next-day start is not (the RUNNING check is per-CURDATE)
+    val (_, nextDay) = CrawlMeta.startCrawl(log1, 1L, "siteA", "2024-01-06 08:00:00")
+    assert(nextDay.contains(2L))
+
+    // SUCCESS close clears siteA from today's needing-crawl set
+    val log2 = CrawlMeta.finishCrawl(log1, id1, "SUCCESS", Some("/landing/a.csv"), 120, None)
+    val closed = log2.filter(col("id") === id1).head()
+    assert(closed.getAs[String]("status") == "SUCCESS")
+    assert(closed.getAs[String]("file_path") == "/landing/a.csv")
+    assert(closed.getAs[Int]("rows_affected") == 120)
+    val needing = CrawlMeta.sitesNeedingCrawl(cfg, log2, "2024-01-05")
+      .select("site_name").as[String].collect().toSet
+    assert(needing == Set("siteB", "siteC"))
+    // FAILED close keeps the site in the needing set
+    val (log3, Some(id2)) = CrawlMeta.startCrawl(log2, 2L, "siteB", "2024-01-05 09:00:00")
+    val log4 = CrawlMeta.finishCrawl(log3, id2, "FAILED", None, 0, Some("timeout"))
+    assert(CrawlMeta.sitesNeedingCrawl(cfg, log4, "2024-01-05")
+      .select("site_name").as[String].collect().toSet == Set("siteB", "siteC"))
+    assert(log4.filter(col("id") === id2).head().getAs[String]("error_message") == "timeout")
+
+    // lineage join: known site → config id, unknown site → -1 sentinel
+    val landed = Seq(("siteA", 10), ("siteX", 20)).toDF("site", "v")
+    val lineage = CrawlMeta.withConfigLineage(landed, cfg, "site")
+      .select("site", "id_config").as[(String, Long)].collect().toMap
+    assert(lineage == Map("siteA" -> 1L, "siteX" -> -1L))
+  }
+
+  test("sql registry: procedure blocks are extracted, installed, replaced and callable") {
+    import spark.implicits._
+    import graft.control.SqlRegistry
+    // registry row shaped like the reference's (db_control_sql.sql:165-206):
+    // DELIMITER wrapper, non-ASCII comment chars, END$$ terminator
+    val procRow =
+      "DELIMITER $$\n" +
+        "CREATE PROCEDURE SP_Count_People ()\n" +
+        "BEGIN\n" +
+        "-- đếm số dòng\n" +
+        "SELECT count(*) AS n FROM people;\n" +
+        "END$$\n" +
+        "DELIMITER ;"
+    val registry = Map(
+      "SP_COUNT_PEOPLE" -> procRow,
+      "PLAIN_DML" -> "UPDATE PROCESS_LOG SET STATUS = %s WHERE ID = %s")
+    val procs = SqlRegistry.installProcedures(registry)
+    // the DML row has no CREATE PROCEDURE block → not installed
+    assert(procs.keySet == Set("SP_COUNT_PEOPLE"))
+    // the non-ASCII comment chars were collapsed to spaces (reference's
+    // cleanup regex), leaving a valid single-line comment
+    assert(procs("SP_COUNT_PEOPLE").body.contains("--"))
+    assert(!procs("SP_COUNT_PEOPLE").body.exists(_ > 0x7e))
+
+    val people = Seq((1, "an"), (2, "bo")).toDF("id", "name")
+    val n = SqlRegistry.callProcedure(
+      spark, procs, "sp_count_people", Map("people" -> people)).head().getLong(0)
+    assert(n == 2)
+
+    // re-install under the same name replaces (DROP IF EXISTS analog)
+    val v2 = registry.updated("SP_COUNT_PEOPLE", procRow.replace(
+      "SELECT count(*) AS n FROM people;",
+      "SELECT count(*) + 100 AS n FROM people;"))
+    val n2 = SqlRegistry.callProcedure(
+      spark, SqlRegistry.installProcedures(v2), "SP_COUNT_PEOPLE",
+      Map("people" -> people)).head().getLong(0)
+    assert(n2 == 102)
+
+    intercept[IllegalArgumentException] {
+      SqlRegistry.callProcedure(spark, procs, "SP_NOPE", Map.empty)
+    }
+  }
 }
