@@ -1047,6 +1047,33 @@ object SparkEntry {
         TextAnalysis.dupParagraphFraction(st).as("dup_para_frac"),
         TextAnalysis.dupParagraphCharFraction(st).as("dup_para_char_frac"))
     }),
+    // C4-style heuristic document filter: word-count bounds, mean word
+    // length bounds, blocklist terms, terminal punctuation — the flat
+    // synthetic corpus is salted deterministically (doc_id mod) so every
+    // rule fires on a known subset. Pure column expressions: one codegen'd
+    // scan, no shuffle, flags kept for filter-rate reporting.
+    "t9_c4_filters" -> ((s, dir) => {
+      val salted = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" javascript required")))
+          .when(col("doc_id") % 11 === 1, concat(col("text"), lit(" lorem ipsum dolor")))
+          .when(col("doc_id") % 11 === 2, concat(col("text"), lit(".")))
+          .otherwise(col("text")).as("text"))
+      val nWords = TextAnalysis.tokenCount(col("text"))
+      val meanLen = TextAnalysis.avgTokenLen(col("text"))
+      salted.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        (nWords >= 10 && nWords <= 10000).cast("int").as("ok_wordcount"),
+        (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("ok_mean_len"),
+        (!col("text").contains("javascript") &&
+          !col("text").contains("lorem ipsum")).cast("int").as("ok_blocklist"),
+        col("text").endsWith(".").cast("int").as("ends_terminal"))
+        .withColumn("keep",
+          (col("ok_wordcount") === 1 && col("ok_mean_len") === 1 &&
+            col("ok_blocklist") === 1).cast("int"))
+    }),
     // frame-sampling plan for video-like payloads: stride-spaced indices,
     // shuffle-free explode (the stage before per-frame decode at scale).
     "mm2_frame_sample" -> ((s, dir) => {
@@ -1162,6 +1189,40 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
           Map("en" -> 25, "fr" -> 75), defaultPct = 50)
         .select("doc_id", "lang")
+    }),
+    // corpus composition report (the "data mixture" table every training
+    // run starts from): per source×lang doc/token counts plus corpus
+    // shares. One partial-agg'd groupBy; the totals join back as a
+    // broadcast one-row frame — no second pass over the corpus.
+    "c3_source_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val grouped = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
+      val totals = grouped.agg(
+        sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_tokens"))
+      grouped.join(broadcast(totals))
+        .select(
+          col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") / col("tot_docs")).as("doc_share"),
+          (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"))
+    }),
+    // per-source token-budget cap (domain-balanced subsampling): docs
+    // ranked by md5(doc_id) inside each source, kept while the running
+    // token total stays under budget. The window partitions by source —
+    // per-source state only, shuffles once on source at any corpus size.
+    "c4_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("rk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("rk"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .filter(col("cum_tokens") <= 2000L)
+        .select("doc_id", "source", "n_tok", "cum_tokens")
     }),
     // embedding-cosine near-dup: perturbed probes matched back to corpus
     // through the banded sign-bit LSH bucket join (the 100 TB path — no
@@ -1290,6 +1351,28 @@ object SparkEntry {
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
+    }),
+    // true stream-stream interval join (watermark-bounded state on both
+    // sides): each click joined to same-user purchases within the next
+    // 4 hours. Inner joins emit on match — over a finite AvailableNow
+    // drop the streamed output IS the batch join, which the oracle runs.
+    "st4_interval_join_stream" -> ((s, dir) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def side(eventType: String) = s.readStream.schema(batchSchema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.EventRow]
+      val name = s"st4_pairs_${System.nanoTime()}"
+      graft.streaming.EventStreams
+        .intervalJoinAvailableNow(s, side("click"), side("purchase"), 240, name)
+        .select(
+          col("user_id"),
+          col("left_ts").cast("timestamp_ntz").as("left_ts"),
+          col("right_ts").cast("timestamp_ntz").as("right_ts"),
+          col("right_value"))
     }),
     // salted hot-key join (result ≡ plain join; the salt spreads one key
     // over many reducers).
@@ -2067,6 +2150,33 @@ object SparkEntry {
         |           x -> length(x))), 0) AS DOUBLE)
         |      / list_sum(list_transform(pg, x -> length(x))) END AS dup_para_char_frac
         |FROM parts""".stripMargin,
+    "t9_c4_filters" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' javascript required'
+        |         WHEN doc_id % 11 = 1 THEN text || ' lorem ipsum dolor'
+        |         WHEN doc_id % 11 = 2 THEN text || '.'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM salted),
+        |sig AS (
+        |  SELECT doc_id, text, CAST(len(tk) AS INT) AS n_words,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk)
+        |    END AS mean_word_len
+        |  FROM toks)
+        |SELECT doc_id, n_words, mean_word_len,
+        |  CAST(n_words >= 10 AND n_words <= 10000 AS INT) AS ok_wordcount,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS ok_mean_len,
+        |  CAST(NOT contains(text, 'javascript') AND NOT contains(text, 'lorem ipsum') AS INT) AS ok_blocklist,
+        |  CAST(suffix(text, '.') AS INT) AS ends_terminal,
+        |  CAST(n_words >= 10 AND n_words <= 10000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND NOT contains(text, 'javascript') AND NOT contains(text, 'lorem ipsum') AS INT) AS keep
+        |FROM sig""".stripMargin,
     "mm2_frame_sample" ->
       """SELECT doc_id, n_chars % 100 + 1 AS frame_count,
         |  CAST(unnest(range(0, greatest(n_chars % 100 + 1 - 1, 0) + 1, 5)) AS BIGINT) AS frame_idx
@@ -2145,6 +2255,33 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${bucketSql("doc_id")} <
         |  CASE lang WHEN 'en' THEN 25 WHEN 'fr' THEN 75 ELSE 50 END""".stripMargin,
+    "c3_source_mix" ->
+      """WITH toks AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS INT) AS n_tok
+        |  FROM documents),
+        |grouped AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM grouped)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / tot_docs AS doc_share,
+        |  CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
+        |FROM grouped, totals""".stripMargin,
+    "c4_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS rk,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, source, n_tok, cum_tokens FROM cum WHERE cum_tokens <= 2000""".stripMargin,
     "e1_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |probes AS (
@@ -2207,6 +2344,13 @@ object SparkEntry {
         |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
         |WHERE s.session_end < l.last_end
         |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
+    "st4_interval_join_stream" ->
+      """SELECT l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts,
+        |  r.value AS right_value
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 240 MINUTE""".stripMargin,
     "sk1_salted_join" ->
       """WITH ev AS (
         |  SELECT *, CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 50 END AS user_bucket

@@ -184,6 +184,31 @@ object EventStreams {
         col("r.value").as("right_value"))
   }
 
+  /** One-shot streaming run of [[intervalJoin]] (Trigger.AvailableNow).
+    * Inner stream-stream joins emit each match as soon as both rows have
+    * arrived — no watermark hold-back on output — so over a finite drop
+    * the emitted set equals the batch join exactly, which is what the
+    * correctness gate compares. Memory sink: gate/inspection use only
+    * (same caveat as [[sessionizeAvailableNow]]); production swaps in a
+    * durable sink line.
+    */
+  def intervalJoinAvailableNow(
+      spark: SparkSession,
+      left: Dataset[EventRow],
+      right: Dataset[EventRow],
+      withinMinutes: Int,
+      queryName: String): DataFrame = {
+    val q = intervalJoin(left, right, withinMinutes)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream → warehouse-zone bridge: land a stream into a day-partitioned
     * parquet zone with per-batch UPSERT semantics (new version of a key
     * wins, untouched partitions untouched) — the streaming form of the
