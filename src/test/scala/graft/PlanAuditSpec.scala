@@ -60,6 +60,40 @@ class PlanAuditSpec extends SparkSpec {
       s"sample plan lacks a limit:\n$p")
   }
 
+  test("q4: EXISTS runs as a semi join with the quarter filter pushed to the orders scan") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      s"orders range not pushed:\n$p")
+  }
+
+  test("q9: part name filter pushes to the scan; nation broadcasts") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,red)"), s"part filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+  }
+
+  test("q16: supplier exclusion is an anti join; distinct agg is two-phase") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"NOT IN not planned as anti join:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("q21: double correlation is semi+anti joins, no cartesian, limit is TakeOrdered") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"correlations degenerated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p")
+  }
+
+  test("c4: token-budget cap shuffles once on source, no extra exchange") {
+    val p = plan("c4_token_budget")
+    val exchanges = "Exchange (?!.*ENSURE)".r.findAllIn(p).size
+    assert("(?m)^.*Exchange".r.findAllIn(p).size <= 2, // hashpartitioning(source) + AQE reuse line
+      s"more than one shuffle in windowed cap:\n$p")
+    assert(exchanges >= 0 && p.contains("Window"), s"no window operator:\n$p")
+  }
+
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
     val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
     val analyzed = df.queryExecution.analyzed
