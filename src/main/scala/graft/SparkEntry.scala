@@ -1239,6 +1239,19 @@ object SparkEntry {
       Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99)
         .select(col("id_a").as("probe_id"), col("id_b").as("match_id"))
     }),
+    // deterministic k-means (init vec_id%k, 2 Lloyd rounds, decimal-mean
+    // centroids, cid tie-break) — corpus clustering oracle-checked on the
+    // full assignment. dist is rounded to 6dp for the compare: the two
+    // engines' double→decimal casts can round a tie-sitting input one ulp
+    // apart (shortest-string vs exact-binary rounding), which wobbles
+    // centroid means at ~1e-12 — far below assignment margins but visible
+    // to a bitwise hash of the raw squared distance.
+    "e2_kmeans_clusters" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Clustering.kmeansLite(v, "vec_id", "e", 8, 2)
+        .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist_r6"))
+    }),
 
     // ── Similarity search (beyond-reference) ─────────────────────────────
     // exact brute-force cosine top-k (rank output, float-free compare).
@@ -2291,6 +2304,33 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    "e2_kmeans_clusters" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |a0 AS (SELECT vec_id, e, vec_id % 8 AS cluster FROM v),
+        |exp1 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a0),
+        |c1 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp1 GROUP BY 1, 2),
+        |cent1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c1 GROUP BY 1),
+        |d1 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a0, cent1),
+        |a1 AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |exp2 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a1),
+        |c2 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp2 GROUP BY 1, 2),
+        |cent2 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c2 GROUP BY 1),
+        |d2 AS (SELECT vec_id, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a1, cent2)
+        |SELECT vec_id, cluster, round(dist, 6) AS dist_r6 FROM (
+        |  SELECT vec_id, cid AS cluster, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2) WHERE rn = 1""".stripMargin,
     "tj1_asof_last_purchase" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase')

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** k-means-lite: assignment totality, argmin correctness, Lloyd descent. */
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("every vector is assigned exactly one cluster in [0, k)") {
+    val out = Clustering.kmeansLite(vecs, "vec_id", "e", 8, 2)
+    assert(out.count() == vecs.count())
+    assert(out.select("vec_id").distinct().count() == vecs.count())
+    assert(out.filter(col("cluster") < 0 || col("cluster") >= 8).isEmpty)
+  }
+
+  test("assign picks the true argmin centroid (cross-checked on the driver)") {
+    val cents = Clustering.centroids(
+      vecs.withColumn("cluster", col("vec_id") % 4), "e", "cluster")
+    val out = Clustering.assign(vecs, "vec_id", "e", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cm = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.collect().foreach { r =>
+      val (id, e) = (r.getLong(0), r.getSeq[Double](1))
+      val best = cm.map { case (cid, c) =>
+        (cid, e.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) })
+      }.minBy { case (cid, d) => (d, cid) }
+      assert(out(id)._1 == best._1, s"vec $id assigned ${out(id)._1}, argmin ${best._1}")
+      assert(math.abs(out(id)._2 - best._2) < 1e-12)
+    }
+  }
+
+  test("Lloyd rounds never increase the total within-cluster SSE") {
+    def sse(iters: Int): Double =
+      Clustering.kmeansLite(vecs, "vec_id", "e", 8, iters)
+        .agg(sum("dist")).head().getDouble(0)
+    val Seq(s1, s2, s3) = Seq(1, 2, 3).map(sse)
+    assert(s2 <= s1 + 1e-9 && s3 <= s2 + 1e-9, s"SSE rose: $s1 → $s2 → $s3")
+  }
+}
