@@ -1169,10 +1169,26 @@ object SparkEntry {
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 3, 40)).as("text"))
       Curation.containmentPairs(docs, "doc_id", test, "doc_id", "text", 3, 0.8)
     }),
+    // corpus-wide line dedup (C4-style: a repeated line survives only at
+    // its first (doc,position) occurrence). The flat corpus gets line
+    // structure from common-word separators — ~19% of lines repeat
+    // somewhere in the corpus, so the op is non-trivial.
+    "d8_line_dedup_corpus" -> ((s, dir) => {
+      val structured = t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), " (the|a|value|table) ", "\n").as("text"))
+      TextAnalysis.lineDedupCorpus(structured, "doc_id", "text")
+    }),
     // TF-IDF term weights (linear idf N/df — one IEEE division, exactly
     // oracle-comparable; log-idf variant is spec-tested).
     "t5_tfidf" -> ((s, dir) => {
       Curation.tfIdf(t(s, dir, "documents"), "doc_id", "text", minDf = 5, minTf = 2)
+    }),
+    // Okapi BM25 (rational RSJ idf — every factor a single IEEE op chain,
+    // so the full score matrix is oracle-checked bitwise).
+    "t10_bm25" -> ((s, dir) => {
+      Curation.bm25(t(s, dir, "documents"), "doc_id", "text", minDf = 5, minTf = 2)
+        .withColumnRenamed("id", "doc_id")
     }),
     // deterministic train/val/test assignment from md5-hash buckets —
     // split membership is reproducible across engines, runs and clusters.
@@ -2260,6 +2276,38 @@ object SparkEntry {
         |SELECT id, term, tf, df_n, CAST(tf AS DOUBLE) * nd / df_n AS tfidf
         |FROM tf JOIN dfn USING (term), n
         |WHERE df_n >= 5 AND tf >= 2""".stripMargin,
+    "t10_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+        |toks AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfn AS (SELECT term, COUNT(*) AS df_n FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        |ag AS (SELECT CAST(CAST(SUM(CAST(dl AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+        |         / COUNT(*) AS avgdl FROM dl)
+        |SELECT t.doc_id, t.term, tf, df_n,
+        |  ((CAST(nd AS DOUBLE) - CAST(df_n AS DOUBLE) + 0.5) / (CAST(df_n AS DOUBLE) + 0.5))
+        |  * ((CAST(tf AS DOUBLE) * 2.2)
+        |     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (dl.dl / ag.avgdl)))) AS bm25
+        |FROM tf t JOIN dfn USING (term) JOIN dl ON t.doc_id = dl.doc_id, n, ag
+        |WHERE df_n >= 5 AND tf >= 2""".stripMargin,
+    "d8_line_dedup_corpus" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, regexp_replace(text, ' (the|a|value|table) ', chr(10), 'g') AS st
+        |  FROM documents),
+        |lx AS (SELECT doc_id, string_split(st, chr(10)) AS ln FROM docs2),
+        |lines AS (SELECT doc_id, unnest(range(len(ln))) AS idx, unnest(ln) AS line FROM lx),
+        |nz AS (SELECT * FROM lines WHERE line <> ''),
+        |rk AS (SELECT doc_id, idx, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |       FROM nz)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx), '') AS text_kept
+        |FROM rk GROUP BY doc_id""".stripMargin,
     "c1_hash_split" ->
       s"""SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

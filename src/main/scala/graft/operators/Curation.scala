@@ -47,6 +47,51 @@ object Curation {
           .as("tfidf"))
   }
 
+  /** Okapi BM25 with the RATIONAL Robertson–Spärck-Jones idf
+    * ((N−df+0.5)/(df+0.5), no log): every factor is a single IEEE
+    * +/−/×/÷ chain, so the score is bit-identical across engines and the
+    * op stays oracle-checkable exactly — same trade [[tfIdf]] makes; use
+    * a log idf on top for classical ranking if preferred. k1=1.2, b=0.75
+    * are baked as literals (1.2·(0.25+0.75·dl/avgdl)) so both engines
+    * parse the identical doubles rather than re-deriving them.
+    *
+    * Plan: the same two hash aggregations as [[tfIdf]] plus a doc-length
+    * frame joined back on the doc id; avgdl rides in as a broadcast
+    * one-row frame (decimal-exact mean). Linear at any corpus size.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1,
+      minTf: Int = 1): DataFrame = {
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val docLen = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("dl"))
+    val avgdl = docLen.agg(
+      (sum(col("dl").cast(org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val termTf = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val termDf = termTf.groupBy("term").agg(count(lit(1)).as("df_n"))
+    termTf
+      .join(termDf, "term")
+      .filter(col("df_n") >= minDf && col("tf") >= minTf)
+      .join(docLen, "id")
+      .crossJoin(broadcast(avgdl))
+      .select(
+        col("id"), col("term"), col("tf"), col("df_n"),
+        (((lit(nDocs.toDouble) - col("df_n").cast("double") + lit(0.5)) /
+          (col("df_n").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+          .as("bm25"))
+  }
+
   /** Classical log-idf weight: tf · ln(N / df). Same plan shape as
     * [[tfIdf]]; ln is transcendental (last-ulp engine-dependent), so this
     * variant is spec-tested rather than oracle-hashed.

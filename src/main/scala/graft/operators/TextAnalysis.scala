@@ -210,4 +210,34 @@ object TextAnalysis {
     val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
     alnumPieces + punct
   }
+
+  /** Corpus-wide line dedup (C4 §2.2-style: every line that repeats
+    * ANYWHERE in the corpus is kept only at its first occurrence, in
+    * (doc, position) order). Returns one row per document: original and
+    * kept line counts plus the reassembled text.
+    *
+    * Scale shape: one explode, one window shuffle keyed on the line
+    * value (the global first-occurrence rank), one hash aggregation back
+    * on the doc id — all linear. Per-line state is the row itself; no
+    * per-key accumulation beyond the window's one-pass rank.
+    */
+  def lineDedupCorpus(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .filter(col("line") =!= "")
+    val firstRank = Window.partitionBy("line").orderBy(col(idCol), col("idx"))
+    lines
+      .withColumn("rn", row_number().over(firstRank))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("line"))))),
+            p => p.getField("line")),
+          "\n").as("text_kept"))
+  }
 }

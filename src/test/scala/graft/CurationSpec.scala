@@ -81,4 +81,40 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 100L)))
   }
+
+  test("bm25 ranks rarer terms and higher tf above common/low-tf, saturating in tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta common common"),
+      (2L, "gamma common beta"),
+      (3L, "delta common common common")).toDF("doc_id", "text")
+    val s = Curation.bm25(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // same doc (same dl): tf 3 > tf 1; rare term ('beta', df 2) > 'common' (df 3)
+    assert(s((1L, "alpha")) > s((1L, "beta")))
+    assert(s((1L, "beta")) > s((1L, "common")))
+    // idf is positive for every observed df (rational RSJ with N=3)
+    assert(s.values.forall(_ > 0.0))
+    // saturation: same idf and dl, tf=3 vs tf=1 → gain strictly under 3×
+    // (k1 bounds term-frequency growth sublinearly)
+    val idf = (3.0 - 1.0 + 0.5) / (1.0 + 0.5) // df=1
+    val tfPart3 = s((1L, "alpha")) / idf
+    val tfPart1 = (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (6.0 / (12.0 / 3.0))))
+    assert(tfPart3 < 3.0 * tfPart1, s"no saturation: $tfPart3 vs 3×$tfPart1")
+  }
+
+  test("lineDedupCorpus keeps first occurrences only and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep one\nshared line\nkeep two"),
+      (2L, "shared line\nunique here"),
+      (3L, "shared line\nshared line\nlast doc")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lineDedupCorpus(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((3, 3, "keep one\nshared line\nkeep two"))) // first occurrence keeps it
+    assert(out(2L) == ((2, 1, "unique here")))
+    assert(out(3L) == ((3, 1, "last doc")))
+    // corpus-wide: kept lines == distinct lines
+    assert(out.values.map(_._2).sum == 5)
+  }
 }
