@@ -1396,7 +1396,8 @@ object SparkEntry {
         .as[graft.streaming.EventStreams.EventRow]
       val name = s"st4_pairs_${System.nanoTime()}"
       graft.streaming.EventStreams
-        .intervalJoinAvailableNow(s, side("click"), side("purchase"), 240, name)
+        .intervalJoinAvailableNow(s, side("click"), side("purchase"), 240, name,
+          statePartitions = 8)
         .select(
           col("user_id"),
           col("left_ts").cast("timestamp_ntz").as("left_ts"),

@@ -81,6 +81,34 @@ object Zones {
     writes.foreach { case (df, p) => commitSwap(df.sparkSession, p) }
   }
 
+  /** Compact a zone's small files: rewrite each partition (or the whole
+    * unpartitioned zone) into ⌈rows / targetRowsPerFile⌉ files via the
+    * staged atomic swap. Daily upserts accrete one-file-per-batch
+    * fragments; at warehouse scale the resulting tiny-file scans are
+    * task-scheduling-bound, not IO-bound — periodic compaction is the
+    * standard fix. Content is untouched: same rows, fewer files, and the
+    * swap keeps the zone readable for the whole rewrite.
+    *
+    * Partition columns are re-derived from the directory layout by the
+    * read, so a partitioned zone keeps its layout (`partitionBy` lists
+    * the same columns the writes used).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetRowsPerFile: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val current = spark.read.parquet(path)
+    val n = current.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val compacted =
+      if (partitionBy.nonEmpty)
+        // spread within each partition; the dynamic write re-splits by dir
+        current.repartition(files, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else current.repartition(files)
+    overwriteSwap(compacted, path, partitionBy)
+  }
+
   /** Register `path` as an external BUCKETED (and optionally partitioned)
     * table — idempotent, so a fresh session (in-memory catalog) re-attaches
     * to an existing zone each run. Bucketing is catalog metadata: a reader

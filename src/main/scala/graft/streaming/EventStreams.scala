@@ -197,15 +197,25 @@ object EventStreams {
       left: Dataset[EventRow],
       right: Dataset[EventRow],
       withinMinutes: Int,
-      queryName: String): DataFrame = {
-    val q = intervalJoin(left, right, withinMinutes)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      queryName: String,
+      statePartitions: Int = 0): DataFrame = {
+    // stream-stream joins allocate FOUR state stores per shuffle
+    // partition (left/right × keys/values); a one-shot drop over modest
+    // traffic wants fewer, bigger stores than the batch shuffle default.
+    // The value is read once at query start — scope it and restore.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = intervalJoin(left, right, withinMinutes)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.table(queryName)
   }
 

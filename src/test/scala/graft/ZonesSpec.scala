@@ -130,4 +130,31 @@ class ZonesSpec extends SparkSpec {
       s"expected partition filter in scan:\n$scan")
     assert(planned.count() == 1)
   }
+
+  test("compact collapses accreted small files without changing content") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zone_compact").toFile.getAbsolutePath + "/t"
+
+    // accrete 5 tiny single-row writes → ≥5 fragment files
+    (1 to 5).foreach { d =>
+      Zones.upsertPartitioned(spark, path,
+        Seq((d.toLong, 100, d * 1.0)).toDF("product_sk", "date_sk", "price"),
+        Seq("product_sk", "date_sk"), "date_sk")
+    }
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = Zones.read(spark, path).orderBy("product_sk")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(parquetFiles().size >= 5)
+
+    Zones.compact(spark, path, targetRowsPerFile = 100, partitionBy = Seq("date_sk"))
+
+    val after = Zones.read(spark, path).orderBy("product_sk")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(after == before, "compaction changed zone content")
+    assert(parquetFiles().size < 5, s"still ${parquetFiles().size} files after compaction")
+  }
 }
