@@ -1325,6 +1325,36 @@ object SparkEntry {
         .groupBy("w_orderkey")
         .agg(count(lit(1)).as("n_shipped"))
     }),
+    // forward AS-OF: each event's NEXT purchase (earliest ≥ ts, same
+    // user) — the mirror of tj1, one union + window shuffle, no
+    // inequality nested loop.
+    "tj3_asof_next_purchase" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TemporalJoins.asofForward(
+        events.select("event_id", "user_id", "ts"),
+        purchases, Seq("user_id"), "ts", "ts",
+        payloadCols = Seq("value"), rightOrder = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("asof").getField("value").as("next_purchase_value"))
+    }),
+    // time-range window frame (RANGE BETWEEN INTERVAL): trailing-1h
+    // event count and value sum per user — value-based frames (not ROWS)
+    // over event time; the per-user trailing-window feature every
+    // behavioral pipeline computes. Decimal frame sum → engine-exact.
+    "w7_time_range_frame" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("w7_events")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  COUNT(*) OVER w AS n_1h,
+          |  CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sum_1h
+          |FROM w7_events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)
+    }),
 
     // ── Time-series / streaming-parity (beyond-reference) ────────────────
     // batch run of the streaming windowed aggregation (EventStreams).
@@ -2395,6 +2425,19 @@ object SparkEntry {
         |FROM lineitem JOIN windows
         |  ON epoch_us(l_shipdate) >= w_start AND epoch_us(l_shipdate) <= w_end
         |GROUP BY w_orderkey""".stripMargin,
+    "tj3_asof_next_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, p.value AS next_purchase_value
+        |FROM events e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+    "w7_time_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
     "st1_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value

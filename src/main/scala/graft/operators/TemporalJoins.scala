@@ -52,6 +52,43 @@ object TemporalJoins {
       .select(leftCols.map(col) :+ col("__carried").as("asof"): _*)
   }
 
+  /** Forward-inclusive AS-OF join: each left row picks the EARLIEST right
+    * row with rightTime ≥ leftTime for the same key (next-event lookup —
+    * e.g. "first purchase after this impression"). Mirror of
+    * [[asofBackward]]: same one-shuffle union + window, but the frame
+    * looks forward and left sorts before right at equal timestamps so
+    * same-instant right rows still match. Duplicate right timestamps
+    * resolve to the LOWEST `rightOrder` value.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrder: Option[String] = None): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val ord = rightOrder.map(col).getOrElse(lit(0))
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(1).as("__side"), ord.as("__ord"),
+        payload.as("__payload")): _*)
+    val leftCols = left.columns
+    val l = left.select(
+      col("*"),
+      col(leftTime).as("__t"), lit(0).as("__side"), lit(0).as("__ord"),
+      lit(null).cast(r.schema("__payload").dataType).as("__payload"))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__carried", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) :+ col("__carried").as("asof"): _*)
+  }
+
   /** Point-in-interval range join via binning: `points.t ∈ [start, end]`
     * (inclusive) matched through an equi-join on bin index — intervals
     * explode to the bins they cover, points land in one bin, the residual
