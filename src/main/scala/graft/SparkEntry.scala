@@ -211,6 +211,18 @@ object SparkEntry {
           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("p95"),
           count(lit(1)).as("n"))
     }),
+    // continuous (interpolated) percentile: both engines compute
+    // lo + (hi−lo)·frac at (n−1)·p indexing — verified bit-identical, so
+    // the interpolated values hash-compare exactly like discrete ones.
+    "a14_percentile_cont" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("q25"),
+          expr("percentile(o_totalprice, 0.5)").as("q50"),
+          expr("percentile(o_totalprice, 0.9)").as("q90"),
+          count(lit(1)).as("n"))
+    }),
     // A3 via a typed custom Aggregator: single-pass (min,max) buffer
     // midrange — same answer as a3, different machinery (udaf surface).
     "a11_midrange_udaf" -> ((s, dir) => {
@@ -1575,6 +1587,13 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |  quantile_disc(o_totalprice, 0.5) AS p50,
         |  quantile_disc(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a14_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS q25,
+        |  quantile_cont(o_totalprice, 0.5) AS q50,
+        |  quantile_cont(o_totalprice, 0.9) AS q90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "a1_count_gate" ->

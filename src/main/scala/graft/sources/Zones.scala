@@ -253,4 +253,13 @@ object Zones {
   private val TmpSuffix = ".__tmp__"
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Schema-evolving zone read: merges the footer schemas of every file,
+    * so batches appended after a column was added read back as one frame
+    * (old files yield null for the new column). Default reads take one
+    * file's schema — cheap but wrong mid-evolution; merging pays one
+    * footer scan per file, so reserve it for zones that actually evolve.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -157,4 +157,17 @@ class ZonesSpec extends SparkSpec {
     assert(after == before, "compaction changed zone content")
     assert(parquetFiles().size < 5, s"still ${parquetFiles().size} files after compaction")
   }
+
+  test("readMerged unifies evolved schemas across appended batches") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zone_evolve").toFile.getAbsolutePath + "/t"
+    Seq((1L, 10.0)).toDF("product_sk", "price").write.parquet(path)
+    Seq((2L, 20.0, "VN")).toDF("product_sk", "price", "market")
+      .write.mode("append").parquet(path)
+    val merged = Zones.readMerged(spark, path)
+    assert(merged.columns.toSet == Set("product_sk", "price", "market"))
+    val rows = merged.orderBy("product_sk").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("market")), "old batch → null new column")
+    assert(rows(1).getString(rows(1).fieldIndex("market")) == "VN")
+  }
 }
