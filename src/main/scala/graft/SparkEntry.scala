@@ -1163,6 +1163,23 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("ingest_note", StringType))
       CsvIngest.readAligned(s, tmp, target, stamps = Map("ingest_note" -> lit("stamped")))
     }),
+    // JSON-lines sink + source round trip (landing-format variant): the
+    // frame written as json and read back must be byte-identical to the
+    // parquet original — the oracle just reads the original.
+    "s3_jsonl_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_gate").toString
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+    }),
+    // ORC sink + source round trip (columnar-format variant), same
+    // identity contract.
+    "s11_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_gate").toString
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    }),
     // duplicate-cluster resolution: connected components over the LSH-
     // confirmed near-dup pairs (label propagation, one shuffle join per
     // round, rounds = cluster diameter); the oracle closes the same pair
@@ -2297,6 +2314,10 @@ object SparkEntry {
       """SELECT p_partkey, p_name, p_brand, p_retailprice, p_size,
         |  'stamped' AS ingest_note
         |FROM part""".stripMargin,
+    "s3_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents",
+    "s11_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "d6_dup_clusters" -> dupClustersOracle,
     "d7_decontaminate" ->
       """WITH tokd AS (
