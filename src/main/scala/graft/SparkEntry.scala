@@ -1252,6 +1252,26 @@ object SparkEntry {
           (col("n_docs").cast("double") / col("tot_docs")).as("doc_share"),
           (col("n_tokens").cast("double") / col("tot_tokens")).as("token_share"))
     }),
+    // sequence packing (pretraining concat-then-chunk): docs ordered by
+    // hash within each source stream, concatenated, and cut into
+    // fixed-size context windows — each doc gets its window id and start
+    // offset. Same one-window-shuffle shape as c4; integer-only outputs.
+    "c5_pack_sequences" -> ((s, dir) => {
+      val ctx = 512L
+      val w = Window.partitionBy("source")
+        .orderBy(col("rk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("rk"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+        .select(
+          col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum_tokens") - col("n_tok")) / ctx).as("seq_idx"),
+          ((col("cum_tokens") - col("n_tok")) % ctx).as("seq_offset"))
+    }),
     // per-source token-budget cap (domain-balanced subsampling): docs
     // ranked by md5(doc_id) inside each source, kept while the running
     // token total stays under budget. The window partitions by source —
@@ -2403,6 +2423,20 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / tot_docs AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
         |FROM grouped, totals""".stripMargin,
+    "c5_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS rk,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, source, n_tok,
+        |  CAST(FLOOR((cum_tokens - n_tok) / 512.0) AS BIGINT) AS seq_idx,
+        |  (cum_tokens - n_tok) % 512 AS seq_offset
+        |FROM cum""".stripMargin,
     "c4_token_budget" ->
       """WITH toks AS (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS rk,
