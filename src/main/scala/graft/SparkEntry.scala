@@ -1227,6 +1227,15 @@ object SparkEntry {
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .select("doc_id", "split")
     }),
+    // leakage-safe GROUP split: bucket on the source (domain), not the
+    // doc — every doc of a source lands in the same split, so near-dup
+    // documents within one domain can never straddle train/test.
+    "c6_group_split" -> ((s, dir) => {
+      Curation.hashSplit(
+          t(s, dir, "documents").select("doc_id", "source"), "source",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "source", "split")
+    }),
     // stratified Bernoulli sample over the same buckets: per-language
     // keep rates (en downsampled, fr upsampled, rest at the default).
     "c2_stratified_sample" -> ((s, dir) => {
@@ -2403,6 +2412,10 @@ object SparkEntry {
       s"""SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, ${bucketSql("doc_id")} AS b FROM documents)""".stripMargin,
+    "c6_group_split" ->
+      s"""SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source, ${bucketSql("source")} AS b FROM documents)""".stripMargin,
     "c2_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${bucketSql("doc_id")} <
