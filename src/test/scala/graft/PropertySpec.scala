@@ -115,4 +115,38 @@ class PropertySpec extends SparkSpec {
         "insertIgnore: existing version must win")
     }
   }
+
+  test("c5 packing: contiguous, gap-free token layout per source") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("c5_pack_sequences")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("seq_idx") * 512 + r.getAs[Long]("seq_offset")))
+    assert(out.length == Tables.load(spark, dir, "documents").count())
+    assert(out.forall { case (_, _, pos) => pos >= 0 })
+    out.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"$src: stream must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, t, p), (_, _, p2)) =>
+          assert(p2 == p + t, s"$src: gap/overlap at position $p (tok $t → $p2)")
+        case _ =>
+      }
+    }
+  }
+
+  test("d8 line dedup: corpus-wide kept total equals distinct line count") {
+    val dir = "/root/testdata/sf0.001"
+    val structured = Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(col("text"), " (the|a|value|table) ", "\n").as("text"))
+    val out = graft.operators.TextAnalysis.lineDedupCorpus(structured, "doc_id", "text")
+    val kept = out.agg(sum("n_kept")).head().getLong(0)
+    val distinctLines = structured
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .filter(col("line") =!= "").distinct().count()
+    assert(kept == distinctLines, s"kept $kept != distinct $distinctLines")
+    // and no document gained lines
+    assert(out.filter(col("n_kept") > col("n_lines")).isEmpty)
+  }
 }
