@@ -1462,7 +1462,7 @@ object SparkEntry {
         .as[graft.streaming.EventStreams.EventRow]
       val name = s"st3_sessions_${System.nanoTime()}"
       graft.streaming.EventStreams
-        .sessionizeAvailableNow(s, rows, 30, name)
+        .sessionizeAvailableNow(s, rows, 30, name, statePartitions = 8)
         .select(
           col("user_id"),
           col("session_start").cast("timestamp_ntz").as("session_start"),

@@ -122,15 +122,24 @@ object EventStreams {
       spark: SparkSession,
       events: Dataset[EventRow],
       gapMinutes: Int,
-      queryName: String): DataFrame = {
-    val q = sessionize(events, gapMinutes)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      queryName: String,
+      statePartitions: Int = 0): DataFrame = {
+    // one state store per shuffle partition; a one-shot drop wants fewer,
+    // bigger stores than the batch shuffle default (value read at query
+    // start — scoped and restored, same pattern as intervalJoinAvailableNow)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = sessionize(events, gapMinutes)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.table(queryName)
   }
 
