@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks machine parsing of Bench's JSON
+// line (the driver's BENCH_r*.json showed "parsed": null because the line
+// no longer starts with '{'). StdoutOutput passes the child's stdout
+// through verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,6 +42,48 @@ object SparkEntry {
   private def dsum(c: Column, prec: Int = 28, scale: Int = 10): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
 
+  /** De-skewed per-source running token total (two-phase distributed
+    * prefix sum), shared by c4_token_budget and c5_pack_sequences.
+    *
+    * A plain `Window.partitionBy("source")` funnels each entire source
+    * domain through ONE reducer task — fine at sf0.1 where a source is
+    * ~1k docs, a single-task straggler at 100 TB where one domain can be
+    * 30% of the corpus. Instead:
+    *   1. range-bucket each row on the first two hex chars of its md5
+    *      rank `rk` (uniform, and a prefix of the sort key — so each of
+    *      the 256 buckets is a CONTIGUOUS range of the (rk, doc_id)
+    *      order, and equal rk always lands in the same bucket);
+    *   2. local running totals inside (source, bkt) — 256× smaller
+    *      reducer tasks, bounded regardless of domain skew;
+    *   3. per-bucket totals (map-side partial agg → #sources × 256 rows
+    *      at ANY corpus size) turned into exclusive prefix offsets by a
+    *      window over that tiny frame;
+    *   4. broadcast the offsets back and add.
+    * Long addition is associative, so the result is bit-identical to the
+    * single-window form the DuckDB oracle runs.
+    *
+    * Input must carry `source`, `rk` (md5 hex), `doc_id`, `n_tok`;
+    * output adds `cum_tokens` (the inclusive per-source running total in
+    * (rk, doc_id) order).
+    */
+  private def cumTokensBySource(docs: DataFrame): DataFrame = {
+    val bucketed = docs.withColumn("bkt",
+      conv(substring(col("rk"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy("source", "bkt")
+      .orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("source", "bkt")
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum(col("bkt_tok")).over(wOffset), lit(0L)).as("tok_offset"))
+    bucketed
+      .withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum_tokens", col("local_cum") + col("tok_offset"))
+  }
+
   /** Shared SCD2 two-snapshot scenario over `part`: day 2 changes prices
     * (÷10), drops rows (÷7) and adds new keys (÷13). Used by
     * scd2_two_rounds, a2_scd_out_params and sp3_log_message.
@@ -1264,18 +1306,15 @@ object SparkEntry {
     // sequence packing (pretraining concat-then-chunk): docs ordered by
     // hash within each source stream, concatenated, and cut into
     // fixed-size context windows — each doc gets its window id and start
-    // offset. Same one-window-shuffle shape as c4; integer-only outputs.
+    // offset. Running total via the de-skewed two-phase prefix sum
+    // (cumTokensBySource) so no reducer owns a whole source domain.
     "c5_pack_sequences" -> ((s, dir) => {
       val ctx = 512L
-      val w = Window.partitionBy("source")
-        .orderBy(col("rk"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string")).as("rk"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      cumTokensBySource(t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("rk"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")))
         .select(
           col("doc_id"), col("source"), col("n_tok"),
           floor((col("cum_tokens") - col("n_tok")) / ctx).as("seq_idx"),
@@ -1283,18 +1322,15 @@ object SparkEntry {
     }),
     // per-source token-budget cap (domain-balanced subsampling): docs
     // ranked by md5(doc_id) inside each source, kept while the running
-    // token total stays under budget. The window partitions by source —
-    // per-source state only, shuffles once on source at any corpus size.
+    // token total stays under budget. Running total via the de-skewed
+    // two-phase prefix sum (cumTokensBySource): the big window keys on
+    // (source, md5-range-bucket), never source alone.
     "c4_token_budget" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("rk"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string")).as("rk"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      cumTokensBySource(t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("rk"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")))
         .filter(col("cum_tokens") <= 2000L)
         .select("doc_id", "source", "n_tok", "cum_tokens")
     }),

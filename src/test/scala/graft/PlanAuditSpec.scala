@@ -86,12 +86,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p")
   }
 
-  test("c4: token-budget cap shuffles once on source, no extra exchange") {
+  test("c4: running total is de-skewed — full-data window keys on (source, sub-bucket)") {
     val p = plan("c4_token_budget")
-    val exchanges = "Exchange (?!.*ENSURE)".r.findAllIn(p).size
-    assert("(?m)^.*Exchange".r.findAllIn(p).size <= 2, // hashpartitioning(source) + AQE reuse line
-      s"more than one shuffle in windowed cap:\n$p")
-    assert(exchanges >= 0 && p.contains("Window"), s"no window operator:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    // the full-corpus running-total window must partition by the md5
+    // range-bucket alongside source (spec shape: partition cols first,
+    // then "rk ASC" sort), so no single reducer owns a whole source
+    // domain at 100 TB
+    assert("windowspecdefinition\\(source#\\d+, bkt#\\d+, rk#\\d+ ASC".r.findFirstIn(p).isDefined,
+      s"big window not keyed on (source, bkt):\n$p")
+    // the old skewed shape — partitioned by source alone, sorted by rk —
+    // must be gone; the only source-alone window left is the offsets one
+    // over the tiny per-bucket aggregate (sorted by bkt, ≤256 rows/source)
+    assert("windowspecdefinition\\(source#\\d+, rk#\\d+ ASC".r.findFirstIn(p).isEmpty,
+      s"skewed source-only window still present:\n$p")
+    // offsets come back as a broadcast, not another full shuffle
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
   }
 
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {

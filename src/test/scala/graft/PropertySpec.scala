@@ -135,6 +135,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("c4 two-phase prefix sum ≡ single-window running total, bit-exact") {
+    val dir = "/root/testdata/sf0.001"
+    // the de-skewed (source, md5-bucket) two-phase form must reproduce the
+    // naive source-partitioned window exactly — Long addition reassociated
+    // over buckets is still the same sum
+    val twoPhase = SparkEntry.queries("c4_token_budget")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("rk"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .filter(col("cum_tokens") <= 2000L)
+      .select("doc_id", "source", "n_tok", "cum_tokens")
+    assert(twoPhase.exceptAll(naive).isEmpty && naive.exceptAll(twoPhase).isEmpty,
+      "two-phase running total diverges from the single-window form")
+  }
+
   test("d8 line dedup: corpus-wide kept total equals distinct line count") {
     val dir = "/root/testdata/sf0.001"
     val structured = Tables.load(spark, dir, "documents").select(
