@@ -42,6 +42,17 @@ object SparkEntry {
   private def dsum(c: Column, prec: Int = 28, scale: Int = 10): Column =
     sum(c.cast(DecimalType(prec, scale))).cast("double")
 
+  /** Reference-derived fixture corpus (FIXTURES.md §A), resolved whether
+    * the JVM starts in /root/repo or elsewhere.
+    */
+  private def fixturesDir: String =
+    Seq("src/test/resources/fixtures", "/root/repo/src/test/resources/fixtures")
+      .find(p => new java.io.File(p).isDirectory)
+      .getOrElse(sys.error("fixtures directory not found"))
+
+  /** The reference's control-DB dump holding the SQL_COMMANDS rows. */
+  private val referenceControlSql = "/root/reference/sql_script/db_control_sql.sql"
+
   /** De-skewed per-source running token total (two-phase distributed
     * prefix sum), shared by c4_token_budget and c5_pack_sequences.
     *
@@ -716,6 +727,41 @@ object SparkEntry {
       graft.control.SqlRegistry.callProcedure(
         s, graft.control.SqlRegistry.installProcedures(registry),
         "SP_NATION_COUNTS", Map("nations_v" -> t(s, dir, "nation")))
+    }),
+    // The reference's REAL multi-statement procedure end-to-end: the
+    // verbatim SP_ETL_SCD_UPDATE_PRODUCT blob is decoded from the control
+    // dump (db_control_sql.sql:210-276), regex-extracted + installed (the
+    // transform_staging.py:24-58 lifecycle), then RUN as a statement list
+    // — DECLARE, SELECT…INTO, self-referencing INSERT…SELECT, TRUNCATE,
+    // UPDATE…INNER JOIN…SET, SET var = ROW_COUNT() — over the 239-row
+    // fixture day. Round 1 against empty history must report the
+    // reference's (239, 239, 0); round 2 with 40 price edits drives the
+    // expire + re-insert path (239, 40, 40).
+    "sp5_proc_body" -> ((s, dir) => {
+      import graft.control.SqlRegistry
+      val blob =
+        SqlRegistry.loadReferenceCommand(referenceControlSql, "SP_ETL_SCD_UPDATE_PRODUCT")
+      val proc = SqlRegistry
+        .installProcedures(Map("SP_ETL_SCD_UPDATE_PRODUCT" -> blob))("SP_ETL_SCD_UPDATE_PRODUCT")
+      val transform = s.read.parquet(s"$fixturesDir/products_transform.parquet")
+      val r1 = SqlRegistry.runProcedure(s, proc, Map(
+          "PRODUCTS_TRANSFORM" -> transform,
+          "PRODUCTS_EXPIRED" -> s.read.parquet(s"$fixturesDir/products_expired.parquet").limit(0),
+          "EXPIRED_KEYS" -> transform.select("TEN", "LINK").limit(0)),
+        "2025-11-23 18:51:37")
+      val day2 = transform.withColumn("GIA_MOI",
+        when(col("ID") <= 40, col("GIA_MOI") + 500).otherwise(col("GIA_MOI")))
+      val r2 = SqlRegistry.runProcedure(
+        s, proc, r1.tables + ("PRODUCTS_TRANSFORM" -> day2), "2025-11-24 18:51:37")
+      def asRow(round: Int, r: SqlRegistry.ProcedureRun): (Int, Long, Long, Long, Long) = {
+        val m = r.outParams.toMap
+        val nCurrent = r.tables("PRODUCTS_EXPIRED")
+          .filter(col("EXPIRED_AT") === lit("9999-12-31").cast("timestamp")).count()
+        (round, m("p_RowsInput"), m("p_RowsInserted"), m("p_RowsUpdated"), nCurrent)
+      }
+      import s.implicits._
+      Seq(asRow(1, r1), asRow(2, r2))
+        .toDF("round", "p_rowsinput", "p_rowsinserted", "p_rowsupdated", "n_current")
     }),
 
     // ── Text analysis (training-data ops; beyond-reference) ──────────────
@@ -2022,6 +2068,36 @@ object SparkEntry {
     "sp4_proc_install" ->
       """SELECT n_regionkey AS region_key, COUNT(*) AS n_nations
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+    // independent restatement of SP_ETL_SCD_Update_Product's two-round
+    // counters over the same fixture: round 1 inserts everything (empty
+    // history); round 2's EXPIRED_KEYS set is the TEN-join diff, expiry
+    // is the EXISTS over (TEN, LINK), re-insert joins back with bag
+    // multiplicity — the same relational ops the statement list performs
+    "sp5_proc_body" ->
+      """WITH s1 AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/fixtures/products_transform.parquet')),
+        |s2 AS (SELECT * REPLACE (CASE WHEN ID <= 40 THEN GIA_MOI + 500 ELSE GIA_MOI END AS GIA_MOI) FROM s1),
+        |chg AS (
+        |  SELECT t.TEN, t.LINK FROM s1 t JOIN s2 s ON t.TEN = s.TEN
+        |  WHERE t.GIA_CU <> s.GIA_CU OR t.GIA_MOI <> s.GIA_MOI
+        |     OR t.KICH_THUOC_MAN_HINH <> s.KICH_THUOC_MAN_HINH
+        |     OR t.RAM <> s.RAM OR t.BO_NHO <> s.BO_NHO),
+        |upd AS (SELECT COUNT(*) AS n FROM s1 t
+        |        WHERE EXISTS (SELECT 1 FROM chg ek WHERE t.TEN = ek.TEN AND t.LINK = ek.LINK)),
+        |newk AS (SELECT COUNT(*) AS n FROM s2 s
+        |         WHERE NOT EXISTS (SELECT 1 FROM s1 t WHERE s.TEN = t.TEN)),
+        |reins AS (SELECT COUNT(*) AS n FROM s2 s JOIN chg ek ON s.TEN = ek.TEN AND s.LINK = ek.LINK)
+        |SELECT CAST(1 AS INT) AS round,
+        |       (SELECT COUNT(*) FROM s1) AS p_rowsinput,
+        |       (SELECT COUNT(*) FROM s1) AS p_rowsinserted,
+        |       CAST(0 AS BIGINT) AS p_rowsupdated,
+        |       (SELECT COUNT(*) FROM s1) AS n_current
+        |UNION ALL
+        |SELECT CAST(2 AS INT),
+        |       (SELECT COUNT(*) FROM s2),
+        |       (SELECT n FROM newk) + (SELECT n FROM reins),
+        |       (SELECT n FROM upd),
+        |       (SELECT COUNT(*) FROM s1) - (SELECT n FROM upd)
+        |         + (SELECT n FROM newk) + (SELECT n FROM reins)""".stripMargin,
     "t1_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk

@@ -36,10 +36,11 @@ object SqlRegistry {
     spark.sql(sql)
   }
 
-  /** A procedure extracted from a registry row: declared name + the
-    * executable body between BEGIN and END$$.
+  /** A procedure extracted from a registry row: declared name, the
+    * executable body between BEGIN and END$$, and the declared OUT
+    * parameter names (in declaration order).
     */
-  final case class Procedure(name: String, body: String)
+  final case class Procedure(name: String, body: String, outParams: Seq[String] = Nil)
 
   // transform_staging.py:45 — the DELIMITER-wrapped procedure block the
   // reference regex-extracts from each SQL_COMMANDS row
@@ -58,13 +59,19 @@ object SqlRegistry {
     * (re)installed under its declared name. Rows without a procedure
     * block (plain DML commands) are not procedures and are skipped.
     */
+  private val ParamList = """(?is)\bPROCEDURE\s+[A-Za-z0-9_]+\s*\((.*)\)\s*BEGIN""".r
+  private val OutParam = """(?i)\bOUT\s+([A-Za-z0-9_]+)""".r
+
   def extractProcedure(sqlText: String): Option[Procedure] =
     ProcedureBlock.findFirstMatchIn(sqlText).map { m =>
       val cleaned = m.group(1).replaceAll("""[^\x20-\x7E\t\n\r]+""", " ").trim
       val body = BeginBody.findFirstMatchIn(cleaned)
         .map(_.group(1).trim.stripSuffix(";"))
         .getOrElse(cleaned)
-      Procedure(m.group(2).toUpperCase, body)
+      val outs = ParamList.findFirstMatchIn(cleaned)
+        .map(pm => OutParam.findAllMatchIn(pm.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Nil)
+      Procedure(m.group(2).toUpperCase, body, outs)
     }
 
   /** Install every procedure found in the registry. Installing under an
@@ -76,10 +83,9 @@ object SqlRegistry {
     commands.values.flatMap(extractProcedure).map(p => p.name -> p).toMap
 
   /** Run an installed procedure body as Spark SQL over the given views
-    * (the engine-side analog of `cursor.callproc`). Statement lists are
-    * out of scope — the body must be a single query; multi-statement
-    * reference procedures (TRUNCATE + INSERT…SELECT) are modeled by the
-    * dedicated operators (Zones.overwriteSwap + the pipeline SELECTs).
+    * (the engine-side analog of `cursor.callproc`). For single-query
+    * bodies this is a direct `spark.sql`; bodies with several statements
+    * go through [[runProcedure]].
     */
   def callProcedure(
       spark: SparkSession,
@@ -90,5 +96,226 @@ object SqlRegistry {
       name.toUpperCase, throw new IllegalArgumentException(s"unknown procedure: $name"))
     views.foreach { case (viewName, df) => df.createOrReplaceTempView(viewName) }
     spark.sql(proc.body)
+  }
+
+  /** Outcome of a multi-statement procedure run: OUT-parameter values in
+    * declaration order, the post-run table states (name → DataFrame, the
+    * analog of the mutated MySQL tables), and the last plain SELECT's
+    * result if the body ended with one.
+    */
+  final case class ProcedureRun(
+      outParams: Seq[(String, Long)],
+      tables: Map[String, DataFrame],
+      result: Option[DataFrame])
+
+  /** Split a procedure body into top-level statements: ';' terminates a
+    * statement only OUTSIDE single-quoted literals (where '' is the
+    * escape — two quote toggles land back outside correctly).
+    */
+  private[graft] def splitStatements(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    body.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case ';' if !inQuote =>
+        val s = sb.result().trim; if (s.nonEmpty) out += s; sb.clear()
+      case c => sb += c
+    }
+    val last = sb.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Split on top-level commas (outside quotes and parentheses) — for SET
+    * assignment lists where the rhs may contain function calls.
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    var depth = 0
+    s.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case '(' if !inQuote => depth += 1; sb += '('
+      case ')' if !inQuote => depth -= 1; sb += ')'
+      case c if c == sep && !inQuote && depth == 0 =>
+        val part = sb.result().trim; if (part.nonEmpty) out += part; sb.clear()
+      case c => sb += c
+    }
+    val last = sb.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  // MySQL → Spark dialect shims applied per statement:
+  //   - schema qualifiers go away (temp views are flat; the reference's
+  //     db_staging/db_control/db_datawarehouse schemas become view names)
+  //   - NOW() is replaced with the caller-injected run timestamp (F11:
+  //     deterministic runs need an injected now; MySQL freezes NOW() per
+  //     statement, so a constant per call is the faithful analog)
+  //   - CAST(x AS SIGNED) → CAST(x AS INT) (MySQL-only type name)
+  private def dialect(stmt: String, nowTs: String): String =
+    stmt
+      .replaceAll("(?i)\\b(db_staging|db_control|db_datawarehouse|db_datamart)\\.", "")
+      .replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", s"TIMESTAMP'$nowTs'")
+      .replaceAll("(?i)\\bAS\\s+SIGNED\\b", "AS INT")
+
+  private val DeclareRe =
+    """(?is)^DECLARE\s+([A-Za-z0-9_]+)\s+\w+(?:\(\d+(?:,\s*\d+)?\))?(?:\s+DEFAULT\s+(\S+))?$""".r
+  private val SelectIntoRe = """(?is)^SELECT\s+(.*?)\s+INTO\s+([A-Za-z0-9_]+)\s+(FROM\b.*)$""".r
+  private val InsertRe = """(?is)^INSERT\s+INTO\s+([A-Za-z0-9_]+)\s*\(([^)]*)\)\s*((?:SELECT|WITH)\b.*)$""".r
+  private val TruncateRe = """(?is)^TRUNCATE\s+TABLE\s+([A-Za-z0-9_]+)$""".r
+  private val UpdateJoinRe =
+    """(?is)^UPDATE\s+([A-Za-z0-9_]+)\s+(\w+)\s+INNER\s+JOIN\s+([A-Za-z0-9_]+)\s+(\w+)\s+ON\s+(.+?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$""".r
+  private val SetRe = """(?is)^SET\s+([A-Za-z0-9_]+)\s*=\s*(.+)$""".r
+
+  /** Execute a multi-statement procedure body — the reference's real
+    * stored procedures are statement LISTS (db_control_sql.sql:210-276,
+    * driven by transform_staging.py:166-192): DECLARE locals,
+    * SELECT…INTO, INSERT…SELECT (including self-referencing inserts,
+    * which see the pre-statement snapshot exactly as MySQL does),
+    * TRUNCATE, UPDATE…INNER JOIN…SET, and SET var = expr with
+    * ROW_COUNT().
+    *
+    * Tables are immutable DataFrames threaded through an environment —
+    * each mutating statement produces a NEW DataFrame for its target, so
+    * the run is a pure function of (views, nowTs). This interpreter is
+    * control-plane machinery (hundreds of rows per day in the reference);
+    * the scale path for the same semantics is the dedicated operators
+    * (Scd2, Upsert, Zones) — a 100 TB run would swap the env for durable
+    * zone tables.
+    *
+    * Unsupported (documented, not silently wrong): UPDATE SET/WHERE
+    * expressions that reference the join-table alias (none of the
+    * reference's procedures do), and cursor/loop constructs.
+    */
+  def runProcedure(
+      spark: SparkSession,
+      proc: Procedure,
+      views: Map[String, DataFrame],
+      nowTs: String): ProcedureRun = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    var env: Map[String, DataFrame] = views.map { case (k, v) => k.toUpperCase -> v }
+    val vars = scala.collection.mutable.LinkedHashMap[String, Long](
+      proc.outParams.map(_ -> 0L): _*)
+    var lastRowCount = 0L
+    var lastSelect: Option[DataFrame] = None
+
+    def register(): Unit =
+      env.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    def table(name: String): DataFrame = env.getOrElse(
+      name.toUpperCase,
+      throw new IllegalArgumentException(s"procedure references unknown table: $name"))
+    def substVars(e: String): String = {
+      val rc = e.replaceAll("(?i)\\bROW_COUNT\\s*\\(\\s*\\)", lastRowCount.toString)
+      vars.foldLeft(rc) { case (acc, (k, v)) =>
+        acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(k) + "\\b", v.toString)
+      }
+    }
+
+    splitStatements(proc.body).foreach { raw =>
+      dialect(raw, nowTs) match {
+        case DeclareRe(name, default) =>
+          vars(name) = Option(default).map(_.toLong).getOrElse(0L)
+
+        case SelectIntoRe(exprs, varName, from) =>
+          register()
+          val v = spark.sql(s"SELECT $exprs $from").head().get(0)
+          vars(varName) = v.asInstanceOf[Number].longValue()
+
+        case InsertRe(tbl, colList, select) =>
+          register()
+          val target = table(tbl)
+          val cols = splitTopLevel(colList, ',')
+          val sel = spark.sql(select)
+          require(cols.length == sel.columns.length,
+            s"INSERT column list (${cols.length}) != SELECT width (${sel.columns.length})")
+          val renamed = sel.toDF(cols: _*)
+          // align positionally-listed columns to the full target schema;
+          // unlisted columns (auto-increment keys) become typed nulls
+          val aligned = renamed.select(target.schema.fields.map { f =>
+            cols.find(_.equalsIgnoreCase(f.name)) match {
+              case Some(c) => col(c).cast(f.dataType).as(f.name)
+              case None    => lit(null).cast(f.dataType).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+          lastRowCount = aligned.count()
+          env = env.updated(tbl.toUpperCase, target.unionByName(aligned))
+
+        case TruncateRe(tbl) =>
+          env = env.updated(tbl.toUpperCase, table(tbl).limit(0))
+          lastRowCount = 0L // MySQL: TRUNCATE reports 0 affected rows
+
+        case UpdateJoinRe(tbl, tAlias, jtbl, jAlias, on, setList, where) =>
+          val stripT = (e: String) =>
+            e.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(tAlias) + "\\.", "")
+          val setPairs = splitTopLevel(setList, ',').map { a =>
+            val Array(l, r) = a.split("=", 2)
+            stripT(l).trim -> stripT(r).trim
+          }
+          (setPairs.map(_._2) :+ stripT(Option(where).getOrElse("true")))
+            .foreach(e => require(
+              !s" $e".matches(s"(?is).*[^\\w.]${jAlias}\\..*"),
+              s"UPDATE SET/WHERE referencing join alias '$jAlias' is unsupported"))
+          val whereCol = coalesce(expr(stripT(Option(where).getOrElse("true"))), lit(false))
+          val tagged = table(tbl).withColumn("__w", whereCol)
+          val eligible = tagged.filter(col("__w")).alias(tAlias)
+          val rest = tagged.filter(!col("__w"))
+          val joined = env(jtbl.toUpperCase).alias(jAlias)
+          val hits = eligible.join(joined, expr(on), "left_semi")
+          val misses = eligible.join(joined, expr(on), "left_anti")
+          val schema = table(tbl).schema
+          val updated = setPairs.foldLeft(hits) { case (d, (c, rhs)) =>
+            d.withColumn(c, expr(rhs).cast(schema(c).dataType))
+          }
+          lastRowCount = hits.count()
+          env = env.updated(tbl.toUpperCase,
+            rest.unionByName(misses).unionByName(updated).drop("__w"))
+
+        case SetRe(name, rhs) =>
+          vars(name) =
+            spark.sql(s"SELECT CAST((${substVars(rhs)}) AS BIGINT)").head().getLong(0)
+
+        case other =>
+          register()
+          lastSelect = Some(spark.sql(other))
+      }
+    }
+    ProcedureRun(
+      proc.outParams.map(p => p -> vars.getOrElse(p, 0L)), env, lastSelect)
+  }
+
+  /** Read one SQL_COMMANDS blob verbatim from the reference's control-DB
+    * dump: locate the INSERT row for `commandName` and decode the MySQL
+    * single-quoted string that follows it ('' and backslash escapes, the
+    * exact text MySQL would have stored in the SQL_QUERY column).
+    */
+  def loadReferenceCommand(path: String, commandName: String): String = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val at = text.indexOf(s"'$commandName'")
+    require(at >= 0, s"$commandName not found in $path")
+    var i = text.indexOf('\'', at + commandName.length + 2)
+    require(i >= 0, s"no SQL_QUERY literal after $commandName")
+    val sb = new StringBuilder
+    i += 1
+    var done = false
+    while (!done) {
+      text.charAt(i) match {
+        case '\\' =>
+          sb += (text.charAt(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case c => c // MySQL: backslash before anything else is that char
+          })
+          i += 2
+        case '\'' if i + 1 < text.length && text.charAt(i + 1) == '\'' =>
+          sb += '\''; i += 2
+        case '\'' => done = true
+        case c => sb += c; i += 1
+      }
+    }
+    sb.result()
   }
 }

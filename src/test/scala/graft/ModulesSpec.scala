@@ -363,4 +363,51 @@ class ModulesSpec extends SparkSpec {
       SqlRegistry.callProcedure(spark, procs, "SP_NOPE", Map.empty)
     }
   }
+
+  test("sql registry: statement splitter ignores ';' inside string literals") {
+    import graft.control.SqlRegistry
+    val stmts = SqlRegistry.splitStatements(
+      "SET x = 'a;b';\nSELECT ''';' AS q FROM t;\nTRUNCATE TABLE k")
+    assert(stmts == Seq("SET x = 'a;b'", "SELECT ''';' AS q FROM t", "TRUNCATE TABLE k"))
+  }
+
+  test("sql registry: verbatim SP_ETL_SCD_UPDATE_PRODUCT runs as a statement list") {
+    import graft.control.SqlRegistry
+    val blob = SqlRegistry.loadReferenceCommand(
+      "/root/reference/sql_script/db_control_sql.sql", "SP_ETL_SCD_UPDATE_PRODUCT")
+    // the MySQL '' escapes decoded back to single quotes
+    assert(blob.contains("'9999-12-31'") && !blob.contains("''9999-12-31''"))
+    val proc = SqlRegistry
+      .installProcedures(Map("SP_ETL_SCD_UPDATE_PRODUCT" -> blob))("SP_ETL_SCD_UPDATE_PRODUCT")
+    assert(proc.outParams == Seq("p_RowsInput", "p_RowsInserted", "p_RowsUpdated"))
+
+    val transform = fixture("products_transform")
+    val views = Map(
+      "PRODUCTS_TRANSFORM" -> transform,
+      "PRODUCTS_EXPIRED" -> fixture("products_expired").limit(0),
+      "EXPIRED_KEYS" -> transform.select("TEN", "LINK").limit(0))
+    val r1 = SqlRegistry.runProcedure(spark, proc, views, "2025-11-23 18:51:37")
+    // the reference's first daily run: 239 in, 239 inserted, 0 updated
+    assert(r1.outParams == Seq(
+      "p_RowsInput" -> 239L, "p_RowsInserted" -> 239L, "p_RowsUpdated" -> 0L))
+    assert(r1.tables("PRODUCTS_EXPIRED").count() == 239)
+    assert(r1.tables("EXPIRED_KEYS").count() == 0)
+
+    // day 2: 40 price edits → 40 expired + 40 re-inserted, history holds
+    // both versions (279 rows), 239 still current
+    val day2 = transform.withColumn("GIA_MOI",
+      when(col("ID") <= 40, col("GIA_MOI") + 500).otherwise(col("GIA_MOI")))
+    val r2 = SqlRegistry.runProcedure(
+      spark, proc, r1.tables + ("PRODUCTS_TRANSFORM" -> day2), "2025-11-24 18:51:37")
+    assert(r2.outParams == Seq(
+      "p_RowsInput" -> 239L, "p_RowsInserted" -> 40L, "p_RowsUpdated" -> 40L))
+    assert(r2.tables("PRODUCTS_EXPIRED").count() == 279)
+    val current = r2.tables("PRODUCTS_EXPIRED")
+      .filter(col("EXPIRED_AT") === lit("9999-12-31").cast("timestamp"))
+    assert(current.count() == 239)
+    // the re-inserted current rows carry the day-2 price
+    assert(current
+      .join(day2.select(col("ID"), col("GIA_MOI").as("want")), "ID")
+      .filter(col("GIA_MOI") =!= col("want")).count() == 0)
+  }
 }
