@@ -1397,15 +1397,18 @@ object SparkEntry {
     }),
     // deterministic k-means (init vec_id%k, 2 Lloyd rounds, decimal-mean
     // centroids, cid tie-break) — corpus clustering oracle-checked on the
-    // full assignment. dist is rounded to 6dp for the compare: the two
-    // engines' double→decimal casts can round a tie-sitting input one ulp
-    // apart (shortest-string vs exact-binary rounding), which wobbles
-    // centroid means at ~1e-12 — far below assignment margins but visible
-    // to a bitwise hash of the raw squared distance.
+    // full assignment. k=64 puts the gate on the fused NearestCells
+    // kernel path (kernelFrom=64): one corpus scan per round, no k-row
+    // join amplification — the plan that survives large k. dist is
+    // rounded to 6dp for the compare: the two engines' double→decimal
+    // casts can round a tie-sitting input one ulp apart (shortest-string
+    // vs exact-binary rounding), which wobbles centroid means at ~1e-12
+    // — far below assignment margins but visible to a bitwise hash of
+    // the raw squared distance.
     "e2_kmeans_clusters" -> ((s, dir) => {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      Clustering.kmeansLite(v, "vec_id", "e", 8, 2)
+      Clustering.kmeansLite(v, "vec_id", "e", 64, 2)
         .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist_r6"))
     }),
 
@@ -2584,7 +2587,7 @@ object SparkEntry {
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
     "e2_kmeans_clusters" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |a0 AS (SELECT vec_id, e, vec_id % 8 AS cluster FROM v),
+        |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),
         |exp1 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a0),
         |c1 AS (SELECT cluster AS cid, pos,
         |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv

@@ -18,12 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: each Lloyd iteration is one posexplode + hash
   * aggregation on (cluster, dim) — linear, partially aggregated
-  * map-side — plus one assignment pass joining the k-row centroid frame
-  * in as a broadcast. min-struct argmin (not a window) keeps the
-  * per-vector reduction partial-agg'd too. For k beyond a few thousand
-  * the broadcast k-row amplification stops being the right plan — that
-  * regime belongs to the fused codegen kernel path
-  * (`functions/NearestCells`) the IVF probe uses.
+  * map-side — plus one assignment pass. Assignment dispatches on k:
+  * small k joins the k-row centroid frame in as a broadcast with a
+  * min-struct argmin; from `kernelFrom` (default 64) up it routes
+  * through the fused `functions/NearestCells` codegen kernel — one
+  * corpus scan, no k-row amplification — the same plan the IVF probe
+  * uses.
   */
 object Clustering {
 
@@ -58,26 +58,72 @@ object Clustering {
       .select(col(idCol), col("m.cid").as("cluster"), col("m.dist").as("dist"))
   }
 
+  /** Fused nearest-centroid assignment for large k: the centroid matrix
+    * is collected once (k×dim doubles — single-digit MBs even at k=4096)
+    * and rides into one [[graft.functions.NearestCells]] codegen kernel,
+    * so the corpus is scanned ONCE with a fused O(k·dim) loop per row
+    * instead of materializing the k-row broadcast join amplification
+    * `assign` pays per vector. The winning centroid joins back as a
+    * broadcast k-row frame keyed on cid (hash join, no amplification)
+    * solely to recompute the reported distance with the exact fold order
+    * the broadcast path uses — so both paths are bit-identical.
+    *
+    * Empty clusters (possible after a Lloyd round) make kernel index ≠
+    * cid; the sorted cid array maps indices back, and because the map is
+    * order-preserving the kernel's ties-to-lower-index rule still equals
+    * `assign`'s ties-to-lower-cid min-struct.
+    */
+  def assignFused(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    // cids stay in cid's Long domain so both assignment paths agree on
+    // the output schema (init is id % k — a bigint)
+    val ordered = cents.select(col("cid").cast("long"), col("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cids = ordered.map(_._1).toSeq
+    val matrix = ordered.map(_._2)
+    val dist = aggregate(
+      zip_with(col(vecCol), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    vecs
+      .withColumn("cluster",
+        element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1))
+      .join(broadcast(cents.select(col("cid").as("cluster"), col("c"))), "cluster")
+      .withColumn("dist", dist)
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
+
   /** Fixed-iteration Lloyd's: init `id % k`, then `iters` rounds of
     * centroid recompute + reassign. Returns (id, cluster, dist) for the
-    * final assignment. The vector frame is traversed once per round —
-    * cache it (done here) so each round's two passes (centroid agg +
-    * assignment join-back) don't re-read the source.
+    * final assignment, materialized (localCheckpoint) so the cached
+    * vector frame can be released before handing it back.
+    *
+    * Assignment dispatches on k: below `kernelFrom` the broadcast
+    * min-struct plan (`assign`) wins; from `kernelFrom` up the fused
+    * kernel (`assignFused`) keeps per-row cost O(k·dim) without the
+    * k-row amplification — the same crossover the IVF probe uses. Both
+    * paths are bit-identical, so the cut is a pure plan choice.
     */
   def kmeansLite(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      kernelFrom: Int = 64): DataFrame = {
     val base = vecs.select(col(idCol), col(vecCol)).cache()
     var assigned = base.withColumn("cluster", col(idCol) % k)
     var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(idCol, "cluster", "dist")
     for (_ <- 1 to iters) {
       val cents = centroids(assigned, vecCol, "cluster")
-      result = assign(base, idCol, vecCol, cents)
+      result =
+        if (k >= kernelFrom) assignFused(base, idCol, vecCol, cents)
+        else assign(base, idCol, vecCol, cents)
       assigned = base.join(result.select(col(idCol), col("cluster")), idCol)
     }
-    result
+    // evaluate the final assignment while the cache is hot, then release
+    // it — callers get a plan-free frame, and no cached partitions leak
+    // past the operator
+    val out = result.localCheckpoint()
+    base.unpersist()
+    out
   }
 }

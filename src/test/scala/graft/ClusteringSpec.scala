@@ -33,6 +33,22 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("assignFused (NearestCells kernel) ≡ assign (broadcast argmin), bit-exact") {
+    // drop cluster 2's centroid to exercise the empty-cluster index→cid
+    // remap (kernel index 2 must come back as cid 3, not 2)
+    val cents = Clustering.centroids(
+      vecs.withColumn("cluster", col("vec_id") % 5), "e", "cluster")
+      .filter(col("cid") =!= 2)
+    val a = Clustering.assign(vecs, "vec_id", "e", cents)
+    val b = Clustering.assignFused(vecs, "vec_id", "e", cents)
+    // nullability may differ (min-struct vs element_at-of-literal); the
+    // names and types must not
+    assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+      s"${a.schema} vs ${b.schema}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fused kernel assignment diverges from broadcast argmin")
+  }
+
   test("Lloyd rounds never increase the total within-cluster SSE") {
     def sse(iters: Int): Double =
       Clustering.kmeansLite(vecs, "vec_id", "e", 8, iters)

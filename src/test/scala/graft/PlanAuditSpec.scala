@@ -121,4 +121,26 @@ class PlanAuditSpec extends SparkSpec {
     }.size).sum
     assert(literalCount < 1000, s"plan carries $literalCount literals — matrix leaked into tree")
   }
+
+  test("e2 at k=64: assignment runs through the fused NearestCells kernel, flat plan") {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("e"))
+    val cents = graft.operators.Clustering.centroids(
+      vecs.withColumn("cluster",
+        org.apache.spark.sql.functions.col("vec_id") % 64), "e", "cluster")
+    val df = graft.operators.Clustering.assignFused(vecs, "vec_id", "e", cents)
+    val analyzed = df.queryExecution.analyzed
+    val hasKernel = analyzed.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[graft.functions.NearestCells])) => p
+    }.nonEmpty
+    assert(hasKernel, "nearest_cells kernel not in assignment plan")
+    // the crossJoin form would put a k-row amplification in the plan; the
+    // kernel keeps one scan + one broadcast join, and the 64×dim matrix
+    // stays out of the expression tree
+    val literalCount = analyzed.expressions.map(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+    }.size).sum
+    assert(literalCount < 1000, s"plan carries $literalCount literals — matrix leaked into tree")
+  }
 }
