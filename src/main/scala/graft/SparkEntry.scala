@@ -276,6 +276,20 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("q90"),
           count(lit(1)).as("n"))
     }),
+    // grouped quantile MATRIX: one multi-probability percentile pass per
+    // group (the array form sorts each group's values ONCE and reads all
+    // five order statistics from it — five scalar percentiles would sort
+    // five times), unnested to (group, pos, q) rows so the interpolated
+    // values hash-compare position-by-position against the oracle's
+    // quantile_cont(list).
+    "a15_quantile_matrix" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, array(0.1, 0.25, 0.5, 0.75, 0.9))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), posexplode(col("qs")).as(Seq("pos", "q")), col("n"))
+    }),
     // A3 via a typed custom Aggregator: single-pass (min,max) buffer
     // midrange — same answer as a3, different machinery (udaf surface).
     "a11_midrange_udaf" -> ((s, dir) => {
@@ -1268,6 +1282,36 @@ object SparkEntry {
       src.write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
     }),
+    // the bucketed-zone production path, gate-visible: two daily upserts
+    // land orders in a year-partitioned, custkey-bucketed zone
+    // (ensureBucketedTable catalog metadata, only the increment shuffles
+    // into the bucket layout), then the AGGREGATE⋈DIM star join reads
+    // THROUGH the table so the zone side scans pre-distributed by its
+    // bucket key — the no-Exchange property ZonesSpec asserts on this
+    // same plan shape. Day 2 re-snapshots every (3∤k, 5|k) key with a
+    // doubled price, so the result also proves new-version-wins.
+    "z1_bucketed_zone" -> ((s, dir) => {
+      import graft.sources.Zones
+      val tmp = java.nio.file.Files.createTempDirectory("graft_z1_zone").toString
+      val tbl = s"graft_z1_zone_${System.nanoTime()}"
+      val orders = t(s, dir, "orders")
+        .withColumn("year_sk", year(col("o_orderdate")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "year_sk")
+      val inc1 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      Zones.upsertBucketed(
+        s, tbl, s"$tmp/agg", inc1, Seq("o_orderkey"), "year_sk", Seq("o_custkey"), 8)
+      val inc2 = orders.filter(col("o_orderkey") % 3 === 0)
+        .unionByName(
+          orders.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+      Zones.upsertBucketed(
+        s, tbl, s"$tmp/agg", inc2, Seq("o_orderkey"), "year_sk", Seq("o_custkey"), 8)
+      s.table(tbl)
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    }),
     // duplicate-cluster resolution: connected components over the LSH-
     // confirmed near-dup pairs (label propagation, one shuffle join per
     // round, rounds = cluster diameter); the oracle closes the same pair
@@ -1554,6 +1598,31 @@ object SparkEntry {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
     }),
+    // the PRODUCTION sink path of st3: the same sessionize stream lands
+    // in a durable parquet sink under a checkpoint (exactly-once per
+    // epoch, nothing collects to the driver) and the gate reads the sink
+    // back — proving the restartable path emits the identical closed-
+    // session set the memory-sink gate does.
+    "st5_sessionize_durable" -> ((s, dir) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+      val rows = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.EventRow]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st5_gate")
+      graft.streaming.EventStreams
+        .sessionizeToParquet(s, rows, 30,
+          sinkDir = tmp.resolve("sink").toString,
+          checkpointDir = tmp.resolve("ckpt").toString,
+          statePartitions = 8)
+        .select(
+          col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+    }),
     // true stream-stream interval join (watermark-bounded state on both
     // sides): each click joined to same-user purchases within the next
     // 4 hours. Inner joins emit on match — over a finite AvailableNow
@@ -1604,6 +1673,33 @@ object SparkEntry {
           col("media.width").as("width"),
           col("media.height").as("height"),
           col("media.checksum").as("checksum"))
+    }),
+    // REAL media-header decode: each doc carries a synthetic-but-valid
+    // PNG / JPEG / WAV payload (by doc_id mod 3) whose parameters derive
+    // from doc_id; HeaderDecoder parses them back OUT OF THE BYTES (PNG
+    // IHDR u32be, JPEG SOF segment walk, WAV RIFF chunk walk — audio maps
+    // width=sample rate, height=channels), and the oracle recomputes the
+    // deterministic fields arithmetically — if the byte parse is off by
+    // even one offset, every row hash-mismatches.
+    "mm3_image_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.Fixtures.pngBytes((id % 800 + 1).toInt, (id % 600 + 1).toInt)
+            case 1 => Multimodal.Fixtures.jpegBytes((id % 800 + 1).toInt, (id % 600 + 1).toInt)
+            case _ => Multimodal.Fixtures.wavBytes((8000 + (id % 5) * 8000).toInt, (id % 2 + 1).toInt)
+          }
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeFeatures(payloads, "payload", decoder = Multimodal.HeaderDecoder)
+        .select(
+          col("doc_id"),
+          col("media.format").as("format"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.byte_len").as("byte_len"))
     })
   )
 
@@ -1727,6 +1823,15 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS q90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a15_quantile_matrix" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(generate_subscripts(qs, 1) - 1 AS INT) AS pos,
+        |  unnest(qs) AS q, n
+        |FROM g""".stripMargin,
     "a1_count_gate" ->
       """SELECT COUNT(*) AS n_today FROM events
         |WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-15'""".stripMargin,
@@ -2462,6 +2567,16 @@ object SparkEntry {
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
     "s11_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "z1_bucketed_zone" ->
+      """WITH zone AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_price
+        |FROM zone JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "d6_dup_clusters" -> dupClustersOracle,
     "d7_decontaminate" ->
       """WITH tokd AS (
@@ -2678,6 +2793,26 @@ object SparkEntry {
         |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
         |WHERE s.session_end < l.last_end
         |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
+    "st5_sessionize_durable" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_idx),
+        |last AS (SELECT user_id, MAX(session_end) AS last_end FROM sess GROUP BY user_id),
+        |mx AS (SELECT MAX(ts) AS maxts FROM events)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
+        |WHERE s.session_end < l.last_end
+        |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
     "st4_interval_join_stream" ->
       """SELECT l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts,
         |  r.value AS right_value
@@ -2699,6 +2834,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  ascii(substr(text, 1, 1)) AS width, ascii(substr(text, 2, 1)) AS height,
         |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "mm3_image_headers" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 8000
+        |            ELSE doc_id % 800 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1
+        |            ELSE doc_id % 600 + 1 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 44 END AS BIGINT) AS byte_len
         |FROM documents""".stripMargin,
     "k1_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

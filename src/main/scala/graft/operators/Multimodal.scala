@@ -60,6 +60,162 @@ object Multimodal {
     }
   }
 
+  /** REAL header decode for the common image container formats — pure
+    * JVM byte parsing, no codec dependency:
+    *
+    *   - PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+    *     width/height are the two big-endian u32s at offsets 16/20.
+    *   - JPEG: SOI then a segment walk (`FF mm len payload`) to the first
+    *     SOF frame header (C0–CF minus the non-frame C4/C8/CC); its
+    *     payload is `precision u8, height u16be, width u16be`.
+    *   - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *     little-endian u16 width/height at offsets 6/8.
+    *
+    * Anything else (or a truncated/malformed header) falls back to
+    * [[StubDecoder]] rather than throwing — at corpus scale a bad file is
+    * a row-level fact to record, never a task failure. Full pixel decode
+    * still belongs to a real codec; headers cover the metadata a curation
+    * pipeline filters on (dimensions, format) without one.
+    */
+  object HeaderDecoder extends MediaDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && b.take(8).sameElements(pngMagic) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+    /** Walk JPEG segments to the first frame header; None if the stream
+      * ends (or hits entropy-coded data) before one appears.
+      */
+    private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xff) {
+        var j = i
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes are legal
+        if (j >= b.length) return None
+        val marker = u8(b, j)
+        marker match {
+          case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            // SOF payload: len(2) precision(1) height(2) width(2)
+            return if (j + 8 < b.length) Some((be16(b, j + 6), be16(b, j + 4))) else None
+          case 0xd9 | 0xda => return None // EOI / start-of-scan: no frame header seen
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            i = j + 1 // standalone markers carry no length
+          case _ =>
+            if (j + 2 >= b.length) return None
+            i = j + 1 + be16(b, j + 1)
+        }
+      }
+      None
+    }
+
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+        (u8(b, i + 3).toLong << 24)
+
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Walk RIFF chunks to `fmt `; audio features map onto the generic
+      * record as width=sample rate, height=channel count.
+      */
+    private def wavFeatures(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+        val size = le32(b, i + 4)
+        if (isFmt)
+          return if (i + 16 <= b.length) Some((le32(b, i + 12).toInt, le16(b, i + 10)))
+          else None
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      if (isPng(bytes))
+        MediaFeatures(bytes.length.toLong, "png",
+          be32(bytes, 16).toInt, be32(bytes, 20).toInt, hex)
+      else if (isGif(bytes))
+        MediaFeatures(bytes.length.toLong, "gif", le16(bytes, 6), le16(bytes, 8), hex)
+      else if (isJpeg(bytes))
+        jpegDims(bytes) match {
+          case Some((w, h)) => MediaFeatures(bytes.length.toLong, "jpeg", w, h, hex)
+          case None => StubDecoder.decode(bytes)
+        }
+      else if (isWav(bytes))
+        wavFeatures(bytes) match {
+          case Some((rate, ch)) => MediaFeatures(bytes.length.toLong, "wav", rate, ch, hex)
+          case None => StubDecoder.decode(bytes)
+        }
+      else StubDecoder.decode(bytes)
+    }
+  }
+
+  /** Minimal-but-valid synthetic image fixtures: enough structure for any
+    * header parser (this one, PIL, file(1)) to read real dimensions out.
+    * Used by the mm3 gate and MultimodalSpec; also the golden path for
+    * validating a future real-codec decoder.
+    */
+  object Fixtures {
+    private def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+    /** PNG signature + IHDR (8-bit RGB, zero CRC): 33 bytes. */
+    def pngBytes(width: Int, height: Int): Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+        be32(width.toLong) ++ be32(height.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+
+    /** SOI + JFIF APP0 + SOF0 (8-bit, 3 components) + EOI: 41 bytes. */
+    def jpegBytes(width: Int, height: Int): Array[Byte] =
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+        Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(height) ++ be16(width) ++
+        Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+        Array(0xff, 0xd9).map(_.toByte)
+
+    /** GIF89a header + logical screen descriptor + trailer: 14 bytes. */
+    def gifBytes(width: Int, height: Int): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte]((width & 0xff).toByte, ((width >> 8) & 0xff).toByte,
+          (height & 0xff).toByte, ((height >> 8) & 0xff).toByte, 0, 0, 0) ++
+        Array(0x3b.toByte)
+
+    private def le32(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def le16v(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+    /** Canonical 44-byte PCM WAV header (empty data chunk). */
+    def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int = 16): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      "RIFF".getBytes("US-ASCII") ++ le32(36L) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16L) ++ le16v(1) ++ le16v(channels) ++
+        le32(sampleRate.toLong) ++ le32(sampleRate.toLong * blockAlign) ++
+        le16v(blockAlign) ++ le16v(bitsPerSample) ++
+        "data".getBytes("US-ASCII") ++ le32(0L)
+    }
+  }
+
   /** Decode a binary column partition-at-a-time, appending the feature
     * struct. Null/empty payloads yield a null feature struct rather than
     * failing the task (malformed media is routine at 100 TB — dropping a

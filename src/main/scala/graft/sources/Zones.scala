@@ -138,6 +138,11 @@ object Zones {
         spark.sql(s"DROP TABLE `$name`")
     }
     if (!spark.catalog.tableExists(name)) {
+      // CREATE TABLE resolves the location eagerly (streaming-sink
+      // metadata probe) and a brand-new zone dir doesn't exist yet —
+      // create it first
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
       // partition columns must close the column list for CREATE TABLE
       val ordered = schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
         partitionCols.map(c => schema(c))

@@ -154,16 +154,24 @@ object EventStreams {
       events: Dataset[EventRow],
       gapMinutes: Int,
       sinkDir: String,
-      checkpointDir: String): DataFrame = {
-    val q = sessionize(events, gapMinutes)
-      .writeStream
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      checkpointDir: String,
+      statePartitions: Int = 0): DataFrame = {
+    // same state-store right-sizing as sessionizeAvailableNow: the value
+    // is read once at query start — scope it and restore
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = sessionize(events, gapMinutes)
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.read.parquet(sinkDir)
   }
 

@@ -33,6 +33,40 @@ class ModulesSpec extends SparkSpec {
     assert(out(1).getStruct(2).getAs[String]("checksum") == viaSql)
   }
 
+  test("multimodal: HeaderDecoder parses real PNG/JPEG/GIF headers from bytes") {
+    import Multimodal.{Fixtures, HeaderDecoder}
+    val png = HeaderDecoder.decode(Fixtures.pngBytes(1920, 1080))
+    assert(png.format == "png" && png.width == 1920 && png.height == 1080)
+    assert(png.byte_len == 33L)
+
+    val jpeg = HeaderDecoder.decode(Fixtures.jpegBytes(640, 480))
+    assert(jpeg.format == "jpeg" && jpeg.width == 640 && jpeg.height == 480)
+    assert(jpeg.byte_len == 41L)
+
+    val gif = HeaderDecoder.decode(Fixtures.gifBytes(320, 200))
+    assert(gif.format == "gif" && gif.width == 320 && gif.height == 200)
+
+    // dims beyond u16/u8 boundaries exercise endianness + sign handling
+    val wide = HeaderDecoder.decode(Fixtures.pngBytes(70000, 3))
+    assert(wide.width == 70000 && wide.height == 3, "PNG u32be dims survive > 16 bits")
+    val jMax = HeaderDecoder.decode(Fixtures.jpegBytes(65535, 65535))
+    assert(jMax.width == 65535 && jMax.height == 65535, "JPEG u16be dims unsigned")
+
+    // truncated/malformed headers fall back to the stub, never throw
+    val trunc = HeaderDecoder.decode(Fixtures.pngBytes(10, 10).take(12))
+    assert(trunc.format == "unknown")
+    val noSof = HeaderDecoder.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    assert(noSof.format == "jpeg" && noSof.width == 0xff,
+      "JPEG with no SOF frame header → stub dims")
+    // WAV: RIFF chunk walk → width=sample rate, height=channels
+    val wav = HeaderDecoder.decode(Fixtures.wavBytes(44100, 2))
+    assert(wav.format == "wav" && wav.width == 44100 && wav.height == 2)
+    assert(wav.byte_len == 44L)
+
+    // checksum identical to the stub's (same md5 contract)
+    assert(png.checksum == Multimodal.StubDecoder.decode(Fixtures.pngBytes(1920, 1080)).checksum)
+  }
+
   test("multimodal: frame sampling explodes stride-spaced indices") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 1)).toDF("id", "n_frames")

@@ -104,6 +104,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
   }
 
+  test("z1: bucketed-zone star join broadcasts the dim; only the final agg shuffles") {
+    val p = plan("z1_bucketed_zone")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    // the zone side must reach the join without any repartitioning: the
+    // ONLY exchanges allowed are the final aggregation's (tiny, post
+    // partial-agg) and the broadcast one feeding the dim
+    val shuffles = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(shuffles.subsetOf(Set("c_mktsegment")),
+      s"unexpected shuffle keys $shuffles:\n$p")
+  }
+
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
     val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
     val analyzed = df.queryExecution.analyzed
