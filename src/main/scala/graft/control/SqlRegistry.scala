@@ -240,8 +240,16 @@ object SqlRegistry {
               case None    => lit(null).cast(f.dataType).as(f.name)
             }
           }.toIndexedSeq: _*)
-          lastRowCount = aligned.count()
-          env = env.updated(tbl.toUpperCase, target.unionByName(aligned))
+          // materialize the post-statement table: procedure tables are
+          // control-plane scale (hundreds of rows), but the env is
+          // rebuilt per statement — without truncating lineage here each
+          // later statement (and the next procedure round) re-derives the
+          // whole statement history, and the interpreter goes quadratic
+          // in plan analysis, not data
+          val inserted = aligned.localCheckpoint()
+          lastRowCount = inserted.count()
+          env = env.updated(tbl.toUpperCase,
+            target.unionByName(inserted).localCheckpoint())
 
         case TruncateRe(tbl) =>
           env = env.updated(tbl.toUpperCase, table(tbl).limit(0))
@@ -269,9 +277,11 @@ object SqlRegistry {
           val updated = setPairs.foldLeft(hits) { case (d, (c, rhs)) =>
             d.withColumn(c, expr(rhs).cast(schema(c).dataType))
           }
+          // same lineage-truncation rationale as INSERT above
+          val next = rest.unionByName(misses).unionByName(updated)
+            .drop("__w").localCheckpoint()
           lastRowCount = hits.count()
-          env = env.updated(tbl.toUpperCase,
-            rest.unionByName(misses).unionByName(updated).drop("__w"))
+          env = env.updated(tbl.toUpperCase, next)
 
         case SetRe(name, rhs) =>
           vars(name) =
