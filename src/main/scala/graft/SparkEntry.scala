@@ -1424,6 +1424,27 @@ object SparkEntry {
         .filter(col("cum_tokens") <= 2000L)
         .select("doc_id", "source", "n_tok", "cum_tokens")
     }),
+    // deterministic token-weight-proportional sampling: systematic
+    // selection on the corpus-wide running token total — a doc is picked
+    // iff a sampling boundary (k·W/n, k=1..n) falls inside its weight
+    // interval, so big documents are proportionally more likely and the
+    // whole thing is pure integer arithmetic (no RNG, no transcendental —
+    // engine-exact). The running total rides the same de-skewed two-phase
+    // prefix sum as c4, under a single constant stratum.
+    "c7_weighted_sample" -> ((s, dir) => {
+      val n = 100L
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), lit("all").as("source"),
+        md5(col("doc_id").cast("string")).as("rk"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = docs.agg(sum(col("n_tok")).as("w_total"))
+      cumTokensBySource(docs)
+        .crossJoin(broadcast(w)) // one-row scalar frame
+        .withColumn("sample_bucket", expr(s"(cum_tokens * $n) div w_total"))
+        .filter(col("sample_bucket") >
+          expr(s"((cum_tokens - n_tok) * $n) div w_total"))
+        .select("doc_id", "n_tok", "cum_tokens", "sample_bucket")
+    }),
     // embedding-cosine near-dup: perturbed probes matched back to corpus
     // through the banded sign-bit LSH bucket join (the 100 TB path — no
     // cross join; probe⇄source angle ≈ 0.01 rad → miss P ~1e-13). The
@@ -1528,6 +1549,23 @@ object SparkEntry {
           col("event_id"), col("user_id"),
           col("asof").getField("value").as("next_purchase_value"))
     }),
+    // nearest AS-OF: each event's closest purchase in TIME, either side
+    // (equidistant → the backward one) — the feature-attribution join
+    // ("which purchase is this impression about") both tj1 and tj3 only
+    // half-answer.
+    "tj4_asof_nearest_purchase" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TemporalJoins.asofNearest(
+        events.select("event_id", "user_id", "ts"),
+        purchases, Seq("user_id"), "event_id", "ts", "ts",
+        payloadCols = Seq("value"), rightOrder = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("asof").getField("value").as("nearest_purchase_value"))
+    }),
     // time-range window frame (RANGE BETWEEN INTERVAL): trailing-1h
     // event count and value sum per user — value-based frames (not ROWS)
     // over event time; the per-user trailing-window feature every
@@ -1622,6 +1660,24 @@ object SparkEntry {
           col("session_start").cast("timestamp_ntz").as("session_start"),
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
+    }),
+    // streaming exact dedup, watermark-bounded state: every event row is
+    // DOUBLED in-stream (the crawler-re-delivery shape), then
+    // dropDuplicatesWithinWatermark on event_id must emit exactly the
+    // original set — each key's state lives only inside the watermark.
+    "st6_stream_dedup" -> ((s, dir) => {
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val doubled = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .withColumn("__copy", explode(array(lit(1), lit(2))))
+        .drop("__copy")
+      val name = s"st6_dedup_${System.nanoTime()}"
+      graft.streaming.EventStreams
+        .dedupAvailableNow(s, doubled, Seq("event_id"), name, statePartitions = 8)
+        .select(
+          col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value"))
     }),
     // true stream-stream interval join (watermark-bounded state on both
     // sides): each click joined to same-user purchases within the next
@@ -2691,6 +2747,21 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, source, n_tok, cum_tokens FROM cum WHERE cum_tokens <= 2000""".stripMargin,
+    "c7_weighted_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks),
+        |w AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS w_total FROM toks)
+        |SELECT doc_id, n_tok, cum_tokens,
+        |  (cum_tokens * 100) // w_total AS sample_bucket
+        |FROM cum, w
+        |WHERE (cum_tokens * 100) // w_total > ((cum_tokens - n_tok) * 100) // w_total""".stripMargin,
     "e1_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |probes AS (
@@ -2748,6 +2819,23 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, p.value AS next_purchase_value
         |FROM events e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+    "tj4_asof_nearest_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, e.ts AS ets, p.ts AS bts, p.value AS bval
+        |  FROM events e ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+        |f AS (
+        |  SELECT e.event_id, p.ts AS fts, p.value AS fval
+        |  FROM events e ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts <= p.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN fts IS NULL THEN bval
+        |       WHEN bts IS NULL THEN fval
+        |       WHEN epoch_us(ets) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ets) THEN bval
+        |       ELSE fval END AS nearest_purchase_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "w7_time_range_frame" ->
       """SELECT event_id, user_id, ts,
         |  COUNT(*) OVER w AS n_1h,
@@ -2813,6 +2901,8 @@ object SparkEntry {
         |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
         |WHERE s.session_end < l.last_end
         |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
+    "st6_stream_dedup" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
     "st4_interval_join_stream" ->
       """SELECT l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts,
         |  r.value AS right_value

@@ -89,6 +89,43 @@ object TemporalJoins {
       .select(leftCols.map(col) :+ col("__carried").as("asof"): _*)
   }
 
+  /** Nearest AS-OF join: each left row picks the right row minimizing
+    * |rightTime − leftTime| within its key (ties → the backward match —
+    * "the state that was already true" beats "the one about to happen").
+    * Composed from one backward + one forward pass hash-joined back on
+    * `leftId` (a unique left key): two window shuffles + one equi-join,
+    * still no inequality nested loop anywhere.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftId: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      rightOrder: Option[String] = None): DataFrame = {
+    // the matched right time rides inside the payload so the distance
+    // compare can read it back out
+    val withT = (rightTime +: payloadCols).distinct
+    val b = asofBackward(left, right, keys, leftTime, rightTime, withT, rightOrder)
+      .withColumnRenamed("asof", "__b")
+    val f = asofForward(
+        left.select((leftId +: keys :+ leftTime).distinct.map(col): _*),
+        right, keys, leftTime, rightTime, withT, rightOrder)
+      .select(col(leftId), col("asof").as("__f"))
+    val lUs = unix_micros(col(leftTime).cast("timestamp"))
+    val bUs = unix_micros(col("__b").getField(rightTime).cast("timestamp"))
+    val fUs = unix_micros(col("__f").getField(rightTime).cast("timestamp"))
+    b.join(f, Seq(leftId))
+      .withColumn("asof",
+        when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .when(lUs - bUs <= fUs - lUs, col("__b"))
+          .otherwise(col("__f")))
+      .drop("__b", "__f")
+  }
+
   /** Point-in-interval range join via binning: `points.t ∈ [start, end]`
     * (inclusive) matched through an equi-join on bin index — intervals
     * explode to the bins they cover, points land in one bin, the residual

@@ -38,6 +38,49 @@ object EventStreams {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup, watermark-bounded: the first row per key set
+    * is emitted, later duplicates are dropped while their key is inside
+    * the watermark window, and state for keys older than the watermark is
+    * evicted — the at-scale contract (an unbounded `dropDuplicates` pins
+    * every key ever seen in state forever; at 100 TB/day that's not a
+    * plan, it's a memory leak). Exactly the arrival-time dedup a training
+    * feed needs: upstream crawlers re-deliver, downstream sees each
+    * event once.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** One-shot streaming run of [[dedupWithinWatermark]] over a parquet
+    * drop (Trigger.AvailableNow, memory sink — gate/inspection use).
+    */
+  def dedupAvailableNow(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCols: Seq[String],
+      queryName: String,
+      statePartitions: Int = 0): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try {
+      val q = dedupWithinWatermark(events, keyCols)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
+    spark.table(queryName)
+  }
+
   case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)
   case class SessionState(startUs: Long, lastSeenUs: Long, nEvents: Long, totalValue: Double)
   case class UserSession(

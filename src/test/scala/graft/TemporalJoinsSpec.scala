@@ -69,4 +69,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(b == 2.0, "backward carries the last (highest-order) equal-ts row")
     assert(f == 1.0, "forward takes the first (lowest-order) equal-ts row")
   }
+
+  test("asofNearest picks the closer side; equidistant → backward; one-sided falls through") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 1h, fwd 2h   → backward
+      (1L, 11L, ts("2024-01-01 11:30:00")), // back 2.5h, fwd 0.5h → forward
+      (1L, 12L, ts("2024-01-01 10:30:00")), // 1.5h both sides   → backward (tie)
+      (2L, 20L, ts("2024-01-01 09:00:00")), // only a later right → forward
+      (3L, 30L, ts("2024-01-01 09:00:00"))) // no right at all   → null
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0, 100L),
+      (1L, ts("2024-01-01 12:00:00"), 2.0, 101L),
+      (2L, ts("2024-01-01 10:00:00"), 3.0, 102L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = TemporalJoins.asofNearest(
+      left, right, Seq("user_id"), "event_id", "ts", "ts", Seq("value"), Some("event_id"))
+      .select(col("event_id"), col("asof").getField("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L).contains(1.0), "closer backward match wins")
+    assert(out(11L).contains(2.0), "closer forward match wins")
+    assert(out(12L).contains(1.0), "equidistant resolves backward")
+    assert(out(20L).contains(3.0), "backward-missing falls through to forward")
+    assert(out(30L).isEmpty, "no match either side → null")
+  }
 }
