@@ -290,6 +290,16 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .select(col("o_orderpriority"), posexplode(col("qs")).as(Seq("pos", "q")), col("n"))
     }),
+    // landing-zone column profiling: one scan produces every column's
+    // row/null/distinct/min/max, stacked to long form (nulls injected on
+    // p_size so the null path is actually exercised).
+    "a16_column_profile" -> ((s, dir) => {
+      val src = t(s, dir, "part").select(
+        col("p_brand"),
+        when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_size")).as("p_size"),
+        col("p_retailprice"))
+      Profiling.profile(src, Seq("p_brand", "p_size", "p_retailprice"))
+    }),
     // A3 via a typed custom Aggregator: single-pass (min,max) buffer
     // midrange — same answer as a3, different machinery (udaf surface).
     "a11_midrange_udaf" -> ((s, dir) => {
@@ -1424,6 +1434,21 @@ object SparkEntry {
         .filter(col("cum_tokens") <= 2000L)
         .select("doc_id", "source", "n_tok", "cum_tokens")
     }),
+    // deterministic fixed-iteration PageRank over a synthetic link graph
+    // (u → u²+1 mod N hubs, u → u div 2 ancestry chain — 56 distinct rank
+    // values at sf0.01, so uniformity bugs can't hide): the web-corpus
+    // quality signal. 3 Lloyd-style rounds, decimal in-rank sums, oracle
+    // unrolls the identical iterations in SQL.
+    "g2_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // N is a plan literal on both sides
+      val edges = docs
+        .select(col("doc_id").as("src"), ((col("doc_id") * col("doc_id") + 1) % n).as("dst"))
+        .unionByName(
+          docs.select(col("doc_id").as("src"), expr("doc_id div 2").as("dst")))
+      Curation.pageRankLite(edges, "src", "dst", 3)
+        .select(col("node"), round(col("rank"), 12).as("rank_r12"))
+    }),
     // deterministic token-weight-proportional sampling: systematic
     // selection on the corpus-wide running token total — a doc is picked
     // iff a sampling boundary (k·W/n, k=1..n) falls inside its weight
@@ -1879,6 +1904,24 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS q90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a16_column_profile" ->
+      """WITH src AS (
+        |  SELECT p_brand,
+        |    CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_size END AS p_size,
+        |    p_retailprice
+        |  FROM part),
+        |a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(p_brand) AS b_nn, COUNT(DISTINCT p_brand) AS b_nd,
+        |  CAST(MIN(p_brand) AS VARCHAR) AS b_min, CAST(MAX(p_brand) AS VARCHAR) AS b_max,
+        |  COUNT(p_size) AS s_nn, COUNT(DISTINCT p_size) AS s_nd,
+        |  CAST(MIN(p_size) AS VARCHAR) AS s_min, CAST(MAX(p_size) AS VARCHAR) AS s_max,
+        |  COUNT(p_retailprice) AS r_nn, COUNT(DISTINCT p_retailprice) AS r_nd,
+        |  CAST(MIN(p_retailprice) AS VARCHAR) AS r_min, CAST(MAX(p_retailprice) AS VARCHAR) AS r_max
+        |  FROM src)
+        |SELECT 'p_brand' AS col_name, n_rows, n_rows - b_nn AS n_nulls,
+        |  b_nd AS n_distinct, b_min AS min_str, b_max AS max_str FROM a
+        |UNION ALL SELECT 'p_size', n_rows, n_rows - s_nn, s_nd, s_min, s_max FROM a
+        |UNION ALL SELECT 'p_retailprice', n_rows, n_rows - r_nn, r_nd, r_min, r_max FROM a""".stripMargin,
     "a15_quantile_matrix" ->
       """WITH g AS (
         |  SELECT o_orderpriority,
@@ -2747,6 +2790,42 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, source, n_tok, cum_tokens FROM cum WHERE cum_tokens <= 2000""".stripMargin,
+    "g2_pagerank" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst FROM d, nn
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM d, nn),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s1 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c1 GROUP BY node),
+        |r1 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes LEFT JOIN s1 USING (node), nn),
+        |c2 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s2 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c2 GROUP BY node),
+        |r2 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes LEFT JOIN s2 USING (node), nn),
+        |c3 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s3 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c3 GROUP BY node),
+        |r3 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
+        |       FROM nodes LEFT JOIN s3 USING (node), nn)
+        |SELECT node, round(rank, 12) AS rank_r12 FROM r3""".stripMargin,
     "c7_weighted_sample" ->
       """WITH toks AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,

@@ -287,4 +287,60 @@ object Curation {
     }
     df.filter(hashBucket(col(idCol)) < pct)
   }
+
+  /** Deterministic fixed-iteration PageRank over a link graph — the
+    * web-corpus quality signal (a page's rank weighs its documents in
+    * curation; Common-Crawl-style pipelines rank domains exactly this
+    * way). rank₀ = 1/N; rankᵢ₊₁(v) = (1−d)/N + d·Σ rankᵢ(u)/outdeg(u)
+    * over in-edges. Dangling nodes (no out-edges) simply leak their
+    * rank — documented contract, matching the unrolled SQL oracle;
+    * parallel edges count once per occurrence.
+    *
+    * Engine-reproducible by construction: contributions are single IEEE
+    * divisions on identical inputs; the in-rank SUM accumulates in
+    * decimal (order-independent); the damping residual is written as
+    * `1 − d` so both engines derive the same float64 literal. Fixed
+    * iteration count — no convergence test, no RNG.
+    *
+    * Scale shape per iteration: one hash join of ranks onto edges keyed
+    * on src (edges cached — at 100 TB the edge list is the big side and
+    * pre-bucketing it on src makes every round exchange-free on it) +
+    * one map-side-combined aggregation on dst. `localCheckpoint` after
+    * each round keeps the plan O(1) deep across iterations.
+    */
+  def pageRankLite(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nRow = nodes.agg(count(lit(1)).as("n")) // one-row scalar frame
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+      val summed = contribs.groupBy("node")
+        .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(
+          col("node"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
 }
