@@ -171,4 +171,61 @@ class PropertySpec extends SparkSpec {
     // and no document gained lines
     assert(out.filter(col("n_kept") > col("n_lines")).isEmpty)
   }
+
+  test("pageRankLite: ranks sum to 1, floor (1-d)/N holds, hubs outrank leaves") {
+    // dangling-free skewed graph: everyone links to a small hub set
+    val n = 200L
+    val edges = (0L until n).flatMap(u => Seq((u, (u * u + 1) % n), (u, u / 2)))
+      .toDF("src", "dst")
+    val ranks = graft.operators.Curation.pageRankLite(edges, "src", "dst", 5)
+    assert(ranks.count() == n)
+    val total = ranks.agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass not conserved: $total")
+    val floor = 0.15 / n
+    assert(ranks.filter(col("rank") < floor * 0.999999).isEmpty,
+      "every node keeps at least the damping residual")
+    // node 0 is everyone's ancestor chain target; it must beat the median
+    val r0 = ranks.filter(col("node") === 0).head().getDouble(1)
+    val med = ranks.agg(expr("percentile(rank, 0.5)")).head().getDouble(0)
+    assert(r0 > med, s"hub rank $r0 not above median $med")
+  }
+
+  test("weighted systematic sample: ≤ n picks, buckets strictly increasing, boundary count exact") {
+    val n = 37L
+    val docs = (1L to 500L).map(i => (i, s"doc $i", 1L + i % 13)).toDF("doc_id", "text", "n_tok")
+      .withColumn("source", lit("all"))
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+    // mirror the c7 gate inline (the helper is private to SparkEntry):
+    // global cumsum in (rk, doc_id) order, boundary-crossing selection
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTotal = docs.agg(sum("n_tok")).head().getLong(0)
+    val picked = docs.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("sample_bucket", expr(s"(cum_tokens * $n) div $wTotal"))
+      .filter(col("sample_bucket") > expr(s"((cum_tokens - n_tok) * $n) div $wTotal"))
+      .orderBy("cum_tokens").collect()
+    assert(picked.length <= n, "never more picks than boundaries")
+    val buckets = picked.map(_.getAs[Long]("sample_bucket"))
+    assert(buckets.sameElements(buckets.sorted.distinct), "buckets strictly increase")
+    // every boundary k=1..n lands inside exactly one doc's interval, so
+    // the LAST bucket is n (cum = W at the final doc) and coverage is
+    // total when no doc spans multiple boundaries
+    assert(buckets.last == n, "final boundary owned by the last picked doc")
+  }
+
+  test("profile: null/distinct accounting is exact on a known frame") {
+    val df = Seq(
+      (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
+      .toDF("x", "s")
+    val out = graft.operators.Profiling.profile(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Long]("n_rows") == 5)
+    assert(out("x").getAs[Long]("n_nulls") == 2)
+    assert(out("x").getAs[Long]("n_distinct") == 2) // {1, 3}
+    assert(out("x").getAs[String]("min_str") == "1" && out("x").getAs[String]("max_str") == "3")
+    assert(out("s").getAs[Long]("n_nulls") == 0)
+    assert(out("s").getAs[Long]("n_distinct") == 3)
+  }
 }
