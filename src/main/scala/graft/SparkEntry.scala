@@ -810,6 +810,27 @@ object SparkEntry {
         TextAnalysis.positionalFingerprint(col("text")).as("fp_pos"))
     }),
 
+    // bigram language-model statistics: P(w2|w1) = c(w1,w2)/c(w1·) —
+    // the n-gram conditional-probability table perplexity-ish quality
+    // filters build on. Two hash aggregations + one join on the prefix
+    // token; the division is one IEEE op on identical longs, so the
+    // probabilities hash-compare exactly.
+    "t11_bigram_lm" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= 3)
+      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+      big.join(uni, "w1")
+        .select(col("w1"), col("w2"), col("n12"), col("n1"),
+          (col("n12") / col("n1")).as("p_cond"))
+    }),
+
     // ── Dedup (training-data ops; beyond-reference) ──────────────────────
     // exact dedup over a corpus salted with literal copies.
     "d1_dedup_exact" -> ((s, dir) => {
@@ -2790,6 +2811,17 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, source, n_tok, cum_tokens FROM cum WHERE cum_tokens <= 2000""".stripMargin,
+    "t11_bigram_lm" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2
+        |  FROM tokd, UNNEST(range(1, len(tk))) AS t(i)),
+        |big AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |uni AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
+        |SELECT b.w1, b.w2, b.n12, u.n1, CAST(b.n12 AS DOUBLE) / u.n1 AS p_cond
+        |FROM big b JOIN uni u USING (w1)""".stripMargin,
     "g2_pagerank" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |nn AS (SELECT COUNT(*) AS n FROM d),

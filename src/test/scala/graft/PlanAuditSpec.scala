@@ -116,6 +116,23 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected shuffle keys $shuffles:\n$p")
   }
 
+  test("tj4: nearest as-of is windows + hash join — no nested-loop inequality join") {
+    val p = plan("tj4_asof_nearest_purchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"inequality degenerated to a nested loop:\n$p")
+    assert(p.contains("Window"), s"as-of passes not window-based:\n$p")
+  }
+
+  test("c7: weighted sample rides the de-skewed window; total comes back as a broadcast") {
+    val p = plan("c7_weighted_sample")
+    // the single stratum is a constant, so Catalyst folds it out of the
+    // partition key — the big window must still key on the md5 sub-bucket
+    assert("windowspecdefinition\\((source#\\d+, )?bkt#\\d+".r.findFirstIn(p).isDefined,
+      s"running total not sub-bucketed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar total not broadcast:\n$p")
+  }
+
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
     val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
     val analyzed = df.queryExecution.analyzed
