@@ -37,6 +37,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rewrite but does NOT register them as SQL functions;
+    // exposing them makes the explicit bloom-pre-filter join pattern
+    // (build on the selective side, might_contain ahead of the fact
+    // shuffle) writable by users. The filter argument must be a scalar
+    // subquery or constant — the expression's own contract.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "graft_bloom_agg(col[, estimatedItems[, numBits]])")
+        children match {
+          case Seq(c) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, est) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
+          case Seq(c, est, bits) =>
+            new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est, bits)
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_might_contain(bloom, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),

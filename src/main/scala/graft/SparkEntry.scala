@@ -300,6 +300,50 @@ object SparkEntry {
         col("p_retailprice"))
       Profiling.profile(src, Seq("p_brand", "p_size", "p_retailprice"))
     }),
+    // bloom pre-filter ahead of a fact⋈selected-keys join: one small agg
+    // builds the filter, it broadcasts into the fact scan as a codegen'd
+    // might_contain — the rows the join would discard die BEFORE the
+    // shuffle (at 100 TB this is the difference between shuffling the
+    // fact table and shuffling the ~selectivity% that can match). False
+    // positives die in the exact join, so the result is EXACTLY the
+    // plain join the oracle runs.
+    "bf1_bloom_prefilter_join" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("bf1_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("bf1_lineitem")
+      s.sql(
+        """WITH sel AS (
+          |  SELECT o_orderkey FROM bf1_orders WHERE o_orderpriority = '1-URGENT')
+          |SELECT COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS total
+          |FROM bf1_lineitem JOIN sel ON l_orderkey = o_orderkey
+          |WHERE graft_might_contain(
+          |  (SELECT graft_bloom_agg(o_orderkey) FROM bf1_orders
+          |   WHERE o_orderpriority = '1-URGENT'),
+          |  l_orderkey)""".stripMargin)
+    }),
+    // incremental aggregate maintenance: the nightly rollup absorbs each
+    // day's increment by merging aggregate STATE (decimal sums + counts
+    // per key) — never rescanning history. Mergeability is the property:
+    // state(h ∪ d) == merge(state(h), state(d)); the gate computes the
+    // rollup as two state merges and must equal the oracle's one-shot
+    // full aggregate.
+    "a17_incremental_rollup" -> ((s, dir) => {
+      def state(df: DataFrame): DataFrame = df
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("o_totalprice").cast(DecimalType(28, 10))).as("s"),
+          count(lit(1)).as("n"))
+      val orders = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+      val merged = state(orders.filter(col("yr") <= 1995))
+        .unionByName(state(orders.filter(col("yr") >= 1996)))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      merged.select(
+        col("o_orderpriority"),
+        col("n"),
+        col("s").cast("double").as("total"),
+        (col("s").cast("double") / col("n")).as("avg_price"))
+    }),
     // A3 via a typed custom Aggregator: single-pass (min,max) buffer
     // midrange — same answer as a3, different machinery (udaf surface).
     "a11_midrange_udaf" -> ((s, dir) => {
@@ -1943,6 +1987,16 @@ object SparkEntry {
         |  b_nd AS n_distinct, b_min AS min_str, b_max AS max_str FROM a
         |UNION ALL SELECT 'p_size', n_rows, n_rows - s_nn, s_nd, s_min, s_max FROM a
         |UNION ALL SELECT 'p_retailprice', n_rows, n_rows - r_nn, r_nd, r_min, r_max FROM a""".stripMargin,
+    "bf1_bloom_prefilter_join" ->
+      """WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM lineitem JOIN sel ON l_orderkey = o_orderkey""".stripMargin,
+    "a17_incremental_rollup" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "a15_quantile_matrix" ->
       """WITH g AS (
         |  SELECT o_orderpriority,

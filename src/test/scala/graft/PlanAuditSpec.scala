@@ -133,6 +133,18 @@ class PlanAuditSpec extends SparkSpec {
       s"scalar total not broadcast:\n$p")
   }
 
+  test("bf1: bloom pre-filter evaluates on the fact side BEFORE the join") {
+    val p = plan("bf1_bloom_prefilter_join")
+    assert(p.contains("might_contain"), s"bloom filter absent from the plan:\n$p")
+    // the predicate must sit in a Filter under the join, not above it —
+    // the whole point is rows dying before the shuffle
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join in the plan tree:\n$p")
+  }
+
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
     val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
     val analyzed = df.queryExecution.analyzed
