@@ -300,6 +300,25 @@ object SparkEntry {
         col("p_retailprice"))
       Profiling.profile(src, Seq("p_brand", "p_size", "p_retailprice"))
     }),
+    // snapshot-diff CDC: the insert/update/delete delta between two full
+    // snapshots (the same mutations the SCD2 gates replay), from ONE
+    // full-outer hash join — the standalone form of what the reference's
+    // SCD procedure does implicitly, feeding incremental consumers.
+    "cdc1_snapshot_diff" -> ((s, dir) => {
+      val (snap1, snap2) = scdSnaps(s, dir)
+      ChangeCapture.snapshotDiff(snap1, snap2, Seq("id"), Seq("price", "psize"))
+    }),
+    // equi-width histogram: numeric distribution profile via
+    // width_bucket — the landing-zone distribution sweep next to a16's
+    // per-column profile. DuckDB lacks width_bucket, so the oracle
+    // replays Spark's boundary arithmetic explicitly (width 600000/12 =
+    // 50000 is exact in binary64, so floor(x/width)+1 is bit-identical).
+    "a18_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+    }),
     // bloom pre-filter ahead of a fact⋈selected-keys join: one small agg
     // builds the filter, it broadcasts into the fact scan as a codegen'd
     // might_contain — the rows the join would discard die BEFORE the
@@ -1987,6 +2006,33 @@ object SparkEntry {
         |  b_nd AS n_distinct, b_min AS min_str, b_max AS max_str FROM a
         |UNION ALL SELECT 'p_size', n_rows, n_rows - s_nn, s_nd, s_min, s_max FROM a
         |UNION ALL SELECT 'p_retailprice', n_rows, n_rows - r_nn, r_nd, r_min, r_max FROM a""".stripMargin,
+    "cdc1_snapshot_diff" ->
+      """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
+        |snap2 AS (
+        |  SELECT id, CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price, psize
+        |  FROM snap1 WHERE id % 7 <> 0
+        |  UNION ALL SELECT id + 100000, price, psize FROM snap1 WHERE id % 13 = 0),
+        |j AS (
+        |  SELECT o.id AS oid, o.price AS oprice, o.psize AS opsize,
+        |         c.id AS cid, c.price AS cprice, c.psize AS cpsize
+        |  FROM snap1 o FULL OUTER JOIN snap2 c ON o.id = c.id)
+        |SELECT
+        |  CASE WHEN oid IS NULL THEN 'insert'
+        |       WHEN cid IS NULL THEN 'delete'
+        |       WHEN oprice IS DISTINCT FROM cprice OR opsize IS DISTINCT FROM cpsize
+        |         THEN 'update' END AS op,
+        |  COALESCE(cid, oid) AS id,
+        |  CASE WHEN cid IS NULL THEN oprice ELSE cprice END AS price,
+        |  CASE WHEN cid IS NULL THEN opsize ELSE cpsize END AS psize
+        |FROM j
+        |WHERE oid IS NULL OR cid IS NULL
+        |   OR oprice IS DISTINCT FROM cprice OR opsize IS DISTINCT FROM cpsize""".stripMargin,
+    "a18_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 600000.0 THEN 13
+        |            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY bucket""".stripMargin,
     "bf1_bloom_prefilter_join" ->
       """WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |SELECT COUNT(*) AS n,

@@ -215,6 +215,29 @@ class PropertySpec extends SparkSpec {
     assert(buckets.last == n, "final boundary owned by the last picked doc")
   }
 
+  test("snapshotDiff: op classification, null-safe compares, delete carries old values") {
+    val old = Seq(
+      (1L, Some(10.0), "a"), // unchanged → dropped
+      (2L, Some(20.0), "b"), // price changes → update
+      (3L, None, "c"),       // NULL → value → update (null-safe)
+      (4L, Some(40.0), "d")) // absent from new → delete
+      .toDF("id", "price", "tag")
+    val nu = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (3L, Some(30.0), "c"),
+      (5L, Some(50.0), "e")) // new key → insert
+      .toDF("id", "price", "tag")
+    val out = graft.operators.ChangeCapture
+      .snapshotDiff(old, nu, Seq("id"), Seq("price", "tag"))
+      .collect().map(r => r.getLong(1) -> (r.getString(0), Option(r.get(2)))).toMap
+    assert(out.size == 4 && !out.contains(1L), "unchanged row must be dropped")
+    assert(out(2L) == ("update", Some(21.0)), "update carries NEW values")
+    assert(out(3L)._1 == "update", "NULL→value is an update under null-safe compare")
+    assert(out(4L) == ("delete", Some(40.0)), "delete carries last-seen OLD values")
+    assert(out(5L) == ("insert", Some(50.0)))
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
