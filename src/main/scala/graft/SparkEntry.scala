@@ -53,6 +53,17 @@ object SparkEntry {
   /** The reference's control-DB dump holding the SQL_COMMANDS rows. */
   private val referenceControlSql = "/root/reference/sql_script/db_control_sql.sql"
 
+  /** Decode one SQL_COMMANDS blob from the public reference snapshot — a
+    * missing snapshot fails the verbatim-replay gates (sp5/sp6) with a
+    * clear, named error instead of a raw IO stack.
+    */
+  private def referenceBlob(command: String): String = {
+    if (!new java.io.File(referenceControlSql).isFile)
+      sys.error(s"reference snapshot unavailable at $referenceControlSql " +
+        s"(required by the verbatim $command replay gate)")
+    graft.control.SqlRegistry.loadReferenceCommand(referenceControlSql, command)
+  }
+
   /** De-skewed per-source running token total (two-phase distributed
     * prefix sum), shared by c4_token_budget and c5_pack_sequences.
     *
@@ -826,8 +837,7 @@ object SparkEntry {
     // expire + re-insert path (239, 40, 40).
     "sp5_proc_body" -> ((s, dir) => {
       import graft.control.SqlRegistry
-      val blob =
-        SqlRegistry.loadReferenceCommand(referenceControlSql, "SP_ETL_SCD_UPDATE_PRODUCT")
+      val blob = referenceBlob("SP_ETL_SCD_UPDATE_PRODUCT")
       val proc = SqlRegistry
         .installProcedures(Map("SP_ETL_SCD_UPDATE_PRODUCT" -> blob))("SP_ETL_SCD_UPDATE_PRODUCT")
       val transform = s.read.parquet(s"$fixturesDir/products_transform.parquet")
@@ -849,6 +859,31 @@ object SparkEntry {
       import s.implicits._
       Seq(asRow(1, r1), asRow(2, r2))
         .toDF("round", "p_rowsinput", "p_rowsinserted", "p_rowsupdated", "n_current")
+    }),
+    // The reference's OTHER real procedure, closing the last verbatim-
+    // replay gap: the SP_ETL_CLEAN_DATA blob (db_control_sql.sql:165-207)
+    // decoded from the control dump, installed through the
+    // transform_staging.py:24-58 lifecycle (whose non-ASCII collapse
+    // turns the '₫'/'đ' REPLACE literals into ' ' — the deployed
+    // escape-loss), and RUN as a statement list: TRUNCATE + CTE
+    // INSERT…SELECT with MySQL prefix-parse casts and the deployed
+    // screen-size regex truncation (SqlRegistry dialect scaladoc). The
+    // oracle is the live PRODUCTS_TRANSFORM dump itself — the procedure
+    // must reproduce deployed MySQL output on all 239 golden rows, which
+    // also proves ≡ ProductPipeline.clean (CleanSpec ties clean to the
+    // same dump; ModulesSpec asserts the triangle directly).
+    "sp6_clean_proc_body" -> ((s, dir) => {
+      import graft.control.SqlRegistry
+      val blob = referenceBlob("SP_ETL_CLEAN_DATA")
+      val proc =
+        SqlRegistry.installProcedures(Map("SP_ETL_CLEAN_DATA" -> blob))("SP_ETL_CLEAN_DATA")
+      val run = SqlRegistry.runProcedure(s, proc, Map(
+          "PRODUCTS_GENERAL" -> s.read.parquet(s"$fixturesDir/products_general.parquet"),
+          "PRODUCTS_TRANSFORM" ->
+            s.read.parquet(s"$fixturesDir/products_transform.parquet").limit(0),
+          "DIM_DATE" -> s.read.parquet(s"$fixturesDir/dim_date.parquet")),
+        "2025-11-23 18:51:37")
+      run.tables("PRODUCTS_TRANSFORM").drop("ID_SR")
     }),
 
     // ── Text analysis (training-data ops; beyond-reference) ──────────────
@@ -1386,8 +1421,20 @@ object SparkEntry {
     // doubled price, so the result also proves new-version-wins.
     "z1_bucketed_zone" -> ((s, dir) => {
       import graft.sources.Zones
-      val tmp = java.nio.file.Files.createTempDirectory("graft_z1_zone").toString
-      val tbl = s"graft_z1_zone_${System.nanoTime()}"
+      // deterministic table name + zone location, cleaned BEFORE
+      // re-creating: the gate re-runs under the bench harness (warmup +
+      // timed passes) and must not accumulate orphan catalog tables or
+      // on-disk zone copies per invocation; cleanup-after is impossible
+      // because the returned frame reads the table lazily
+      val tbl = "graft_z1_zone"
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_z1_zone").getAbsolutePath
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
       val orders = t(s, dir, "orders")
         .withColumn("year_sk", year(col("o_orderdate")))
         .select("o_orderkey", "o_custkey", "o_totalprice", "year_sk")
@@ -2426,6 +2473,12 @@ object SparkEntry {
         |       (SELECT n FROM upd),
         |       (SELECT COUNT(*) FROM s1) - (SELECT n FROM upd)
         |         + (SELECT n FROM newk) + (SELECT n FROM reins)""".stripMargin,
+    // the live dump IS the oracle: deployed MySQL's own output for the
+    // same 239 input rows (FIXTURES.md A2) — the strongest possible
+    // ground truth for a verbatim replay
+    "sp6_clean_proc_body" ->
+      """SELECT * EXCLUDE (ID_SR)
+        |FROM read_parquet('/root/repo/src/test/resources/fixtures/products_transform.parquet')""".stripMargin,
     "t1_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk

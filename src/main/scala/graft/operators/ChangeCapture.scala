@@ -23,15 +23,20 @@ object ChangeCapture {
       current: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
-    val o = old.select((keys ++ compareCols).map(col): _*).alias("o")
-    val c = current.select((keys ++ compareCols).map(col): _*).alias("c")
+    // side presence is carried by explicit non-null markers, NOT inferred
+    // from key nullness: the join matches on null-safe `<=>`, so a row
+    // whose key columns are all NULL still matches its counterpart — key
+    // nullness would misread that pair as absent (unchanged NULL-key pair
+    // emitted as insert, changed one never classified update/delete)
+    val o = old.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__o", lit(true)).alias("o")
+    val c = current.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__c", lit(true)).alias("c")
     val on = keys.map(k => col(s"o.$k") <=> col(s"c.$k")).reduce(_ && _)
     val changed = compareCols.map(cc => !(col(s"o.$cc") <=> col(s"c.$cc")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val anyOldKey = keys.map(k => col(s"o.$k").isNotNull).reduce(_ || _)
-    val anyNewKey = keys.map(k => col(s"c.$k").isNotNull).reduce(_ || _)
-    val op = when(!anyOldKey, lit("insert"))
-      .when(!anyNewKey, lit("delete"))
+    val op = when(col("o.__o").isNull, lit("insert"))
+      .when(col("c.__c").isNull, lit("delete"))
       .when(changed, lit("update"))
     o.join(c, on, "full_outer")
       .withColumn("op", op)

@@ -110,7 +110,8 @@ object Multimodal {
         marker match {
           case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
             // SOF payload: len(2) precision(1) height(2) width(2)
-            return if (j + 8 < b.length) Some((be16(b, j + 6), be16(b, j + 4))) else None
+            // width occupies bytes j+6..j+7, so payload-ends-at-EOF parses
+            return if (j + 8 <= b.length) Some((be16(b, j + 6), be16(b, j + 4))) else None
           case 0xd9 | 0xda => return None // EOI / start-of-scan: no frame header seen
           case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
             i = j + 1 // standalone markers carry no length
@@ -134,14 +135,21 @@ object Multimodal {
       * record as width=sample rate, height=channel count.
       */
     private def wavFeatures(b: Array[Byte]): Option[(Int, Int)] = {
-      var i = 12
+      var i = 12L
       while (i + 8 <= b.length) {
-        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-        val size = le32(b, i + 4)
+        val at = i.toInt
+        val isFmt = b(at) == 'f' && b(at + 1) == 'm' && b(at + 2) == 't' && b(at + 3) == ' '
+        val size = le32(b, at + 4) // unsigned 32-bit — keep as Long
         if (isFmt)
-          return if (i + 16 <= b.length) Some((le32(b, i + 12).toInt, le16(b, i + 10)))
+          return if (i + 16 <= b.length) Some((le32(b, at + 12).toInt, le16(b, at + 10)))
           else None
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance with Long arithmetic; a hostile size (e.g. 0xFFFFFFF8,
+        // which as Int is -8) must never yield a zero/negative step — the
+        // malformed-media contract is a row-level stub fallback, never a
+        // hung executor task
+        val next = i + 8 + size + (size & 1L) // chunks are word-aligned
+        if (next <= i || next > b.length) return None
+        i = next
       }
       None
     }

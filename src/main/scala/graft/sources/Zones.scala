@@ -203,23 +203,13 @@ object Zones {
       }
     val stageName = s"${name}__stage"
     spark.sql(s"DROP TABLE IF EXISTS `$stageName`")
-    // the merge keys extend the bucket cols (e.g. PRODUCT_SK + DATE_SK vs
-    // buckets on PRODUCT_SK): allow subset co-partitioning so the zone
-    // side joins in place and ONLY the small daily increment shuffles —
-    // the conf is restored right after the write
-    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevReq = spark.conf.getOption(reqKey)
-    spark.conf.set(reqKey, "false")
-    try {
+    withBucketedMergeConfs(spark) {
       merged.write.mode("overwrite")
         .partitionBy(partitionCol)
         .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .option("path", path + TmpSuffix)
         .saveAsTable(stageName)
-    } finally prevReq match {
-      case Some(v) => spark.conf.set(reqKey, v)
-      case None => spark.conf.unset(reqKey)
     }
     // swap ONLY the touched partition directories under the zone path
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -241,6 +231,39 @@ object Zones {
     // returned for plan audits ONLY (the zone side must join without an
     // Exchange) — the zone content it reads has since been swapped
     merged
+  }
+
+  /** Session confs the bucketed merge join depends on, pinned for exactly
+    * the duration of a merge plan (write or audit):
+    *
+    *  - `requireAllClusterKeysForCoPartition=false` — the merge keys
+    *    extend the bucket cols (e.g. PRODUCT_SK + DATE_SK vs buckets on
+    *    PRODUCT_SK); subset co-partitioning lets the zone side join in
+    *    place so ONLY the small daily increment shuffles.
+    *  - `bucketing.autoBucketedScan.enabled=false` — the planner's
+    *    auto-bucketed-scan heuristic may DROP the bucketed layout
+    *    ("disabled by query planner") depending on planner state, which
+    *    re-introduces an `Exchange` on the zone side nondeterministically.
+    *    Disabling the heuristic inside this scope makes the
+    *    zone-side-never-shuffles guarantee deterministic.
+    */
+  val BucketedMergeConfs: Seq[(String, String)] = Seq(
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
+  /** Run `body` with [[BucketedMergeConfs]] pinned, restoring the prior
+    * values (set or unset) afterwards. Exposed so plan audits that derive
+    * a merge-shaped plan lazily (after `upsertBucketed` returned) can
+    * mirror the exact conf scope the real write ran under.
+    */
+  def withBucketedMergeConfs[T](spark: SparkSession)(body: => T): T = {
+    val prev = BucketedMergeConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    BucketedMergeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   private def stage(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =

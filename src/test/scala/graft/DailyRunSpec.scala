@@ -45,11 +45,8 @@ class DailyRunSpec extends SparkSpec {
     // the aggregate zone is a bucketed table: the day-2 merge-shape join
     // and the star join on PRODUCT_SK must not shuffle the aggregate side
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevReq = spark.conf.getOption(reqKey)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(reqKey, "false")
-    try {
+    try Zones.withBucketedMergeConfs(spark) {
       val aggTable = spark.table(DailyRun.AggregateTable)
       val dim = Zones.read(spark, s"$wh/warehouse/dim_product").select("PRODUCT_SK")
       assertZoneSideUnshuffled(aggTable.join(dim, "PRODUCT_SK"), "aggregate star join")
@@ -59,10 +56,6 @@ class DailyRunSpec extends SparkSpec {
       assertZoneSideUnshuffled(merge, "aggregate upsert-shape join")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-      prevReq match {
-        case Some(v) => spark.conf.set(reqKey, v)
-        case None => spark.conf.unset(reqKey)
-      }
     }
     // ledger carries both SUCCESS rows with the stats message
     val ledger = Zones.read(spark, s"$wh/control/process_log")

@@ -444,4 +444,30 @@ class ModulesSpec extends SparkSpec {
       .join(day2.select(col("ID"), col("GIA_MOI").as("want")), "ID")
       .filter(col("GIA_MOI") =!= col("want")).count() == 0)
   }
+
+  test("sql registry: verbatim SP_ETL_CLEAN_DATA equals native clean AND the live dump") {
+    import graft.control.SqlRegistry
+    val blob = SqlRegistry.loadReferenceCommand(
+      "/root/reference/sql_script/db_control_sql.sql", "SP_ETL_CLEAN_DATA")
+    val proc =
+      SqlRegistry.installProcedures(Map("SP_ETL_CLEAN_DATA" -> blob))("SP_ETL_CLEAN_DATA")
+    // the transform_staging.py non-ASCII collapse must have turned the
+    // '₫'/'đ' REPLACE literals into ' ' — the deployed escape-loss the
+    // dialect's MySQL prefix-parse casts then compensate for
+    assert(!proc.body.contains("₫") && !proc.body.contains("đ"))
+    val run = SqlRegistry.runProcedure(spark, proc, Map(
+        "PRODUCTS_GENERAL" -> fixture("products_general"),
+        "PRODUCTS_TRANSFORM" -> fixture("products_transform").limit(0),
+        "DIM_DATE" -> fixture("dim_date")),
+      "2025-11-23 18:51:37")
+    val got = run.tables("PRODUCTS_TRANSFORM").drop("ID_SR")
+    // triangle: procedure ≡ live dump ≡ native clean (CleanSpec ties the
+    // other edge) — all three agree on the 239 golden rows
+    assertSameRows(got, fixture("products_transform").drop("ID_SR"),
+      "verbatim CLEAN vs live dump")
+    assertSameRows(got,
+      graft.pipeline.ProductPipeline.clean(
+        fixture("products_general"), fixture("dim_date"), mysqlCompatScreenSize = true),
+      "verbatim CLEAN vs native clean")
+  }
 }

@@ -63,12 +63,11 @@ class ZonesSpec extends SparkSpec {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // the plan audit below derives the merge plan lazily (after the
-    // method restored its conf scope), so mirror the subset-co-partition
-    // setting the real write ran under
-    val reqKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val prevReq = spark.conf.getOption(reqKey)
-    spark.conf.set(reqKey, "false")
-    try {
+    // method restored its conf scope), so mirror the EXACT conf scope the
+    // real write ran under — including autoBucketedScan=false, without
+    // which the planner may nondeterministically drop the bucketed layout
+    // ("disabled by query planner") and the zone side shuffles
+    try Zones.withBucketedMergeConfs(spark) {
       val day1 = (1 to 100).map(i => (i.toLong, 10, i * 1.0)).toDF("product_sk", "date_sk", "price")
       Zones.upsertBucketed(spark, tbl, s"$wh/agg", day1,
         Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 8)
@@ -89,10 +88,6 @@ class ZonesSpec extends SparkSpec {
       assertZoneSideUnshuffled(merged, "bucketed zone merge")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
-      prevReq match {
-        case Some(v) => spark.conf.set(reqKey, v)
-        case None => spark.conf.unset(reqKey)
-      }
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
