@@ -395,12 +395,23 @@ object SparkEntry {
             .as("promo_revenue"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
     }),
-    // HLL sketch distinct (engine-specific sketch → rows-only gate; the
-    // ≤5%-error bound vs exact COUNT DISTINCT is asserted in SketchSpec).
+    // HLL sketch distinct. The sketch value itself is engine-specific, so
+    // the gate emits what an oracle CAN check: the exact distinct count
+    // (computed alongside, one extra shuffle at gate scale) and the
+    // sketch's ≤5% relative-error bound as a boolean — the driver's
+    // rows+schema+hash all go green iff the sketch stays in-bound, so the
+    // error floor is part of the compared result, not just a ScalaTest
+    // (SketchSpec still asserts the numeric bound directly).
     "a10_hll_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(
+          col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_parts") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_5pct"))
     }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
@@ -943,13 +954,29 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(nearDupCorpus(s, dir), "doc_id", "text", 3, 32, 16, 0.6)
     }),
-    // SimHash near-dup pairs (xxhash64-based — no SQL oracle, rows-only).
-    // maxHamming=3 → 4×16-bit pigeonhole chunks: the scale configuration
-    // (2^16-value band keys keep buckets selective on a large corpus).
-    // Wider radii (collide-y 4-bit chunks) are a small-corpus mode,
-    // recall-covered in DedupSimilaritySpec.
+    // SimHash near-dup pairs. maxHamming=3 → 4×16-bit pigeonhole chunks:
+    // the scale configuration (2^16-value band keys keep buckets
+    // selective on a large corpus). The xxhash64-based pair set has no
+    // SQL oracle, so the gate measures in-gate recall against the
+    // CONSTRUCTED truth (the planted prefix-dropped mutations of every
+    // doc_id%5==0 document) — the truth-set size is oracle-computable
+    // and the recall floor is part of the compared result. Wider radii
+    // (collide-y 4-bit chunks) stay recall-covered in DedupSimilaritySpec.
     "d4_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", 3)
+      val corpus = nearDupCorpus(s, dir)
+      val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      val planted = corpus.filter(col("doc_id") < 20000 && col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 20000).as("id_b"))
+      val recalled = planted
+        .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+      // measured planted recall is deterministic ≈0.37–0.41 across sf
+      // (the planted mutation drops 5 leading tokens — a heavy edit for
+      // hamming≤3); the gate floors it at 0.30 so the driver sees the
+      // floor as data while DedupSimilaritySpec tracks the raw values
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(recalled.agg(count(lit(1)).as("n_recalled")))
+        .select(col("n_planted"),
+          (col("n_recalled").cast("double") / col("n_planted") >= 0.30).as("recall_ge_030"))
     }),
     // edit-distance near-dup confirmation: each mutated doc vs its
     // original (levenshtein is exact-integer in both engines).
@@ -1366,19 +1393,29 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_w"))
         .withColumn("mov_avg", col("sum_w") / col("n_w"))
     }),
-    // mergeable quantile sketch (KLL-family builtin): rows-only gate, the
-    // accuracy bound is spec-asserted against exact percentile_disc.
+    // mergeable quantile sketch (KLL-family builtin). The sketch picks an
+    // engine-specific data element, so the gate emits the exact
+    // interpolated quantiles (oracle-reproducible, the a14 mechanism) and
+    // brackets the sketch values inside the exact ±0.01-rank band — with
+    // accuracy 10000 the sketch's rank error is ≤1e-4, so the booleans
+    // are robustly true and the accuracy floor rides the compared result.
     "a13_approx_quantiles" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
           approx_percentile(
             col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000))
-            .as("qs"))
+            .as("qs"),
+          expr("percentile(o_totalprice, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))").as("ex"),
+          count(lit(1)).as("n"))
         .select(
-          col("o_orderpriority"),
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p90"))
+          col("o_orderpriority"), col("n"),
+          element_at(col("ex"), 2).as("p50_exact"),
+          element_at(col("ex"), 5).as("p90_exact"),
+          (element_at(col("qs"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("qs"), 1) <= element_at(col("ex"), 3)).as("p50_in_band"),
+          (element_at(col("qs"), 2) >= element_at(col("ex"), 4) &&
+            element_at(col("qs"), 2) <= element_at(col("ex"), 6)).as("p90_in_band"))
     }),
     // S2 CSV landing source, gate-visible: parquet → headered CSV files →
     // readAligned back (name intersection, try_cast to target types,
@@ -1639,20 +1676,30 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
     }),
-    // LSH-bucketed ANN (scale path; recall<1 → rows-only, tested vs k1).
+    // LSH-bucketed ANN (scale path). Bucketing makes recall<1 by design,
+    // so the gate measures in-gate recall of the PLANTED true neighbor
+    // (annPlantedQueries) against the exact brute-force top-10 — the
+    // exact side certifies the ground truth, the recall floor rides the
+    // compared result as data.
     "k2_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      val queries = annPlantedQueries(emb, 20)
+      annRecallFrame(
+        SimilaritySearch.lshTopK(emb, queries, "vec_id", "embedding", 10),
+        SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10), 20)
     }),
-    // IVF ANN (scale path #2; recall<1 → rows-only, tested vs k1).
+    // IVF ANN (scale path #2), same in-gate planted-recall measurement.
     // nCells=256 exercises the production quantizer shape: the fused
     // NearestCells kernel keeps the plan flat (the literal-array form
     // would put 256×64 coordinates in the expression tree), nProbe=32
     // keeps the probed fraction at 1/8 of the corpus.
     "k3_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
-        nCells = 256, nProbe = 32)
+      val queries = annPlantedQueries(emb, 20)
+      annRecallFrame(
+        SimilaritySearch.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+          nCells = 256, nProbe = 32),
+        SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10), 20)
     }),
 
     // ── Temporal joins (beyond-reference; Spark has no native as-of) ─────
@@ -1927,6 +1974,45 @@ object SparkEntry {
   /** Corpus salted with near-duplicates: every 5th doc re-appears under
     * doc_id+20000 with its first five tokens dropped.
     */
+  /** ANN gate queries with a PLANTED true neighbor: each query vector is
+    * a small deterministic perturbation of corpus vector `vec_id < n`
+    * (per-coordinate scaling, cos ≈ 0.998 to its source), so its exact
+    * nearest neighbor is known by construction — the testdata embeddings
+    * are otherwise near-orthogonal (max cos ≈ 0.5), where "top-10 recall"
+    * measures noise ranking, not retrieval. Query ids are offset by 10^6
+    * to stay disjoint from corpus ids.
+    */
+  private val annQueryIdOffset = 1000000L
+
+  private def annPlantedQueries(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n).select(
+      (col("vec_id") + annQueryIdOffset).as("vec_id"),
+      expr("transform(embedding, (x, i) -> double(x) * (1.0d + 0.02d * double(i % 7 - 3)))")
+        .as("embedding"))
+
+  /** The oracle-comparable quality frame for an ANN gate: how many
+    * planted queries ranked their true (constructed) neighbor first in
+    * the EXACT top-k (certifies the ground truth — must be all), and how
+    * many the approximate index retrieved anywhere in ITS top-k (the
+    * recall under measurement).
+    */
+  private def annRecallFrame(approx: DataFrame, exact: DataFrame, nQueries: Int): DataFrame = {
+    val src = col("query_id") - annQueryIdOffset
+    val top1 = exact.filter(col("rank") === 1 && col("neighbor_id") === src)
+      .agg(count(lit(1)).as("n_top1_exact"))
+    val hit = approx.filter(col("neighbor_id") === src)
+      .select(countDistinct(col("query_id")).as("n_hit"))
+    // measured planted recall is 1.0 for both k2 and k3 at sf0.001/0.01/
+    // 0.1 (perturbed queries keep cos≈0.998 to their source — multi-probe
+    // LSH and 32-of-256-cell IVF both retrieve it); the gate floors it at
+    // 0.9 so the driver compares the floor as data while the raw values
+    // stay spec-tracked in DedupSimilaritySpec
+    top1.crossJoin(hit).select(
+      lit(nQueries.toLong).as("n_queries"),
+      col("n_top1_exact"),
+      (col("n_hit").cast("double") / nQueries >= 0.9).as("recall_ge_090"))
+  }
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     docs.unionByName(
@@ -2035,6 +2121,29 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS q90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the sketch gates compare the EXACT side plus the sketch's error/
+    // recall floor as data (the sketch values themselves are
+    // engine-specific): the oracle recomputes the exact values and
+    // asserts the floors as literals — any out-of-bound sketch flips the
+    // boolean and fails the hash compare
+    "a10_hll_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a13_approx_quantiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_exact,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "d4_simhash_pairs" ->
+      """SELECT COUNT(*) AS n_planted, TRUE AS recall_ge_030
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    "k2_knn_lsh" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
+        |  TRUE AS recall_ge_090""".stripMargin,
+    "k3_knn_ivf" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
+        |  TRUE AS recall_ge_090""".stripMargin,
     "a16_column_profile" ->
       """WITH src AS (
         |  SELECT p_brand,

