@@ -16,6 +16,14 @@ package graft
   *     gets one UNTIMED warmup execution before its timed min-of-N runs so
   *     the reported number is the steady-state cost of the plan, not of the
   *     JIT.
+  *   - The timed runs are INTERLEAVED passes over the whole query set (a
+  *     deterministic per-pass shuffle of the order), not N back-to-back
+  *     runs per query: the shared host's contention spikes last seconds
+  *     to minutes, so back-to-back samples of one query all land inside
+  *     the same spike and the min doesn't help (round-5 artifact:
+  *     d4 8.52 s in-run vs 1.07 s in isolation). With passes, one
+  *     query's samples sit minutes apart and a transient spike can
+  *     poison at most one of them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,23 +37,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      // untimed warmup: pays codegen/JIT/shuffle-init once, outside the clock
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }.toSeq
+    // pass 0, untimed: pays codegen/JIT/shuffle-init once per query,
+    // outside the clock
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
-      val times = (1 to runs).map { _ =>
+    }
+    // per-query min ACROSS interleaved passes (see scaladoc): each pass
+    // times every query once, in a deterministic per-pass order
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](
+      selected.map(_._1 -> -1.0): _*)
+    (1 to runs).foreach { pass =>
+      val order = selected.sortBy { case (n, _) =>
+        scala.util.hashing.MurmurHash3.stringHash(s"$n#$pass")
+      }
+      order.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // operators may cache intermediates; drop them (OUTSIDE the timed
-        // region) so the next run isn't fighting for storage memory
+        // region) so the next query isn't fighting for storage memory
         spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
+        if (ok && (best(name) < 0 || elapsed < best(name))) best(name) = elapsed
       }
-      val good = times.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    val results = best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
@@ -53,7 +70,7 @@ object Bench {
     // visible in the per-query map but must not deflate the headline number
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true}"""
     // full line first: complete record for anyone reading the whole log
     println(line)
     // identical JSON at a liftable path — the artifact of record for judges
@@ -80,6 +97,6 @@ object Bench {
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true}""")
   }
 }
