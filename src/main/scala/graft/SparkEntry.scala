@@ -710,6 +710,31 @@ object SparkEntry {
         Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel)
       Scd2.apply(h1, snap2, Seq("id"), Seq("id"), Seq("price", "psize"), ts2, sentinel)
     }),
+    // the AT-SCALE SCD2 path: same two-round scenario, but through the
+    // day-partitioned history zone (Scd2.applyZoned) — each round
+    // rewrites only the sentinel (live) partition and creates that day's
+    // expired partition, so daily cost is O(live + churn) instead of the
+    // flat zone's O(all history). The zone union must equal the flat
+    // apply: the oracle is scd2_two_rounds' SQL verbatim.
+    "scd3_zoned_history" -> ((s, dir) => {
+      val ts1 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+      val ts2 = lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+      val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
+      val (snap1, snap2) = scdSnaps(s, dir)
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_scd3_zone").getAbsolutePath
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(zone)) // deterministic location, cleaned before re-use
+      Scd2.applyZoned(s, zone, snap1,
+        Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel, tsType = "timestamp_ntz")
+      Scd2.applyZoned(s, zone, snap2,
+        Seq("id"), Seq("id"), Seq("price", "psize"), ts2, sentinel, tsType = "timestamp_ntz")
+      s.read.parquet(zone)
+        .select("id", "price", "psize", "created_at", "updated_at", "expired_at")
+    }),
     // J12: collation-insensitive SCD2 — the reference's SCD2 key columns
     // collate utf8mb4_unicode_ci (db_staging.sql:4077): staging 'PROD-15'
     // and history 'Prod-15' are the SAME key in MySQL. keyNorm =
@@ -1617,6 +1642,21 @@ object SparkEntry {
       Curation.pageRankLite(edges, "src", "dst", 3)
         .select(col("node"), round(col("rank"), 12).as("rank_r12"))
     }),
+    // PageRank over a graph WITH sinks (¼ of nodes emit no edges):
+    // per-round dangling-mass redistribution keeps Σrank = 1 — the
+    // production variant for real domain graphs, bitwise against the
+    // same unrolled-SQL oracle shape as g2 (the dangling sum is one
+    // decimal aggregation per round on both sides).
+    "g3_pagerank_dangling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count() // N is a plan literal on both sides
+      val srcs = docs.filter(col("doc_id") % 4 =!= 0)
+      val edges = srcs
+        .select(col("doc_id").as("src"), ((col("doc_id") * col("doc_id") + 7) % n).as("dst"))
+        .unionByName(srcs.select(col("doc_id").as("src"), expr("doc_id div 3").as("dst")))
+      Curation.pageRankDangling(edges, "src", "dst", 3)
+        .select(col("node"), round(col("rank"), 12).as("rank_r12"))
+    }),
     // deterministic token-weight-proportional sampling: systematic
     // selection on the corpus-wide running token total — a doc is picked
     // iff a sampling boundary (k·W/n, k=1..n) falls inside its weight
@@ -2442,6 +2482,38 @@ object SparkEntry {
         |    TIMESTAMP '9999-12-31 00:00:00'
         |  FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
         |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
+    // identical restatement for the zoned form (the zone union must
+    // equal the flat apply bit-for-bit)
+    "scd3_zoned_history" ->
+      """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
+        |snap2 AS (
+        |  SELECT id, CASE WHEN id % 10 = 0 THEN price + 100.0 ELSE price END AS price, psize
+        |  FROM snap1 WHERE id % 7 <> 0
+        |  UNION ALL SELECT id + 100000, price, psize FROM snap1 WHERE id % 13 = 0),
+        |h1 AS (
+        |  SELECT id, price, psize, TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS updated_at, TIMESTAMP '9999-12-31 00:00:00' AS expired_at
+        |  FROM snap1),
+        |new2 AS (
+        |  SELECT s.id, s.price, s.psize, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |    TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM snap2 s WHERE NOT EXISTS (
+        |    SELECT 1 FROM h1 t WHERE t.id = s.id AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00')),
+        |ek AS (
+        |  SELECT t.id FROM h1 t JOIN snap2 s ON t.id = s.id AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |  WHERE t.price <> s.price OR t.psize <> s.psize),
+        |h1m AS (
+        |  SELECT t.id, t.price, t.psize, t.created_at,
+        |    CASE WHEN ek.id IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.updated_at END AS updated_at,
+        |    CASE WHEN ek.id IS NOT NULL AND t.expired_at = TIMESTAMP '9999-12-31 00:00:00'
+        |      THEN TIMESTAMP '2024-01-02 00:00:00' ELSE t.expired_at END AS expired_at
+        |  FROM h1 t LEFT JOIN (SELECT DISTINCT id FROM ek) ek ON t.id = ek.id),
+        |reins AS (
+        |  SELECT s.id, s.price, s.psize, TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00',
+        |    TIMESTAMP '9999-12-31 00:00:00'
+        |  FROM snap2 s WHERE s.id IN (SELECT id FROM ek))
+        |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
     "j12_ci_scd2" ->
       """WITH base AS (
         |  SELECT p_partkey AS id, 'Prod-' || CAST(p_partkey AS VARCHAR) AS pname, p_retailprice AS price
@@ -3119,6 +3191,55 @@ object SparkEntry {
         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
         |           + CAST(0.85 AS DOUBLE) * COALESCE(in_rank, CAST(0 AS DOUBLE)) AS rank
         |       FROM nodes LEFT JOIN s3 USING (node), nn)
+        |SELECT node, round(rank, 12) AS rank_r12 FROM r3""".stripMargin,
+    // g2's unrolled shape plus one dangling-mass CTE per round: dm_k is
+    // the decimal-summed rank of sink nodes under r_{k-1}, folded back
+    // uniformly inside the damped term
+    "g3_pagerank_dangling" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * doc_id + 7) % n AS dst FROM d, nn WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id AS src, doc_id // 3 AS dst FROM d, nn WHERE doc_id % 4 <> 0),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+        |nv AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n_nodes AS rank FROM nodes, nv),
+        |dm1 AS (SELECT CAST(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dm
+        |        FROM r0 r WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+        |c1 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s1 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c1 GROUP BY node),
+        |r1 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes
+        |           + CAST(0.85 AS DOUBLE) * (COALESCE(in_rank, CAST(0 AS DOUBLE))
+        |             + COALESCE(dm, CAST(0 AS DOUBLE)) / n_nodes) AS rank
+        |       FROM nodes LEFT JOIN s1 USING (node), nv, dm1),
+        |dm2 AS (SELECT CAST(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dm
+        |        FROM r1 r WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+        |c2 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s2 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c2 GROUP BY node),
+        |r2 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes
+        |           + CAST(0.85 AS DOUBLE) * (COALESCE(in_rank, CAST(0 AS DOUBLE))
+        |             + COALESCE(dm, CAST(0 AS DOUBLE)) / n_nodes) AS rank
+        |       FROM nodes LEFT JOIN s2 USING (node), nv, dm2),
+        |dm3 AS (SELECT CAST(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS dm
+        |        FROM r2 r WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.node)),
+        |c3 AS (SELECT e.dst AS node, r.rank / o.outdeg AS contrib
+        |       FROM edges e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src),
+        |s3 AS (SELECT node, CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_rank
+        |       FROM c3 GROUP BY node),
+        |r3 AS (SELECT nodes.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n_nodes
+        |           + CAST(0.85 AS DOUBLE) * (COALESCE(in_rank, CAST(0 AS DOUBLE))
+        |             + COALESCE(dm, CAST(0 AS DOUBLE)) / n_nodes) AS rank
+        |       FROM nodes LEFT JOIN s3 USING (node), nv, dm3)
         |SELECT node, round(rank, 12) AS rank_r12 FROM r3""".stripMargin,
     "c7_weighted_sample" ->
       """WITH toks AS (

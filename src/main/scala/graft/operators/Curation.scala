@@ -121,7 +121,16 @@ object Curation {
     * (`sparkContext.setCheckpointDir`), rounds checkpoint there instead —
     * durable blocks that survive executor loss mid-loop on a cluster.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponentsCounted(pairs, aCol, bCol)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — exposed so the scale spec can assert the O(log diameter)
+    * claim directly (a 50k chain must converge in ~2·log₂ rounds, not
+    * O(diameter)).
+    */
+  private[graft] def connectedComponentsCounted(
+      pairs: DataFrame, aCol: String, bCol: String): (DataFrame, Int) = {
     def materialize(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
@@ -159,7 +168,7 @@ object Curation {
       prevSum = s
       labels = next
     }
-    labels
+    (labels, rounds)
   }
 
   /** Near-dup resolution: cluster assignment + size + canonical doc flag
@@ -341,6 +350,63 @@ object Curation {
     }
     e.unpersist()
     nodes.unpersist()
+    ranks
+  }
+
+  /** PageRank with per-round dangling-mass redistribution: the rank mass
+    * sitting on SINK nodes (no out-edges — real domain graphs are full of
+    * them) is folded back uniformly into every node each round, so total
+    * rank stays 1 instead of leaking ([[pageRankLite]]'s documented
+    * contract for sink-free graphs). Same exactness discipline: the
+    * dangling mass is one decimal SUM per round (order-independent,
+    * cast to double once), every remaining op is a single IEEE
+    * operation on identical float64 inputs, so a SQL oracle unrolling
+    * the same rounds matches bitwise.
+    *
+    * Scale shape per iteration adds ONE scalar aggregation (the dangling
+    * sum — an anti-join-shaped left join against the broadcast outdeg
+    * frame) to pageRankLite's join + agg; the one-row result broadcasts
+    * back. Still O(1) plan depth via localCheckpoint.
+    */
+  def pageRankDangling(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(sum(col("rank").cast(DecimalType(38, 18))).cast("double").as("dm"))
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+      val summed = contribs.groupBy("node")
+        .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(dangling))
+        .select(
+          col("node"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
+              coalesce(col("dm"), lit(0.0)) / col("n"))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     ranks
   }
 }

@@ -126,6 +126,56 @@ object Scd2 {
     marked.unionByName(newRows).unionByName(reinserted)
   }
 
+  /** Partition column of [[applyZoned]] history zones: the DAY a version
+    * expired ('9999-12-31' for current rows).
+    */
+  val ExpiredDay = "expired_day"
+
+  /** SCD2 into a day-partitioned history zone — the at-scale form of
+    * [[apply]]. A flat history zone rewrites the ENTIRE history every
+    * round: O(|history|) daily writes that grow without bound — by year
+    * three the nightly job rewrites a thousand days of dead versions to
+    * close a few thousand rows. Partitioning the zone by expiry day makes
+    * each round touch exactly TWO partitions:
+    *
+    *   - the sentinel partition (the live set — rewritten with survivors
+    *     + brand-new + re-inserted rows),
+    *   - today's partition (the rows this run expired — created).
+    *
+    * Historical partitions are never read (the current-rows scan prunes
+    * to the sentinel directory) nor written (dynamic partition
+    * overwrite), so daily cost is O(|live| + |churn|), flat in corpus
+    * age. Correctness: [[apply]] passes non-current rows through
+    * untouched (expiry requires currentness), so the zone's union equals
+    * the flat form — asserted by the scd3 gate against the same oracle
+    * as scd2_two_rounds, and by Scd2Spec's partition-level file audit.
+    */
+  def applyZoned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      staging: DataFrame,
+      matchKey: Seq[String],
+      expireKey: Seq[String],
+      compareCols: Seq[String],
+      runTs: Column,
+      sentinel: Column = lit(SentinelTs).cast("timestamp"),
+      keyNorm: Column => Column = identity,
+      tsType: String = "timestamp"): Unit = {
+    val current =
+      if (!new java.io.File(path).exists()) emptyHistory(staging, tsType)
+      else spark.read.parquet(path)
+        // partition filter on a constant-foldable literal → static pruning
+        .filter(col(ExpiredDay) === date_format(sentinel, "yyyy-MM-dd"))
+        .drop(ExpiredDay)
+    val next = apply(current, staging, matchKey, expireKey, compareCols, runTs, sentinel, keyNorm)
+    next
+      .withColumn(ExpiredDay, date_format(col(ExpiredAt), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(ExpiredDay)
+      .parquet(path)
+  }
+
   /** Same as `apply`, also computing the reference's OUT-param counts
     * (rowsInput / rowsInserted / rowsExpired). Triggers extra jobs.
     */

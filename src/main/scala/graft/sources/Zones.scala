@@ -276,6 +276,12 @@ object Zones {
     fs.delete(target, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path + TmpSuffix), target))
       throw new java.io.IOException(s"swap rename failed for $path")
+    // the rename happened at the filesystem level, behind Spark's back:
+    // drop cached file listings/relations for the path or a later read in
+    // the same session can resolve to the replaced (deleted) files —
+    // surfaced by DailyRunScaleSpec once compaction re-read and re-swapped
+    // the same zone within one session
+    spark.catalog.refreshByPath(path)
   }
 
   private val TmpSuffix = ".__tmp__"

@@ -16,6 +16,34 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: 50k chain + stars converge in O(log n) rounds, flat plan") {
+    import spark.implicits._
+    val n = 50000L
+    // worst-case diameter (one chain of 50k nodes) mixed with wide stars
+    // (hub h=even-10k ← 20 leaves each): label propagation alone would
+    // need O(diameter) = 50k rounds on the chain — the pointer-jumping
+    // (path-halving) step must collapse it geometrically
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val stars = (0L until 10L).flatMap(h =>
+      (1L to 20L).map(leaf => (1000000L + h, 2000000L + h * 100 + leaf)))
+    val pairs = (chain ++ stars).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Curation.connectedComponentsCounted(pairs, "id_a", "id_b")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"$rounds rounds for a $n-chain — bound $bound (O(log n)) violated")
+    // correctness at this scale: the whole chain is ONE component labeled
+    // by its min id, each star keeps its hub's label
+    val byLabel = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byLabel(0L) == n, s"chain component size ${byLabel.get(0L)}")
+    (0L until 10L).foreach(h => assert(byLabel(1000000L + h) == 21L))
+    // plan depth stays O(1) across rounds: every round re-roots on a
+    // checkpoint leaf, so the FINAL frame's physical plan must be scan-
+    // shaped, not a 30-round join tower
+    val planLen = labels.queryExecution.executedPlan.toString.length
+    assert(planLen < 2000, s"final plan $planLen chars — lineage accumulated across rounds")
+  }
+
   test("dupClusters marks exactly one canonical doc per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

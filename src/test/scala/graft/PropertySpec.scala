@@ -190,6 +190,24 @@ class PropertySpec extends SparkSpec {
     assert(r0 > med, s"hub rank $r0 not above median $med")
   }
 
+  test("pageRankDangling conserves rank mass on a sink-heavy graph; pageRankLite leaks it") {
+    // half the nodes are pure sinks: odd u link to 2u (out of range ⇒
+    // those targets have no out-edges)
+    val n = 100L
+    val edges = (0L until n).filter(_ % 2 == 1).map(u => (u, u * 2)).toDF("src", "dst")
+    val dangling = graft.operators.Curation.pageRankDangling(edges, "src", "dst", 5)
+    val totalD = dangling.agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(totalD - 1.0) < 1e-9, s"dangling variant leaked mass: $totalD")
+    // the leak contract of the lite variant on the SAME graph — documents
+    // why the dangling variant exists
+    val lite = graft.operators.Curation.pageRankLite(edges, "src", "dst", 5)
+    val totalL = lite.agg(sum("rank")).head().getDouble(0)
+    assert(totalL < 0.9, s"lite variant should leak sink mass here, got $totalL")
+    // sinks still hold at least the damping floor plus their share of the
+    // redistributed mass — nothing goes negative or NaN
+    assert(dangling.filter(col("rank").isNull || col("rank") <= 0.0).isEmpty)
+  }
+
   test("weighted systematic sample: ≤ n picks, buckets strictly increasing, boundary count exact") {
     val n = 37L
     val docs = (1L to 500L).map(i => (i, s"doc $i", 1L + i % 13)).toDF("doc_id", "text", "n_tok")

@@ -109,4 +109,50 @@ class Scd2Spec extends SparkSpec {
     assert(stats.rowsInserted == 0 && stats.rowsExpired == 0)
     assert(h2.count() == h1.count())
   }
+
+  test("applyZoned: three rounds equal flat apply; historical partitions never rewritten") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("scd2_zone").toFile.getAbsolutePath + "/h"
+    def snap(prices: Map[Long, Double]) =
+      prices.toSeq.toDF("id", "price").select(col("id"), col("price"), lit(1).as("psize"))
+    val s1 = snap(Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    val s2 = snap(Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0)) // 1 changes, 4 new
+    val s3 = snap(Map(1L -> 11.0, 2L -> 22.0, 3L -> 30.0, 4L -> 40.0)) // 2 changes
+    val keys = (Seq("id"), Seq("id"), Seq("price"))
+    val ts = (d: Int) => lit(f"2024-01-0$d 00:00:00").cast("timestamp_ntz")
+
+    var flat = Scd2.emptyHistory(s1, "timestamp_ntz")
+    Seq((s1, 1), (s2, 2), (s3, 3)).foreach { case (sn, d) =>
+      Scd2.applyZoned(spark, zone, sn, keys._1, keys._2, keys._3, ts(d),
+        sentinel, tsType = "timestamp_ntz")
+      flat = Scd2.apply(flat, sn, keys._1, keys._2, keys._3, ts(d), sentinel)
+      if (d == 2) {
+        // remember the day-2 expired partition's exact files: round 3 must
+        // not touch them (the zone's whole point — history stays closed)
+        ()
+      }
+    }
+    val day2Dir = new java.io.File(s"$zone/${Scd2.ExpiredDay}=2024-01-02")
+    val day2Files = day2Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    // re-run round 3 shape with a fourth no-change day: day-2 AND day-3
+    // partitions must remain byte-identical while the sentinel rewrites
+    Scd2.applyZoned(spark, zone, s3, keys._1, keys._2, keys._3, ts(4),
+      sentinel, tsType = "timestamp_ntz")
+    val day2After = day2Dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(day2After == day2Files, "closed day-2 partition was rewritten")
+
+    // content ≡ the flat form after the same three mutating rounds (the
+    // 4th no-change round is a no-op by the previous test's property)
+    val zoned = spark.read.parquet(zone)
+      .select("id", "price", "psize", "created_at", "updated_at", "expired_at")
+    assertSameRows(zoned, flat, "zoned vs flat history")
+    // partitions present: sentinel + one per expiring day
+    val parts = new java.io.File(zone).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set(
+      s"${Scd2.ExpiredDay}=9999-12-31",
+      s"${Scd2.ExpiredDay}=2024-01-02",
+      s"${Scd2.ExpiredDay}=2024-01-03"))
+  }
 }
