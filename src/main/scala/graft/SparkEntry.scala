@@ -413,6 +413,32 @@ object SparkEntry {
           (abs(col("approx_parts") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
             .as("within_5pct"))
     }),
+    // MERGEABLE distinct-count sketches (Datasketches HLL builtins):
+    // per-month sketch states unioned WITHOUT rescanning raw rows — the
+    // at-scale incremental form of COUNT DISTINCT, where daily/monthly
+    // states persist and any rollup is a union of states. Emits the
+    // exact count plus two floors as data: the union estimate within 5%
+    // of exact, and union-of-parts within 2% of the single-shot sketch
+    // (not bit-equal: HLL mode transitions — sparse coupon list vs dense
+    // registers — make union-of-parts a slightly different state;
+    // measured gap ≤0.6% at sf0.01/0.1).
+    "a19_hll_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val monthly = li
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val merged = monthly.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
+      val single = li.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("single_est"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      merged.crossJoin(single).select(
+        col("n_exact"),
+        (abs(col("merged_est") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("within_5pct"),
+        (abs(col("merged_est") - col("single_est")).cast("double") / col("single_est") <= 0.02)
+          .as("merge_within_2pct"))
+    }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2169,6 +2195,10 @@ object SparkEntry {
     "a10_hll_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a19_hll_merge" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS within_5pct, TRUE AS merge_within_2pct
+        |FROM lineitem""".stripMargin,
     "a13_approx_quantiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS p50_exact,

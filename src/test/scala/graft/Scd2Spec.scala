@@ -154,5 +154,21 @@ class Scd2Spec extends SparkSpec {
       s"${Scd2.ExpiredDay}=9999-12-31",
       s"${Scd2.ExpiredDay}=2024-01-02",
       s"${Scd2.ExpiredDay}=2024-01-03"))
+
+    // never-READ proof (the file audit above is the never-WRITTEN half):
+    // the current-rows read applyZoned plans must prune statically to the
+    // sentinel directory — partition filter in the scan, input files all
+    // from the sentinel partition
+    val cur = spark.read.parquet(zone)
+      .filter(col(Scd2.ExpiredDay) === date_format(sentinel, "yyyy-MM-dd"))
+    val leaf = cur.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(leaf.toString.contains("PartitionFilters") && leaf.toString.contains(Scd2.ExpiredDay),
+      s"no partition filter in sentinel scan:\n$leaf")
+    // inputFiles would lie here (it lists the whole relation, ignoring
+    // partition filters) — selectedPartitions is what the scan will read
+    val scanned = leaf.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"${Scd2.ExpiredDay}=9999-12-31")),
+      s"sentinel read touches closed partitions: ${scanned.mkString(",")}")
   }
 }
