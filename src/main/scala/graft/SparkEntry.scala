@@ -749,11 +749,8 @@ object SparkEntry {
       val (snap1, snap2) = scdSnaps(s, dir)
       val zone = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_scd3_zone").getAbsolutePath
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(zone)) // deterministic location, cleaned before re-use
+      // deterministic location, cleaned before re-use (Hadoop FS delete)
+      graft.sources.Zones.delete(s, zone)
       Scd2.applyZoned(s, zone, snap1,
         Seq("id"), Seq("id"), Seq("price", "psize"), ts1, sentinel, tsType = "timestamp_ntz")
       Scd2.applyZoned(s, zone, snap2,
@@ -1016,8 +1013,8 @@ object SparkEntry {
     "d4_simhash_pairs" -> ((s, dir) => {
       val corpus = nearDupCorpus(s, dir)
       val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
-      val planted = corpus.filter(col("doc_id") < 20000 && col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 20000).as("id_b"))
+      val planted = corpus.filter(col("doc_id") < NearDupOffset && col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + NearDupOffset).as("id_b"))
       val recalled = planted
         .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
       // measured planted recall is deterministic ≈0.37–0.41 across sf
@@ -1033,8 +1030,8 @@ object SparkEntry {
     // original (levenshtein is exact-integer in both engines).
     "d5_edit_distance" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = nearDupCorpus(s, dir).filter(col("doc_id") >= 20000)
-        .select((col("doc_id") - 20000).as("doc_id"), col("text").as("text_mut"))
+      val mutated = nearDupCorpus(s, dir).filter(col("doc_id") >= NearDupOffset)
+        .select((col("doc_id") - NearDupOffset).as("doc_id"), col("text").as("text_mut"))
       docs.join(mutated, "doc_id")
         .select(
           col("doc_id"),
@@ -1518,11 +1515,7 @@ object SparkEntry {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_z1_zone").getAbsolutePath
       s.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
+      Zones.delete(s, tmp) // scheme-agnostic (Hadoop FS) recursive delete
       val orders = t(s, dir, "orders")
         .withColumn("year_sk", year(col("o_orderdate")))
         .select("o_orderkey", "o_custkey", "o_totalprice", "year_sk")
@@ -2079,11 +2072,24 @@ object SparkEntry {
       (col("n_hit").cast("double") / nQueries >= 0.9).as("recall_ge_090"))
   }
 
+  /** Mutation-id offset of [[nearDupCorpus]]: mutated copies land at
+    * doc_id + 20000. Verified at corpus construction — if the documents
+    * table ever carried ids ≥ the offset (a larger SF), mutated ids would
+    * COLLIDE with originals and every planted-truth count would silently
+    * diverge from its oracle; failing loudly here is the guard. The d4
+    * oracle mirrors the same `doc_id < 20000` bound.
+    */
+  private val NearDupOffset = 20000L
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
+    val maxId = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    require(maxId < NearDupOffset,
+      s"documents doc_id max $maxId collides with the nearDupCorpus mutation " +
+        s"offset $NearDupOffset — raise the offset for this scale factor")
     docs.unionByName(
       docs.filter(col("doc_id") % 5 === 0).select(
-        (col("doc_id") + 20000).as("doc_id"),
+        (col("doc_id") + NearDupOffset).as("doc_id"),
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 6, 1000000)).as("text")))
   }
 
@@ -2207,7 +2213,7 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "d4_simhash_pairs" ->
       """SELECT COUNT(*) AS n_planted, TRUE AS recall_ge_030
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 5 = 0 AND doc_id < 20000""".stripMargin,
     "k2_knn_lsh" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
         |  TRUE AS recall_ge_090""".stripMargin,

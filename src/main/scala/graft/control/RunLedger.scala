@@ -74,6 +74,15 @@ object RunLedger {
     (ledger.unionByName(row), nextId)
   }
 
+  /** The reference SP's exact SUCCESS message format
+    * (db_control_sql.sql:279-307) — shared so callers composing a longer
+    * message (e.g. the daily pipeline appending a quarantine report)
+    * keep the verbatim prefix the sp3 gate checks.
+    */
+  def statsMessage(s: graft.operators.ScdStats): String =
+    s"SCD Type 2 completed successfully. Rows Processed: ${s.rowsInput}. " +
+      s"New Rows Inserted: ${s.rowsInserted}. Old Rows Expired (Updated): ${s.rowsExpired}."
+
   /** Close a run: SP_ETL_Update_Log_Status semantics — format the SCD2
     * stats message and update the row (db_control_sql.sql:279-307).
     */
@@ -84,9 +93,7 @@ object RunLedger {
       endTs: String,
       stats: Option[graft.operators.ScdStats] = None,
       messageOverride: Option[String] = None): DataFrame = {
-    val message = stats.map(s =>
-      s"SCD Type 2 completed successfully. Rows Processed: ${s.rowsInput}. " +
-        s"New Rows Inserted: ${s.rowsInserted}. Old Rows Expired (Updated): ${s.rowsExpired}.")
+    val message = stats.map(statsMessage)
       .orElse(messageOverride)
       .getOrElse(status)
     val updated = ledger.filter(col("id") === id)

@@ -114,17 +114,42 @@ object SqlRegistry {
     */
   private[graft] def splitStatements(body: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var inQuote = false
-    body.foreach {
-      case '\'' => inQuote = !inQuote; sb += '\''
-      case ';' if !inQuote =>
-        val s = sb.result().trim; if (s.nonEmpty) out += s; sb.clear()
-      case c => sb += c
+    var segStart = 0
+    var i = 0
+    def emit(end: Int): Unit = {
+      val s = body.substring(segStart, end).trim
+      if (s.nonEmpty) out += s
     }
-    val last = sb.result().trim
-    if (last.nonEmpty) out += last
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '\'' => i = skipLiteral(body, i)
+        case ';' => emit(i); segStart = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    emit(body.length)
     out.result()
+  }
+
+  /** With `s(start) == '\''` opening a string literal, return the index
+    * just past its closing quote — honoring MySQL's escape forms: a
+    * doubled `''` and a backslash-escaped `\'` are literal CONTENT, not
+    * terminators (a naive toggle would invert the in-quote state on them
+    * and let later rewrites edit text inside literals). Unterminated →
+    * `s.length`.
+    */
+  private def skipLiteral(s: String, start: Int): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => i += 2
+        case '\'' =>
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+          else return i + 1
+        case _ => i += 1
+      }
+    }
+    s.length
   }
 
   /** Split on top-level commas (outside quotes and parentheses) — for SET
@@ -132,19 +157,23 @@ object SqlRegistry {
     */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var inQuote = false
+    var segStart = 0
     var depth = 0
-    s.foreach {
-      case '\'' => inQuote = !inQuote; sb += '\''
-      case '(' if !inQuote => depth += 1; sb += '('
-      case ')' if !inQuote => depth -= 1; sb += ')'
-      case c if c == sep && !inQuote && depth == 0 =>
-        val part = sb.result().trim; if (part.nonEmpty) out += part; sb.clear()
-      case c => sb += c
+    var i = 0
+    def emit(end: Int): Unit = {
+      val part = s.substring(segStart, end).trim
+      if (part.nonEmpty) out += part
     }
-    val last = sb.result().trim
-    if (last.nonEmpty) out += last
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = skipLiteral(s, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c == sep && depth == 0 => emit(i); segStart = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    emit(s.length)
     out.result()
   }
 
@@ -169,23 +198,24 @@ object SqlRegistry {
     * matched through nested calls and string literals.
     */
   private def findCall(s: String, name: String, from: Int): Option[(Int, Int, Int)] = {
-    var inQuote = false
     var i = from
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inQuote = !inQuote; i += 1 }
-      else if (!inQuote && s.regionMatches(true, i, name, 0, name.length) &&
+      if (c == '\'') i = skipLiteral(s, i)
+      else if (s.regionMatches(true, i, name, 0, name.length) &&
         (i == 0 || !isWordChar(s.charAt(i - 1)))) {
         var j = i + name.length
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
         if (j < s.length && s.charAt(j) == '(') {
-          var depth = 0; var q = false; var k = j
+          var depth = 0; var k = j
           while (k < s.length) {
-            val ck = s.charAt(k)
-            if (ck == '\'') q = !q
-            else if (!q && ck == '(') depth += 1
-            else if (!q && ck == ')') { depth -= 1; if (depth == 0) return Some((i, j, k)) }
-            k += 1
+            s.charAt(k) match {
+              case '\'' => k = skipLiteral(s, k)
+              case '(' => depth += 1; k += 1
+              case ')' =>
+                depth -= 1; if (depth == 0) return Some((i, j, k)); k += 1
+              case _ => k += 1
+            }
           }
           return None // unbalanced — leave untouched
         } else i += 1
@@ -198,22 +228,28 @@ object SqlRegistry {
     * quotes and parens) into (expression, type).
     */
   private def splitCastAs(inner: String): Option[(String, String)] = {
-    var depth = 0; var q = false; var idx = -1; var i = 0
-    while (i + 4 <= inner.length) {
+    var depth = 0; var idx = -1; var i = 0
+    while (i < inner.length) {
       inner.charAt(i) match {
-        case '\'' => q = !q
-        case '(' if !q => depth += 1
-        case ')' if !q => depth -= 1
+        case '\'' => i = skipLiteral(inner, i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
         case _ =>
-          if (!q && depth == 0 && inner.regionMatches(true, i, " AS ", 0, 4)) idx = i
+          if (depth == 0 && inner.regionMatches(true, i, " AS ", 0, 4)) idx = i
+          i += 1
       }
-      i += 1
     }
     if (idx < 0) None
     else Some((inner.substring(0, idx).trim, inner.substring(idx + 4).trim))
   }
 
   private val DecimalTypeRe = """(?is)^DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$""".r
+
+  /** A numeric LITERAL argument (optionally signed/parenthesized) — the
+    * one input class where MySQL's numeric CAST does NOT use string
+    * prefix-parsing but true numeric conversion (rounding).
+    */
+  private val NumericLiteralRe = """(?s)^\(*\s*-?[0-9]+(\.[0-9]+)?\s*\)*$""".r
 
   /** MySQL's deployed numeric-cast semantics (verified against the live
     * PRODUCTS_TRANSFORM dump, db_staging.sql:4636 ff.): CAST of a string
@@ -225,6 +261,20 @@ object SqlRegistry {
     * character class ([.]) instead of a backslash escape so it survives
     * Spark's string-literal escape parsing unchanged. Non-numeric CASTs
     * (CHAR, DATE, …) pass through.
+    *
+    * Scope: numeric LITERALS keep MySQL's true numeric conversion —
+    * `CAST(1.6 AS SIGNED)` ROUNDS to 2 in MySQL, where both Spark's cast
+    * and a stringified prefix-parse would truncate to 1 — so they rewrite
+    * to `ROUND` + cast instead of the prefix parse. Non-literal
+    * NUMERIC-TYPED expressions (no schema is visible at this string
+    * layer) get the string semantics; every such cast the dump
+    * verification covers is string-typed, and the divergence (MySQL
+    * rounds, prefix-parse truncates) is documented here by design.
+    * Note `$e` appears twice in the emitted CASE (NULL probe + extract):
+    * fine for the deterministic column refs procedure bodies contain,
+    * would double-evaluate a nondeterministic call — none exist in the
+    * reference, and Spark has no LET binding inside expressions short of
+    * restructuring the whole statement.
     */
   private[graft] def rewriteMysqlCasts(stmt: String): String =
     findCall(stmt, "CAST", 0) match {
@@ -233,14 +283,20 @@ object SqlRegistry {
         val inner = rewriteMysqlCasts(stmt.substring(open + 1, close)) // nested casts first
         val replaced = splitCastAs(inner) match {
           case Some((e, t)) if t.equalsIgnoreCase("SIGNED") =>
-            s"CASE WHEN ($e) IS NULL THEN TRY_CAST(NULL AS BIGINT) ELSE " +
-              s"COALESCE(TRY_CAST(REGEXP_EXTRACT($e, '^-?[0-9]+', 0) AS BIGINT), 0) END"
+            if (NumericLiteralRe.findFirstIn(e.trim).isDefined)
+              s"CAST(ROUND($e) AS BIGINT)" // MySQL rounds numeric input
+            else
+              s"CASE WHEN ($e) IS NULL THEN TRY_CAST(NULL AS BIGINT) ELSE " +
+                s"COALESCE(TRY_CAST(REGEXP_EXTRACT($e, '^-?[0-9]+', 0) AS BIGINT), 0) END"
           case Some((e, t)) if DecimalTypeRe.findFirstIn(t).isDefined =>
             val m = DecimalTypeRe.findFirstMatchIn(t).get
             val ty = s"DECIMAL(${m.group(1)},${m.group(2)})"
-            s"CASE WHEN ($e) IS NULL THEN TRY_CAST(NULL AS $ty) ELSE " +
-              s"COALESCE(TRY_CAST(REGEXP_EXTRACT($e, '^-?[0-9]*[.]?[0-9]+', 0) AS $ty), " +
-              s"CAST(0 AS $ty)) END"
+            if (NumericLiteralRe.findFirstIn(e.trim).isDefined)
+              s"CAST($e AS $ty)" // Spark's decimal cast rounds like MySQL
+            else
+              s"CASE WHEN ($e) IS NULL THEN TRY_CAST(NULL AS $ty) ELSE " +
+                s"COALESCE(TRY_CAST(REGEXP_EXTRACT($e, '^-?[0-9]*[.]?[0-9]+', 0) AS $ty), " +
+                s"CAST(0 AS $ty)) END"
           case _ => s"CAST($inner)"
         }
         stmt.substring(0, s0) + replaced + rewriteMysqlCasts(stmt.substring(close + 1))

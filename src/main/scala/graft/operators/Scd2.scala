@@ -140,15 +140,33 @@ object Scd2 {
     *
     *   - the sentinel partition (the live set — rewritten with survivors
     *     + brand-new + re-inserted rows),
-    *   - today's partition (the rows this run expired — created).
+    *   - the runTs-day partition (the rows this run expired — created, or,
+    *     on a same-day rerun, rewritten with earlier tombstones preserved:
+    *     the day partition is READ back in, its rows pass through [[apply]]
+    *     untouched because expiry requires currentness, and the dynamic
+    *     overwrite re-emits them alongside the new run's tombstones).
     *
-    * Historical partitions are never read (the current-rows scan prunes
-    * to the sentinel directory) nor written (dynamic partition
+    * Closed historical partitions are never read (the `isin` filter on the
+    * partition column is constant-foldable → static pruning to the
+    * sentinel + runTs-day directories) nor written (dynamic partition
     * overwrite), so daily cost is O(|live| + |churn|), flat in corpus
     * age. Correctness: [[apply]] passes non-current rows through
-    * untouched (expiry requires currentness), so the zone's union equals
-    * the flat form — asserted by the scd3 gate against the same oracle
-    * as scd2_two_rounds, and by Scd2Spec's partition-level file audit.
+    * untouched, so the zone's union equals the flat form — asserted by
+    * the scd3 gate against the same oracle as scd2_two_rounds, and by
+    * Scd2Spec's partition-level file audit (incl. the same-day rerun).
+    *
+    * Reruns within one day must use a strictly later `runTs` (wall-clock
+    * does this naturally); with an IDENTICAL runTs the second run's
+    * inserted/expired stats would also count the first run's rows.
+    *
+    * Timezone contract: with `tsType = "timestamp"` the stored sentinel
+    * instant and the derived `expired_day` both depend on the session
+    * timezone — a zone written under TZ A and processed under TZ B would
+    * miss every live row and re-insert the whole set as duplicates. The
+    * zone pins its timezone in a `_graft_scd2_tz` marker on first write
+    * and later runs fail fast (named error) on a mismatch instead of
+    * silently corrupting. `timestamp_ntz` (what the production pipeline
+    * uses) is TZ-independent and needs no marker.
     */
   def applyZoned(
       spark: org.apache.spark.sql.SparkSession,
@@ -160,20 +178,123 @@ object Scd2 {
       runTs: Column,
       sentinel: Column = lit(SentinelTs).cast("timestamp"),
       keyNorm: Column => Column = identity,
-      tsType: String = "timestamp"): Unit = {
+      tsType: String = "timestamp",
+      runDay: Option[String] = None): Unit = {
+    zoned(spark, path, staging, matchKey, expireKey, compareCols, runTs,
+      sentinel, keyNorm, tsType, runDay, withStats = false)
+    ()
+  }
+
+  /** [[applyZoned]] + the reference SP's OUT-param counts (same contract
+    * as [[applyWithStats]]) — the form the production pipeline uses.
+    */
+  def applyZonedWithStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      staging: DataFrame,
+      matchKey: Seq[String],
+      expireKey: Seq[String],
+      compareCols: Seq[String],
+      runTs: Column,
+      sentinel: Column = lit(SentinelTs).cast("timestamp"),
+      keyNorm: Column => Column = identity,
+      tsType: String = "timestamp",
+      runDay: Option[String] = None): ScdStats =
+    zoned(spark, path, staging, matchKey, expireKey, compareCols, runTs,
+      sentinel, keyNorm, tsType, runDay, withStats = true).get
+
+  private def zoned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      staging: DataFrame,
+      matchKey: Seq[String],
+      expireKey: Seq[String],
+      compareCols: Seq[String],
+      runTs: Column,
+      sentinel: Column,
+      keyNorm: Column => Column,
+      tsType: String,
+      runDay: Option[String],
+      withStats: Boolean): Option[ScdStats] = {
+    checkZoneTz(spark, path, tsType)
+    // the two touched partition VALUES as driver-side literals: the
+    // sentinel day is a constant; the run day comes from the caller (the
+    // pipeline already has it) or one local 1-row eval of runTs
+    val Array(sentinelDay, day) = runDay match {
+      case Some(d) =>
+        Array(evalDays(spark, date_format(sentinel, "yyyy-MM-dd"))(0), d)
+      case None =>
+        evalDays(spark, date_format(sentinel, "yyyy-MM-dd"), date_format(runTs, "yyyy-MM-dd"))
+    }
     val current =
-      if (!new java.io.File(path).exists()) emptyHistory(staging, tsType)
+      if (!graft.sources.Zones.exists(spark, path)) emptyHistory(staging, tsType)
       else spark.read.parquet(path)
-        // partition filter on a constant-foldable literal → static pruning
-        .filter(col(ExpiredDay) === date_format(sentinel, "yyyy-MM-dd"))
+        // same-day rerun safety: today's partition rides along so dynamic
+        // overwrite re-emits earlier tombstones instead of dropping them
+        .filter(col(ExpiredDay).isin(sentinelDay, day))
         .drop(ExpiredDay)
-    val next = apply(current, staging, matchKey, expireKey, compareCols, runTs, sentinel, keyNorm)
+    val (next, stats) =
+      if (withStats) {
+        val (n, st) = applyWithStats(
+          current, staging, matchKey, expireKey, compareCols, runTs, sentinel, keyNorm)
+        (n, Some(st))
+      } else
+        (apply(current, staging, matchKey, expireKey, compareCols, runTs, sentinel, keyNorm),
+          None)
     next
       .withColumn(ExpiredDay, date_format(col(ExpiredAt), "yyyy-MM-dd"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(ExpiredDay)
       .parquet(path)
+    stampZoneTz(spark, path, tsType)
+    stats
+  }
+
+  private def evalDays(
+      spark: org.apache.spark.sql.SparkSession, exprs: Column*): Array[String] = {
+    val row = spark.range(1).select(exprs: _*).head()
+    Array.tabulate(exprs.length)(row.getString)
+  }
+
+  private val TzMarker = "_graft_scd2_tz"
+
+  /** Fail fast when a `timestamp`-typed zone is processed under a session
+    * timezone other than the one it was written with (see [[applyZoned]]'s
+    * timezone contract).
+    */
+  private def checkZoneTz(
+      spark: org.apache.spark.sql.SparkSession, path: String, tsType: String): Unit = {
+    if (tsType != "timestamp") return // ntz representations are TZ-independent
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val marker = new org.apache.hadoop.fs.Path(path, TzMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val written =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (written != tz)
+        throw new IllegalStateException(
+          s"graft SCD2 zone timezone mismatch at $path: zone written under " +
+            s"session timezone '$written' but this session runs '$tz' — " +
+            "timestamp-typed sentinel/expired_day values would shift and the " +
+            "run would re-insert the whole live set. Set " +
+            s"spark.sql.session.timeZone=$written or rebuild the zone.")
+    }
+  }
+
+  private def stampZoneTz(
+      spark: org.apache.spark.sql.SparkSession, path: String, tsType: String): Unit = {
+    if (tsType != "timestamp") return
+    val marker = new org.apache.hadoop.fs.Path(path, TzMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(
+        spark.sessionState.conf.sessionLocalTimeZone.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Same as `apply`, also computing the reference's OUT-param counts

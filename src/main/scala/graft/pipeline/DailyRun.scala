@@ -56,7 +56,7 @@ object DailyRun {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/process_log"
     val ledger0 =
-      if (new java.io.File(ledgerPath).exists()) Zones.read(spark, ledgerPath)
+      if (Zones.exists(spark, ledgerPath)) Zones.read(spark, ledgerPath)
       else RunLedger.empty(spark)
     // gates BEFORE registering (the reference's livelock, inverted)
     if (RunLedger.ranToday(ledger0, ProcessName, runDate) ||
@@ -85,32 +85,40 @@ object DailyRun {
       runDate: String,
       ledgerPath: String,
       runId: Long): String = {
-    // [3] landing → staging raw (truncate-and-load)
-    val raw = readLanding(spark, landingDir, runTs)
+    // [3] landing → staging raw (truncate-and-load). Corrupt landing
+    // files are quarantined, counted, and SURFACED in the run ledger —
+    // at warehouse scale one truncated upload must neither kill the
+    // nightly nor silently shrink the row counts (Zones.readRobust).
+    val (raw, quarantined) = readLanding(spark, landingDir, runTs)
     Zones.overwriteAll(raw, s"$whDir/staging/products_general")
 
-    // [4] clean + SCD2 against the history zone
+    // [4] clean + SCD2 into the expiry-day-partitioned history zone: each
+    // run rewrites ONLY the sentinel (live) partition and today's expired
+    // partition — O(live + churn) daily, flat in history age. The flat
+    // form rewrote the whole zone (O(all history)) and by year three
+    // would rewrite a thousand closed days nightly to expire a few
+    // thousand rows.
     val dimDate = ensureDimDate(spark, whDir)
     val cleaned = ProductPipeline.clean(
       Zones.read(spark, s"$whDir/staging/products_general"), dimDate)
     val historyPath = s"$whDir/staging/products_expired"
-    val history0 =
-      if (new java.io.File(historyPath).exists()) Zones.read(spark, historyPath)
-      else Scd2.emptyHistory(cleaned, "timestamp_ntz")
-    val (history1, stats) = ProductPipeline.scdUpdate(
-      history0, cleaned, lit(runTs).cast("timestamp_ntz"))
-    Zones.overwriteSwap(history1, historyPath)
+    val stats = ProductPipeline.scdUpdateZoned(
+      spark, historyPath, cleaned, lit(runTs).cast("timestamp_ntz"), runDate)
 
-    // [5] dims
+    // [5] dims — read ONLY the sentinel partition (loadDims consumes just
+    // the current rows; the partition filter prunes the scan statically,
+    // so closed history is never touched)
     val sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz")
     val history = Zones.read(spark, historyPath)
+      .filter(col(Scd2.ExpiredDay) === date_format(sentinel, "yyyy-MM-dd"))
+      .drop(Scd2.ExpiredDay)
     val brandPath = s"$whDir/warehouse/dim_brand"
     val productPath = s"$whDir/warehouse/dim_product"
     val brand0 =
-      if (new java.io.File(brandPath).exists()) Zones.read(spark, brandPath)
+      if (Zones.exists(spark, brandPath)) Zones.read(spark, brandPath)
       else ProductPipeline.emptyDimBrand(spark)
     val product0 =
-      if (new java.io.File(productPath).exists()) Zones.read(spark, productPath)
+      if (Zones.exists(spark, productPath)) Zones.read(spark, productPath)
       else ProductPipeline.emptyDimProduct(spark)
     val (brand1, product1) = ProductPipeline.loadDims(history, brand0, product0, sentinel)
     // stage BOTH before swapping either: product1's plan reads the current
@@ -142,34 +150,45 @@ object DailyRun {
       ProductPipeline.datamartQuarterly(aggregate, dimDate),
       s"$whDir/datamart/dm_product_quarterly_trend")
 
+    val message = RunLedger.statsMessage(stats) + (
+      if (quarantined.isEmpty) ""
+      else s" QUARANTINED ${quarantined.size} corrupt landing file(s) to " +
+        s"${Zones.quarantineDir(landingDir)}.")
     val done = RunLedger.finishRun(
-      Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs, Some(stats))
+      Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
+      messageOverride = Some(message))
     Zones.overwriteSwap(done, ledgerPath)
     "SUCCESS"
   }
 
-  private def readLanding(spark: SparkSession, landingDir: String, runTs: String): DataFrame = {
+  /** Returns the landing frame plus any quarantined corrupt-file paths
+    * (parquet landing only; CSV rows are line-structured and parse
+    * permissively).
+    */
+  private def readLanding(
+      spark: SparkSession, landingDir: String, runTs: String): (DataFrame, Seq[String]) = {
     val rawSchema = org.apache.spark.sql.types.StructType(
       Seq("TEN", "LINK", "LINK_ANH", "GIA_CU", "GIA_MOI", "KICH_THUOC_MAN_HINH", "RAM", "BO_NHO")
         .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))
         .prepended(org.apache.spark.sql.types.StructField("ID", org.apache.spark.sql.types.IntegerType))
         .appended(org.apache.spark.sql.types.StructField("NGAY", org.apache.spark.sql.types.TimestampNTZType))
         .appended(org.apache.spark.sql.types.StructField("ID_CONFIG", org.apache.spark.sql.types.IntegerType)))
-    CsvIngest.latestByMtime(landingDir) match {
+    CsvIngest.latestByMtime(
+        landingDir, hadoopConf = spark.sessionState.newHadoopConf()) match {
       case Some(csv) =>
-        CsvIngest.readAligned(
+        (CsvIngest.readAligned(
           spark, csv, rawSchema,
           stamps = Map(
             "NGAY" -> lit(runTs).cast("timestamp_ntz"),
-            "ID_CONFIG" -> coalesce(col("SITE_ID").try_cast("int"), lit(1))))
+            "ID_CONFIG" -> coalesce(col("SITE_ID").try_cast("int"), lit(1)))), Nil)
       case None => // parquet landing (fixture replay path)
-        spark.read.parquet(landingDir)
+        Zones.readRobust(spark, landingDir)
     }
   }
 
   private def ensureDimDate(spark: SparkSession, whDir: String): DataFrame = {
     val path = s"$whDir/warehouse/dim_date"
-    if (!new java.io.File(path).exists()) {
+    if (!Zones.exists(spark, path)) {
       val dd = graft.operators.DimDate.generate(spark)
       val upper = dd.columns.foldLeft(dd)((d, c) => d.withColumnRenamed(c, c.toUpperCase))
       Zones.overwriteAll(upper, path)

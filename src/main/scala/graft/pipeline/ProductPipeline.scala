@@ -103,6 +103,24 @@ object ProductPipeline {
       matchKey = Seq("TEN"), expireKey = Seq("TEN", "LINK"),
       compareCols = scdCompareCols, runTs = runTs)
 
+  /** [[scdUpdate]] through the expiry-day-partitioned history zone —
+    * the production (at-scale) form: the run reads/rewrites only the
+    * sentinel + runDay partitions (see [[Scd2.applyZoned]]). Same stats
+    * contract as the reference SP's OUT params.
+    */
+  def scdUpdateZoned(
+      spark: org.apache.spark.sql.SparkSession,
+      historyPath: String,
+      transformed: DataFrame,
+      runTs: Column,
+      runDay: String): ScdStats =
+    Scd2.applyZonedWithStats(
+      spark, historyPath, transformed,
+      matchKey = Seq("TEN"), expireKey = Seq("TEN", "LINK"),
+      compareCols = scdCompareCols, runTs = runTs,
+      sentinel = lit(Scd2.SentinelTs).cast("timestamp_ntz"),
+      tsType = "timestamp_ntz", runDay = Some(runDay))
+
   /** A5 — the reference's 4-branch min/max price derivation
     * (load_dwh.py:166-184): −1/NULL are "absent"; both absent → NULL.
     */

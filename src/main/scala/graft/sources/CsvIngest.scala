@@ -24,12 +24,23 @@ object CsvIngest {
     "COUPON", "QUA_TANG", "DANH_GIA", "DA_BAN", "SITE_NAME", "SITE_ID")
 
   /** Latest landing file by modification time (path resolution happens on
-    * the driver — not an engine concern, SURVEY S2).
+    * the driver — not an engine concern, SURVEY S2). Goes through the
+    * Hadoop `FileSystem` API so a landing zone on HDFS/object storage
+    * lists the same way a local directory does.
     */
-  def latestByMtime(dir: String, prefix: String = "products_raw_"): Option[String] = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(prefix) && f.getName.endsWith(".csv"))
-    files.sortBy(_.lastModified()).lastOption.map(_.getAbsolutePath)
+  def latestByMtime(
+      dir: String,
+      prefix: String = "products_raw_",
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p)
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(prefix) && st.getPath.getName.endsWith(".csv"))
+      .sortBy(_.getModificationTime)
+      .lastOption.map(_.getPath.toString)
   }
 
   /** Read a headered CSV and align it to `target`: select the name

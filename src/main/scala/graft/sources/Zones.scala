@@ -18,6 +18,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Zones {
 
+  /** Zone existence through the Hadoop `FileSystem` API — works on any
+    * filesystem the session can reach (local, `file:` URIs, HDFS, object
+    * stores). `java.io.File.exists()` is always false for non-local
+    * schemes, which would silently treat a populated zone as empty — for
+    * a read-modify-write zone like the SCD2 history that is a
+    * data-corruption hazard (every row "new"), not a crash.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Recursive delete through the Hadoop `FileSystem` API (no-op when the
+    * path is absent) — the scheme-agnostic counterpart of [[exists]] for
+    * gate/test cleanups.
+    */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
   /** Full-refresh write (TRUNCATE + INSERT parity). */
   def overwriteAll(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
@@ -37,9 +59,8 @@ object Zones {
       keys: Seq[String],
       partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val exists = new java.io.File(path).exists()
     val merged =
-      if (!exists) increment
+      if (!exists(spark, path)) increment
       else {
         val current = spark.read.parquet(path)
         // restrict the anti-join to touched partitions: the partition
@@ -186,10 +207,10 @@ object Zones {
     import org.apache.spark.sql.functions.col
     ensureBucketedTable(
       spark, name, path, increment.schema, bucketCols, nBuckets, Seq(partitionCol))
-    val exists = new java.io.File(path).exists() &&
+    val populated = exists(spark, path) &&
       spark.table(name).limit(1).count() > 0
     val merged =
-      if (!exists) increment
+      if (!populated) increment
       else {
         val current = spark.table(name)
         // touched partition VALUES collect to the driver — O(#days in the
@@ -287,6 +308,89 @@ object Zones {
   private val TmpSuffix = ".__tmp__"
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Directory corrupt files are moved to by [[readRobust]] — sibling of
+    * the zone so a later forensic read (or manual restore) is trivial.
+    */
+  def quarantineDir(path: String): String = path + ".__quarantine__"
+
+  /** Parquet files under `path` that fail the cheap structural audit:
+    * too short to be parquet, or missing the `PAR1` magic footer — the
+    * signature of the truncated-file failure mode (interrupted upload,
+    * partial block). The check is one FS open + seek per file, run on
+    * the driver: zone partitions are listed per run anyway, so this adds
+    * O(#files) metadata ops, not data IO. (Corruption INSIDE a
+    * valid-footer file — a damaged page — is not detectable this
+    * cheaply; the policy below fails the run on those rather than
+    * silently dropping rows.)
+    */
+  def corruptFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val bad = Seq.newBuilder[String]
+    val magic = "PAR1".getBytes("US-ASCII")
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        if (st.getLen < 12) bad += st.getPath.toString
+        else {
+          // a probe that cannot even read the tail (ChecksumException on
+          // a checksummed FS, EOF on a racing truncation) IS corruption
+          try {
+            val in = fs.open(st.getPath)
+            try {
+              in.seek(st.getLen - 4)
+              val buf = new Array[Byte](4)
+              in.readFully(buf)
+              if (!java.util.Arrays.equals(buf, magic)) bad += st.getPath.toString
+            } finally in.close()
+          } catch {
+            case _: java.io.IOException => bad += st.getPath.toString
+          }
+        }
+      }
+    }
+    bad.result()
+  }
+
+  /** Corrupt-input policy for zone reads: at warehouse scale one
+    * truncated file must not kill the nightly, but rows must never be
+    * dropped SILENTLY either. Decision (documented, deliberate):
+    *
+    *   1. audit the zone's parquet footers ([[corruptFiles]]);
+    *   2. QUARANTINE failures — moved to [[quarantineDir]], preserving
+    *      the relative layout — so the subsequent read sees only intact
+    *      files and reruns stay deterministic;
+    *   3. RETURN the quarantined list so the caller can surface it (the
+    *      daily pipeline appends it to the run-ledger message — loss is
+    *      recorded next to the row counts it affected);
+    *   4. deeper corruption with a valid footer still FAILS the read —
+    *      `ignoreCorruptFiles` stays off, because it drops data with no
+    *      record of what vanished. A quarantine entry names the loss; a
+    *      conf silently shrinks row counts.
+    */
+  def readRobust(spark: SparkSession, path: String): (DataFrame, Seq[String]) = {
+    val bad = corruptFiles(spark, path)
+    if (bad.nonEmpty) {
+      val conf = spark.sessionState.newHadoopConf()
+      val qRoot = new org.apache.hadoop.fs.Path(quarantineDir(path))
+      val fs = qRoot.getFileSystem(conf)
+      val zoneUri = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      bad.foreach { f =>
+        val src = new org.apache.hadoop.fs.Path(f)
+        val rel = src.toUri.getPath.stripPrefix(zoneUri).stripPrefix("/")
+        val dst = new org.apache.hadoop.fs.Path(qRoot, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"quarantine move failed for $f")
+      }
+      spark.catalog.refreshByPath(path)
+    }
+    (spark.read.parquet(path), bad)
+  }
 
   /** Schema-evolving zone read: merges the footer schemas of every file,
     * so batches appended after a column was added read back as one frame

@@ -53,13 +53,28 @@ class DailyRunScaleSpec extends SparkSpec {
     walk(dir).filter(_.getName.endsWith(".parquet"))
   }
 
-  test(s"$nDays daily runs: flat per-day wall time, flat zone file counts, compaction engaged") {
+  test(s"$nDays daily runs: flat per-day wall time, closed history partitions immutable") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_scale").toFile.getAbsolutePath
     val landing = java.nio.file.Files.createTempDirectory("graft_landing_scale").toFile.getAbsolutePath
     val day1 = java.time.LocalDate.parse("2025-11-23")
+    val historyRoot = s"$wh/staging/products_expired"
+    val sentinelDir = s"$historyRoot/${graft.operators.Scd2.ExpiredDay}=9999-12-31"
 
     val dayTimes = Array.ofDim[Double](nDays)
-    val historyFiles = Array.ofDim[Int](nDays)
+    val sentinelFiles = Array.ofDim[Int](nDays)
+    // census (name → (length, mtime)) of every CLOSED history partition,
+    // captured at day 20: days 21-30 must leave all of them byte-untouched
+    // (the zoned SCD2's whole point — only the sentinel + runDay partitions
+    // are ever written)
+    var closedCensus: Map[String, Map[String, (Long, Long)]] = Map.empty
+    def closedPartitions(): Map[String, Map[String, (Long, Long)]] =
+      Option(new java.io.File(historyRoot).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(s"${graft.operators.Scd2.ExpiredDay}=") &&
+          !f.getName.endsWith("9999-12-31"))
+        .map(p => p.getName ->
+          parquetFiles(p).map(f => f.getName -> (f.length, f.lastModified)).toMap)
+        .toMap
     try {
       (1 to nDays).foreach { d =>
         val date = day1.plusDays(d - 1).toString
@@ -67,22 +82,37 @@ class DailyRunScaleSpec extends SparkSpec {
         val t0 = System.nanoTime()
         assert(DailyRun.run(spark, s"$landing/day$d", wh, s"$date 18:51:37") == "SUCCESS")
         dayTimes(d - 1) = (System.nanoTime() - t0) / 1e9
-        historyFiles(d - 1) = parquetFiles(
-          new java.io.File(s"$wh/staging/products_expired")).size
-        // operational compaction cadence: every 10th day the history zone
-        // (the only append-accreting zone once daily churn settles) is
-        // compacted in place — content-preserving, file count re-bounded
-        if (d % 10 == 0)
-          Zones.compact(spark, s"$wh/staging/products_expired", targetRowsPerFile = 500000)
+        // the zoned history accretes one immutable day partition per day;
+        // the only REWRITTEN partition is the sentinel — its census is the
+        // one that must stay flat (no compaction needed: a full-refresh
+        // rewrite re-bounds it daily; Zones.compact stays proven in
+        // ZonesSpec for genuinely accreting zones)
+        sentinelFiles(d - 1) = parquetFiles(new java.io.File(sentinelDir)).size
+        if (d == 20) closedCensus = closedPartitions()
       }
 
+      // ── closed partitions byte-identical across later days ───────────
+      val closedAfter = closedPartitions()
+      closedCensus.foreach { case (part, files) =>
+        assert(closedAfter.get(part).contains(files),
+          s"closed history partition $part changed after day 20: " +
+            s"was $files, now ${closedAfter.get(part)}")
+      }
+      assert(closedCensus.nonEmpty, "no closed partitions captured at day 20")
+
       // ── content sanity at day 30 ──────────────────────────────────────
-      val history = Zones.read(spark, s"$wh/staging/products_expired")
+      val history = Zones.read(spark, historyRoot)
       val currentN = history
         .filter(col("EXPIRED_AT") === lit(graft.operators.Scd2.SentinelTs).cast("timestamp_ntz"))
         .count()
       assert(currentN == nProducts + nDays * 40,
         s"current rows $currentN != live product count")
+      // zoned union ≡ semantic history: every non-sentinel partition's rows
+      // really expired on that day (partition value = expired_at's day)
+      val misplaced = history.filter(
+        col(graft.operators.Scd2.ExpiredDay) =!=
+          date_format(col("EXPIRED_AT"), "yyyy-MM-dd")).count()
+      assert(misplaced == 0, s"$misplaced rows in the wrong expiry partition")
       val agg = spark.table(DailyRun.AggregateTable)
       assert(agg.select("DATE_SK").distinct().count() == nDays)
 
@@ -109,11 +139,11 @@ class DailyRunScaleSpec extends SparkSpec {
         s"partition exceeds bucket file bound: $perPartition")
       assert(perPartition.values.max <= perPartition.values.min * 2,
         s"file counts drift across day partitions: $perPartition")
-      // history zone: full-refresh writes + periodic compaction keep the
-      // census flat — day 30 must not carry more files than any earlier
-      // day by more than the compaction cadence allows
-      assert(historyFiles.last <= historyFiles.take(10).max * 2,
-        s"history file count accretes: ${historyFiles.mkString(",")}")
+      // sentinel (live) partition: rewritten in full daily, so its file
+      // count must stay flat as history accumulates — growth here would
+      // mean the rewrite scope leaks beyond the live set
+      assert(sentinelFiles.last <= sentinelFiles.take(10).max * 2,
+        s"sentinel file count accretes: ${sentinelFiles.mkString(",")}")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${DailyRun.AggregateTable}")
     }

@@ -81,6 +81,31 @@ class DailyRunSpec extends SparkSpec {
     assert(Zones.read(spark, s"$wh/staging/products_expired").count() == 239)
   }
 
+  test("corrupt landing file: run succeeds, file quarantined, loss surfaced in the ledger") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val landing = java.nio.file.Files.createTempDirectory("graft_landing").toFile.getAbsolutePath
+    fixture("products_general").repartition(4).write.mode("overwrite").parquet(s"$landing/day1")
+    val files = new java.io.File(s"$landing/day1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val victim = files.minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    raf.setLength(victim.length() / 2)
+    raf.close()
+
+    assert(DailyRun.run(spark, s"$landing/day1", wh, "2025-11-23 18:51:37") == "SUCCESS")
+    // the nightly survived, processed the intact files only, and the
+    // ledger message NAMES the loss next to the (reduced) row counts
+    val n = Zones.read(spark, s"$wh/staging/products_general").count()
+    assert(n > 0 && n < 239, s"expected partial staging, got $n")
+    val msg = Zones.read(spark, s"$wh/control/process_log")
+      .filter(col("status") === "SUCCESS").select("message").head().getString(0)
+    assert(msg.contains(s"Rows Processed: $n"), msg)
+    assert(msg.contains("QUARANTINED 1 corrupt landing file"), msg)
+    assert(new java.io.File(
+      Zones.quarantineDir(s"$landing/day1"), victim.getName).isFile)
+  }
+
   test("a stale RUNNING row (hard-killed driver) stops blocking after StaleRunningHours") {
     val (ledger, _) = graft.control.RunLedger.startRun(
       graft.control.RunLedger.empty(spark), DailyRun.ProcessName, "2025-11-22 10:00:00")

@@ -405,6 +405,37 @@ class ModulesSpec extends SparkSpec {
     assert(stmts == Seq("SET x = 'a;b'", "SELECT ''';' AS q FROM t", "TRUNCATE TABLE k"))
   }
 
+  test("sql registry: escaped quotes ('' and \\') stay inside literals in every scanner") {
+    import graft.control.SqlRegistry
+    // '' must not flip the quote state: the CAST-shaped text INSIDE the
+    // literal stays verbatim while the real CAST after it is rewritten
+    val s = "SELECT 'it''s CAST(x AS SIGNED)' AS lit, CAST(v AS SIGNED) AS n FROM t"
+    val r = SqlRegistry.rewriteMysqlCasts(s)
+    assert(r.contains("'it''s CAST(x AS SIGNED)'"), r)
+    assert(r.contains("REGEXP_EXTRACT(v"), r)
+    // backslash-escaped quote form
+    val b = "SELECT 'a\\'b' AS lit, CAST(v AS SIGNED) AS n FROM t"
+    val rb = SqlRegistry.rewriteMysqlCasts(b)
+    assert(rb.contains("'a\\'b'") && rb.contains("REGEXP_EXTRACT(v"), rb)
+    // the statement splitter agrees: ';' after an escaped quote separates
+    val stmts = SqlRegistry.splitStatements("SET x = 'don''t;really';SELECT 1")
+    assert(stmts == Seq("SET x = 'don''t;really'", "SELECT 1"))
+  }
+
+  test("sql registry: numeric-literal CAST keeps MySQL's rounding, not prefix truncation") {
+    import graft.control.SqlRegistry
+    // MySQL: CAST(1.6 AS SIGNED) = 2 (rounds); a stringified prefix-parse
+    // (and Spark's own cast) would truncate to 1
+    val r = SqlRegistry.rewriteMysqlCasts("SELECT CAST(1.6 AS SIGNED) AS n")
+    assert(r.contains("ROUND(1.6)"), r)
+    assert(spark.sql(r).head().getLong(0) == 2L)
+    val d = SqlRegistry.rewriteMysqlCasts("SELECT CAST(1.66 AS DECIMAL(10,1)) AS n")
+    assert(spark.sql(d).head().getDecimal(0).toPlainString == "1.7")
+    // string inputs keep the deployed prefix-parse semantics
+    val p = SqlRegistry.rewriteMysqlCasts("SELECT CAST('1TB' AS SIGNED) AS n")
+    assert(spark.sql(p).head().getLong(0) == 1L)
+  }
+
   test("sql registry: verbatim SP_ETL_SCD_UPDATE_PRODUCT runs as a statement list") {
     import graft.control.SqlRegistry
     val blob = SqlRegistry.loadReferenceCommand(

@@ -171,4 +171,86 @@ class Scd2Spec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains(s"${Scd2.ExpiredDay}=9999-12-31")),
       s"sentinel read touches closed partitions: ${scanned.mkString(",")}")
   }
+
+  test("applyZoned same-day rerun preserves earlier tombstones (intraday correction)") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("scd2_zone_rerun")
+      .toFile.getAbsolutePath + "/h"
+    def snap(prices: Map[Long, Double]) =
+      prices.toSeq.toDF("id", "price").select(col("id"), col("price"), lit(1).as("psize"))
+    val s1 = snap(Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    val s2a = snap(Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0)) // morning run: row 1 changes
+    val s2b = snap(Map(1L -> 11.0, 2L -> 22.0, 3L -> 30.0)) // corrected rerun: row 2 changes
+    val keys = (Seq("id"), Seq("id"), Seq("price"))
+    val runs = Seq(
+      s1 -> "2024-01-01 00:00:00",
+      s2a -> "2024-01-02 08:00:00",
+      s2b -> "2024-01-02 12:00:00") // SAME day as s2a — rerun path
+    var flat = Scd2.emptyHistory(s1, "timestamp_ntz")
+    runs.foreach { case (sn, ts) =>
+      Scd2.applyZoned(spark, zone, sn, keys._1, keys._2, keys._3,
+        lit(ts).cast("timestamp_ntz"), sentinel, tsType = "timestamp_ntz")
+      flat = Scd2.apply(flat, sn, keys._1, keys._2, keys._3,
+        lit(ts).cast("timestamp_ntz"), sentinel)
+    }
+    val zoned = spark.read.parquet(zone)
+      .select("id", "price", "psize", "created_at", "updated_at", "expired_at")
+    assertSameRows(zoned, flat, "zoned vs flat after same-day rerun")
+    // the morning run's tombstone specifically: row 1 expired at 08:00
+    // must survive the 12:00 rerun's dynamic overwrite of the day partition
+    val morning = zoned.filter(
+      col("id") === 1 && col("expired_at") === lit("2024-01-02 08:00:00").cast("timestamp_ntz"))
+    assert(morning.count() == 1, "morning tombstone dropped by same-day rerun")
+  }
+
+  test("applyZoned on an explicit file: URI (Hadoop FS existence, not java.io.File)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd2_zone_uri").toFile.getAbsolutePath
+    val zone = s"file://$dir/h" // java.io.File.exists() is false for this form
+    def snap(prices: Map[Long, Double]) =
+      prices.toSeq.toDF("id", "price").select(col("id"), col("price"), lit(1).as("psize"))
+    val keys = (Seq("id"), Seq("id"), Seq("price"))
+    Scd2.applyZoned(spark, zone, snap(Map(1L -> 10.0, 2L -> 20.0)),
+      keys._1, keys._2, keys._3,
+      lit("2024-01-01 00:00:00").cast("timestamp_ntz"), sentinel, tsType = "timestamp_ntz")
+    assert(graft.sources.Zones.exists(spark, zone))
+    // round 2 must SEE round 1 (a broken existence check would restart the
+    // zone and leave 1 row instead of expiring + re-inserting)
+    Scd2.applyZoned(spark, zone, snap(Map(1L -> 11.0, 2L -> 20.0)),
+      keys._1, keys._2, keys._3,
+      lit("2024-01-02 00:00:00").cast("timestamp_ntz"), sentinel, tsType = "timestamp_ntz")
+    val h = spark.read.parquet(zone)
+    assert(h.count() == 3, s"round 2 restarted the zone: ${h.count()} rows")
+    assert(h.filter(col("expired_at") =!= sentinel).count() == 1)
+  }
+
+  test("timestamp-typed zone pins its session timezone and fails fast on a mismatch") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("scd2_zone_tz")
+      .toFile.getAbsolutePath + "/h"
+    def snap(prices: Map[Long, Double]) =
+      prices.toSeq.toDF("id", "price").select(col("id"), col("price"), lit(1).as("psize"))
+    val keys = (Seq("id"), Seq("id"), Seq("price"))
+    val tzSentinel = lit(Scd2.SentinelTs).cast("timestamp")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Scd2.applyZoned(spark, zone, snap(Map(1L -> 10.0)), keys._1, keys._2, keys._3,
+        lit("2024-01-01 00:00:00").cast("timestamp"), tzSentinel) // tsType = "timestamp"
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
+      val e = intercept[IllegalStateException] {
+        Scd2.applyZoned(spark, zone, snap(Map(1L -> 11.0)), keys._1, keys._2, keys._3,
+          lit("2024-01-02 00:00:00").cast("timestamp"), tzSentinel)
+      }
+      assert(e.getMessage.contains("timezone mismatch"), e.getMessage)
+      // back under the pinned TZ the zone processes normally
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      Scd2.applyZoned(spark, zone, snap(Map(1L -> 11.0)), keys._1, keys._2, keys._3,
+        lit("2024-01-02 00:00:00").cast("timestamp"), tzSentinel)
+      // the 1-row history expired + re-inserted = 2 rows (a restarted zone
+      // would instead show 1 row, a TZ-shifted one 2 currents + 0 expired)
+      val h = spark.read.parquet(zone)
+      assert(h.count() == 2)
+      assert(h.filter(col("expired_at") =!= tzSentinel).count() == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }

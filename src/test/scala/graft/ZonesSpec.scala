@@ -153,6 +153,31 @@ class ZonesSpec extends SparkSpec {
     assert(parquetFiles().size < 5, s"still ${parquetFiles().size} files after compaction")
   }
 
+  test("readRobust quarantines truncated parquet files; loss reported, never silent") {
+    val path = java.nio.file.Files.createTempDirectory("zone_corrupt").toFile.getAbsolutePath + "/t"
+    spark.range(1000).withColumn("v", org.apache.spark.sql.functions.col("id") * 2)
+      .repartition(4).write.parquet(path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    // truncate one file mid-body: the PAR1 footer is gone — the
+    // interrupted-upload failure mode
+    val victim = files.minBy(_.getName)
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    raf.setLength(victim.length() / 2)
+    raf.close()
+
+    val (df, bad) = Zones.readRobust(spark, path)
+    assert(bad.size == 1 && bad.head.endsWith(victim.getName), s"bad=$bad")
+    val n = df.count()
+    assert(n > 0 && n < 1000, s"expected partial content, got $n rows")
+    // the corrupt file sits in the quarantine dir for forensics
+    val q = new java.io.File(Zones.quarantineDir(path), victim.getName)
+    assert(q.isFile, s"quarantined file missing at $q")
+    // rerun over the now-clean zone: nothing to report, content stable
+    val (df2, bad2) = Zones.readRobust(spark, path)
+    assert(bad2.isEmpty && df2.count() == n)
+  }
+
   test("readMerged unifies evolved schemas across appended batches") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("zone_evolve").toFile.getAbsolutePath + "/t"
