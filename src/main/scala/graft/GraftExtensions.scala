@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinhashSignature, NearestCells, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, DecimalVectorMean, MinhashSignature, NearestCells, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_might_contain(bloom, value)")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("decimal_vector_mean"),
+      new ExpressionInfo(classOf[DecimalVectorMean].getName, "decimal_vector_mean"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "decimal_vector_mean(v) takes one array<double> argument")
+        DecimalVectorMean(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("nearest_cells"),

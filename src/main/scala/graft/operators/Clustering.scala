@@ -27,26 +27,60 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Clustering {
 
-  private def dmean(c: Column): Column =
-    sum(c.cast(DecimalType(28, 10))).cast("double") / count(lit(1))
-
   /** Per-cluster, per-dimension decimal-exact means, rebuilt into
-    * centroid arrays: (cid, c).
+    * centroid arrays: (cid, c). Peeks one row for the dimension; prefer
+    * the `dim`-taking overload inside loops.
     */
   def centroids(assigned: DataFrame, vecCol: String, clusterCol: String): DataFrame =
-    assigned
-      .select(col(clusterCol).as("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg(dmean(col("v")).as("cv"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-      .select(col("cid"), transform(col("pc"), p => p.getField("cv")).as("c"))
+    centroids(assigned, vecCol, clusterCol,
+      assigned.select(size(col(vecCol))).head().getInt(0))
+
+  /** Columnar centroid recompute: ONE hash aggregation keyed on the
+    * cluster alone — no row explosion, no second shuffle. (The earlier
+    * posexplode form pushed N×dim rows through a (cid, pos) aggregation
+    * and then re-assembled arrays in a second (cid) shuffle — 2 shuffles
+    * and a 64× row amplification per Lloyd round.)
+    *
+    * Dispatches to the fused [[graft.functions.DecimalVectorMean]]
+    * kernel when the session registers it: one aggregate EXPRESSION for
+    * all `dim` means — the composed `dim`-column form is bit-identical
+    * but pays ~0.3 s of Catalyst analysis per round at dim=64 (the e2
+    * round-7 adjudication), which is the fallback below. Both paths
+    * require uniform-dimension vectors (as every consumer here does).
+    */
+  def centroids(assigned: DataFrame, vecCol: String, clusterCol: String, dim: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("decimal_vector_mean"))
+      assigned
+        .groupBy(col(clusterCol).as("cid"))
+        .agg(call_function("decimal_vector_mean", col(vecCol)).as("c"))
+    else {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast(DecimalType(28, 10))).as(s"__s$i"))
+      assigned
+        .groupBy(col(clusterCol).as("cid"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("__n")): _*)
+        .select(
+          col("cid"),
+          array((0 until dim).map(i => col(s"__s$i").cast("double") / col("__n")): _*).as("c"))
+    }
+  }
 
   /** Nearest-centroid assignment: squared-L2 against every centroid
     * (broadcast k rows), argmin via a partially-aggregated min-struct
     * with cid tie-break.
     */
-  def assign(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+  def assign(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    assignKeep(vecs, idCol, vecCol, cents).select(col(idCol), col("cluster"), col("dist"))
+
+  /** [[assign]] that also carries the vector through — so a Lloyd loop
+    * can feed the next centroid recompute WITHOUT re-joining assignments
+    * back to the vector frame (that join was one shuffle per round).
+    * `first(vec)` is deterministic here: every row of an id's group holds
+    * the same vector.
+    */
+  private def assignKeep(
+      vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
     val dist = aggregate(
       zip_with(col(vecCol), col("c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
@@ -54,8 +88,8 @@ object Clustering {
       .crossJoin(broadcast(cents))
       .withColumn("dist", dist)
       .groupBy(col(idCol))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col(idCol), col("m.cid").as("cluster"), col("m.dist").as("dist"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("m.cid").as("cluster"), col("m.dist").as("dist"))
   }
 
   /** Fused nearest-centroid assignment for large k: the centroid matrix
@@ -73,7 +107,11 @@ object Clustering {
     * order-preserving the kernel's ties-to-lower-index rule still equals
     * `assign`'s ties-to-lower-cid min-struct.
     */
-  def assignFused(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+  def assignFused(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    assignFusedKeep(vecs, idCol, vecCol, cents).select(col(idCol), col("cluster"), col("dist"))
+
+  private def assignFusedKeep(
+      vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
     // cids stay in cid's Long domain so both assignment paths agree on
     // the output schema (init is id % k — a bigint)
     val ordered = cents.select(col("cid").cast("long"), col("c")).collect()
@@ -88,7 +126,7 @@ object Clustering {
         element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1))
       .join(broadcast(cents.select(col("cid").as("cluster"), col("c"))), "cluster")
       .withColumn("dist", dist)
-      .select(col(idCol), col("cluster"), col("dist"))
+      .select(col(idCol), col(vecCol), col("cluster"), col("dist"))
   }
 
   /** Fixed-iteration Lloyd's: init `id % k`, then `iters` rounds of
@@ -110,14 +148,19 @@ object Clustering {
       iters: Int,
       kernelFrom: Int = 64): DataFrame = {
     val base = vecs.select(col(idCol), col(vecCol)).cache()
+    val dim = base.select(size(col(vecCol))).head().getInt(0)
     var assigned = base.withColumn("cluster", col(idCol) % k)
     var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(idCol, "cluster", "dist")
     for (_ <- 1 to iters) {
-      val cents = centroids(assigned, vecCol, "cluster")
-      result =
-        if (k >= kernelFrom) assignFused(base, idCol, vecCol, cents)
-        else assign(base, idCol, vecCol, cents)
-      assigned = base.join(result.select(col(idCol), col("cluster")), idCol)
+      val cents = centroids(assigned, vecCol, "cluster", dim)
+      // the keep-forms carry the vector with the assignment, so the next
+      // round's centroid recompute reads it directly — no per-round
+      // re-join against `base` (one shuffle saved per iteration)
+      val keep =
+        if (k >= kernelFrom) assignFusedKeep(base, idCol, vecCol, cents)
+        else assignKeep(base, idCol, vecCol, cents)
+      result = keep.select(col(idCol), col("cluster"), col("dist"))
+      assigned = keep.select(col(idCol), col(vecCol), col("cluster"))
     }
     // evaluate the final assignment while the cache is hot, then release
     // it — callers get a plan-free frame, and no cached partitions leak

@@ -196,6 +196,113 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** One signature-index row per document — (id, sz, hgrams, sig) — the
+    * PERSISTED form that makes near-dup detection incremental: at corpus
+    * scale you dedup today's increment against yesterday's index instead
+    * of recomputing shingles + signatures for the whole corpus every run
+    * (the full-recompute [[minhashLshPairs]] rebuilds O(corpus) state per
+    * call; the index makes the daily cost O(increment + candidates)).
+    * Signatures are deterministic (xxhash64 over (i, shingle)), so rows
+    * computed on different days are directly comparable.
+    */
+  def signatureIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int): DataFrame =
+    shingled(df, idCol, textCol, n)
+      .withColumn("sig", minhashSignature(col("hgrams"), numHashes))
+      .select(col("id"), size(col("hgrams")).as("sz"), col("hgrams"), col("sig"))
+
+  /** Persist a batch's signature index into a zone (append = the daily
+    * increment discipline; "overwrite" to start a corpus).
+    */
+  def writeSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      mode: String = "append"): Unit =
+    signatureIndex(df, idCol, textCol, n, numHashes).write.mode(mode).parquet(path)
+
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental MinHash+LSH dedup: NEW near-dup pairs introduced by
+    * `increment` against a persisted signature index (increment × index
+    * cross-batch pairs ∪ increment-internal pairs). Signatures are
+    * computed for the increment ONLY; the index side is consumed as
+    * stored (sig for banding, hgrams for the exact-Jaccard confirm) —
+    * the plan scans the index zone, it never re-shingles the corpus
+    * (asserted by PlanAuditSpec). Increment ids must be new (append-only
+    * corpus discipline; a re-crawled id belongs in an SCD-style zone,
+    * not a dedup index).
+    *
+    * Union contract (gate d9): pairs(index corpus) ∪ this = the
+    * full-recompute [[minhashLshPairs]] over index ∪ increment, because
+    * signatures/banding/confirmation are all deterministic functions of
+    * the text. Output: (id_a < id_b, jaccard), same as the full form.
+    */
+  def minhashLshPairsIncremental(
+      index: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def banded(docs: DataFrame): DataFrame = docs.select(
+      col("id"),
+      col("sz"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val inc = signatureIndex(increment, idCol, textCol, n, numHashes).cache()
+    val incBanded = banded(inc).cache() // probe side of BOTH candidate joins
+    // cross-batch candidates: increment probes the stored index buckets;
+    // id order is normalized so output matches the full recompute's
+    // id_a < id_b contract regardless of which batch holds the lower id
+    val cross = incBanded.alias("x")
+      .join(banded(index).alias("y"), Seq("band", "key"))
+      .filter(
+        col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    // increment-internal candidates (same shape as the full form's self-join)
+    val within = incBanded.alias("x")
+      .join(incBanded.alias("y"), Seq("band", "key"))
+      .filter(
+        col("x.id") < col("y.id") &&
+          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+    // exact-Jaccard confirm: shingle arrays come from the stored index for
+    // corpus ids and the increment frame for new ids
+    val grams = index.select(col("id"), col("hgrams"))
+      .unionByName(inc.select(col("id"), col("hgrams")))
+    cand
+      .join(grams.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("hgrams").as("gb")), "id_b")
+      .withColumn("inter", intersectCount(col("ga"), col("gb")))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash per document: per-bit ±1 vote of xxhash64(token) over
     * the token stream (term frequency weighted), sign → bit. Near-dups
     * land within small Hamming distance of each other. One explode + one

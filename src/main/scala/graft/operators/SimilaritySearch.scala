@@ -194,6 +194,80 @@ object SimilaritySearch {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Build + persist an IVF index into a zone: `<path>/centroids` (cell,
+    * centroid — k small rows) and `<path>/assignments` (neighbor_id, cv,
+    * cell — the corpus, PARTITIONED by cell so a probe reads only its
+    * nProbe directories). [[ivfTopK]] trains the quantizer and
+    * re-assigns the whole corpus on EVERY query call — the right shape
+    * for a one-shot job, wrong at scale where the index is built nightly
+    * and queried all day. Deterministic given the seed, so the persisted
+    * path returns bit-identical results to the build-per-query form
+    * (gate k4 ≡ k3; DedupSimilaritySpec asserts it directly).
+    */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int = 8,
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Unit = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, iters, sampleSize, seed)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // k rows — one footer beats nCells tiny files
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(
+        col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /** The persisted quantizer, back as the driver-side matrix the probe
+    * expressions ship (k × dim doubles — bounded payload by construction).
+    */
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid").orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF ANN top-k against a persisted index (see [[buildIvfIndex]]):
+    * reads centroids + assignments from the zone — NO training, no
+    * corpus re-assignment in the query plan (the only file scan is the
+    * index zone; asserted by PlanAuditSpec). Output and numerics are
+    * identical to [[ivfTopK]] with the same build parameters.
+    */
+  def ivfTopKPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val c = spark.read.parquet(s"$path/assignments")
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val q = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      nearestCells(col(vecCol).cast("array<double>"), centroids, nProbe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Deterministic random hyperplanes (fixed seed → identical across runs
     * and executors; shipped as literals, so no closure serialization).
     */

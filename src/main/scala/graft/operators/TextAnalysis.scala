@@ -240,4 +240,43 @@ object TextAnalysis {
             p => p.getField("line")),
           "\n").as("text_kept"))
   }
+
+  /** Paragraph-granularity corpus dedup with SPAN OFFSETS: documents are
+    * split on blank lines ("\n\n"); a paragraph repeated anywhere in the
+    * corpus is kept only at its first (doc, position) occurrence — but
+    * unlike [[lineDedupCorpus]] the output preserves document identity
+    * for surgical cuts: one row per (non-empty) paragraph with its
+    * codepoint span `[span_start, span_end)` in the ORIGINAL text and
+    * the keep/drop verdict, so a downstream pass can excise duplicate
+    * paragraphs in place without re-tokenizing (what a training pipeline
+    * needs when documents must stay documents).
+    *
+    * Scale shape: one explode, one doc-local window for the running
+    * offsets, one corpus-wide window keyed on the paragraph's md5
+    * FINGERPRINT (the shuffle moves a 32-char key, not paragraph bodies)
+    * — all linear. Empty paragraphs (separator runs) contribute to the
+    * offsets but emit no row.
+    */
+  def paragraphDedupSpans(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n\n", -1)).as(Seq("para_idx", "para")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("para_idx")
+    val withSpans = paras
+      .withColumn("plen", length(col("para")).cast("long"))
+      .withColumn(
+        "span_start",
+        coalesce(
+          sum(col("plen")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + col("para_idx") * 2L) // +2 per preceding "\n\n"
+      .withColumn("span_end", col("span_start") + col("plen"))
+    val wFirst = Window.partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_idx"))
+    withSpans
+      .filter(col("para") =!= "")
+      .withColumn("kept", row_number().over(wFirst) === 1)
+      .select(col("doc_id"), col("para_idx"), col("span_start"), col("span_end"), col("kept"))
+  }
 }

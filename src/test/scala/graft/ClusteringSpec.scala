@@ -49,6 +49,25 @@ class ClusteringSpec extends SparkSpec {
       "fused kernel assignment diverges from broadcast argmin")
   }
 
+  test("DecimalVectorMean kernel ≡ composed per-dim decimal means, bit-exact") {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = vecs.withColumn("cluster", col("vec_id") % 7)
+    val dim = vecs.select(size(col("e"))).head().getInt(0)
+    assert(spark.catalog.functionExists("decimal_vector_mean"))
+    val kernel = assigned.groupBy(col("cluster").as("cid"))
+      .agg(call_function("decimal_vector_mean", col("e")).as("c"))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e"), i + 1).cast(DecimalType(28, 10))).as(s"s$i"))
+    val composed = assigned.groupBy(col("cluster").as("cid"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("cid"),
+        array((0 until dim).map(i => col(s"s$i").cast("double") / col("n")): _*).as("c"))
+    // element-by-element bit equality (array compare is exact on doubles)
+    val diff = kernel.alias("k").join(composed.alias("m"), Seq("cid"))
+      .filter(col("k.c") =!= col("m.c")).count()
+    assert(diff == 0, s"$diff clusters differ between kernel and composed means")
+  }
+
   test("Lloyd rounds never increase the total within-cluster SSE") {
     def sse(iters: Int): Double =
       Clustering.kmeansLite(vecs, "vec_id", "e", 8, iters)

@@ -87,6 +87,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit > 0, s"scale-mode simhash found no constructed near-dups (gate would be empty)")
   }
 
+  test("incremental dedup against the persisted signature index equals the full recompute") {
+    val zone = java.nio.file.Files.createTempDirectory("d9_sig")
+      .toFile.getAbsolutePath + "/idx"
+    val day1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val day2 = corpus.filter(col("doc_id") % 3 === 0)
+    Dedup.writeSignatureIndex(spark, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
+    val incremental = Dedup.minhashLshPairsIncremental(
+      Dedup.readSignatureIndex(spark, zone), day2, "doc_id", "text", 3, 32, 16, 0.6)
+    val combined = Dedup.minhashLshPairs(day1, "doc_id", "text", 3, 32, 16, 0.6)
+      .unionByName(incremental)
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 32, 16, 0.6)
+    assertSameRows(combined, full, "day-1 pairs ∪ incremental vs full recompute")
+    assert(incremental.count() > 0, "the increment must introduce cross-batch pairs")
+    // append day-2 signatures: the zone is ready to serve day 3 without
+    // ever having re-shingled day-1
+    Dedup.writeSignatureIndex(spark, zone, day2, "doc_id", "text", 3, 32)
+    assert(Dedup.readSignatureIndex(spark, zone).count() ==
+      Dedup.signatureIndex(corpus, "doc_id", "text", 3, 32).count())
+  }
+
+  test("persisted IVF index returns bit-identical results to build-per-query IVF") {
+    val zone = java.nio.file.Files.createTempDirectory("k4_ivf")
+      .toFile.getAbsolutePath + "/idx"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> double(x) * (1.0d + 0.02d * double(i % 7 - 3)))")
+        .as("embedding"))
+    SimilaritySearch.buildIvfIndex(spark, zone, emb, "vec_id", "embedding", nCells = 16)
+    val persisted = SimilaritySearch.ivfTopKPersisted(
+      spark, zone, queries, "vec_id", "embedding", 10, nProbe = 4)
+    val perQuery = SimilaritySearch.ivfTopK(
+      emb, queries, "vec_id", "embedding", 10, nCells = 16, nProbe = 4)
+    assertSameRows(persisted, perQuery, "persisted vs build-per-query IVF")
+    assert(perQuery.count() > 0)
+  }
+
   test("exact dedup collapses literal copies only") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val withCopies = docs.unionByName(

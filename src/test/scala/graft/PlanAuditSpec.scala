@@ -145,6 +145,54 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom filter not below the join in the plan tree:\n$p")
   }
 
+  test("AQE matrix: bucketed no-shuffle and bloom-below-join hold in the FINAL adaptive plan") {
+    // every graft session runs with AQE ON (Sessions.builder) — so every
+    // audit in these suites already planned under AQE. This test closes
+    // the remaining gap: AQE re-plans AT RUNTIME as stages finish, so the
+    // guarantees are asserted here on the post-execution final plan
+    // (isFinalPlan=true), not the initial one.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "graft sessions must run AQE-on; the audits would otherwise test a non-prod planner")
+    import spark.implicits._
+    import graft.sources.Zones
+    val wh = java.nio.file.Files.createTempDirectory("aqe_matrix").toFile.getAbsolutePath
+    val tbl = "graft_aqe_bucket_zone"
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Zones.withBucketedMergeConfs(spark) {
+      val day1 = (1 to 200).map(i => (i.toLong, 10, i * 1.0)).toDF("product_sk", "date_sk", "price")
+      Zones.upsertBucketed(spark, tbl, s"$wh/agg", day1,
+        Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 8)
+      // the daily merge shape: bucketed zone ⋈ in-memory increment
+      val increment = (50 to 80).map(i => (i.toLong, 10, -1.0)).toDF("product_sk", "date_sk", "price")
+      val mergeShape = spark.table(tbl)
+        .join(increment, Seq("product_sk", "date_sk"), "left_anti")
+      mergeShape.collect() // runtime re-planning has now happened
+      val root = mergeShape.queryExecution.executedPlan
+      root match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          assert(a.toString.contains("isFinalPlan=true"), s"plan not finalized:\n$a")
+        case p => fail(s"expected an adaptive plan under AQE, got ${p.getClass}:\n$p")
+      }
+      assertZoneSideUnshuffled(mergeShape, "bucketed merge under AQE (final plan)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    // bloom pre-filter: the fact-side kill must survive AQE's runtime
+    // re-planning too — same below-the-join assert, final plan
+    val bf = SparkEntry.queries("bf1_bloom_prefilter_join")(spark, dir)
+    bf.collect()
+    val p = bf.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"bf1 plan not finalized:\n$p")
+    assert(p.contains("might_contain"), s"bloom filter absent from the final plan:\n$p")
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join in the final adaptive plan:\n$p")
+  }
+
   test("k3: IVF probe runs through the fused NearestCells kernel, flat plan") {
     val df = SparkEntry.queries("k3_knn_ivf")(spark, dir)
     val analyzed = df.queryExecution.analyzed
@@ -161,6 +209,60 @@ class PlanAuditSpec extends SparkSpec {
       case l: org.apache.spark.sql.catalyst.expressions.Literal => l
     }.size).sum
     assert(literalCount < 1000, s"plan carries $literalCount literals — matrix leaked into tree")
+  }
+
+  test("d9: incremental dedup scans the signature zone; no corpus re-shingle in the plan") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("d9_audit")
+      .toFile.getAbsolutePath + "/idx"
+    // in-memory batches: the ONLY legitimate file scan in the incremental
+    // plan is then the signature zone itself
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val day2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(
+      spark, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
+    val pairs = graft.operators.Dedup.minhashLshPairsIncremental(
+      graft.operators.Dedup.readSignatureIndex(spark, zone), day2,
+      "doc_id", "text", 3, 32, 16, 0.6)
+    val p = pairs.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, s"no file scan of the index zone:\n$p")
+    assert(scans.forall(_.contains("d9_audit")),
+      s"plan scans files beyond the signature zone:\n${scans.mkString("\n")}")
+    // and the index actually served: the cross-batch pair is found
+    assert(pairs.filter(
+      org.apache.spark.sql.functions.col("id_a") === 1L &&
+        org.apache.spark.sql.functions.col("id_b") === 3L).count() == 1)
+  }
+
+  test("k4: persisted-IVF query plan scans only the index zone — no train, no re-assign") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("k4_audit")
+      .toFile.getAbsolutePath + "/idx"
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.SimilaritySearch.buildIvfIndex(
+      spark, zone, emb, "vec_id", "embedding", nCells = 16)
+    // in-memory queries: any file scan left in the query plan must be the
+    // index zone (a train or re-assign step would drag the embeddings
+    // source back in)
+    val qData = emb
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(5).collect()
+      .map(r => (r.getLong(0) + 1000000L, r.getSeq[Double](1)))
+    val queries = qData.toSeq.toDF("vec_id", "embedding")
+    val res = graft.operators.SimilaritySearch.ivfTopKPersisted(
+      spark, zone, queries, "vec_id", "embedding", 5, nProbe = 4)
+    val p = res.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, s"no file scan of the index zone:\n$p")
+    assert(scans.forall(_.contains("k4_audit")),
+      s"query plan scans files beyond the index zone:\n${scans.mkString("\n")}")
+    assert(res.count() > 0)
   }
 
   test("e2 at k=64: assignment runs through the fused NearestCells kernel, flat plan") {

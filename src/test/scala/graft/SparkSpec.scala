@@ -26,24 +26,31 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   def assertZoneSideUnshuffled(df: DataFrame, label: String): Unit = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    val root = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // a FINALIZED adaptive plan wraps stages in QueryStageExec LEAF nodes;
+    // plain collect would stop at the stage boundary and miss the join —
+    // expand descends through both the adaptive root and the stages, so
+    // the same assert works pre-execution and on the final runtime plan
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
     }
-    val zoneSide: Option[SparkPlan] = root.collectFirst {
+    val all = expand(df.queryExecution.executedPlan)
+    val zoneSide: Option[SparkPlan] = all.collectFirst {
       case j: SortMergeJoinExec => j.left
       case j: ShuffledHashJoinExec => j.left
     }
-    assert(zoneSide.nonEmpty, s"$label: no shuffled join in plan:\n$root")
-    val side = zoneSide.get
+    assert(zoneSide.nonEmpty,
+      s"$label: no shuffled join in plan:\n${df.queryExecution.executedPlan}")
+    val side = expand(zoneSide.get)
     assert(side.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
-      s"$label: zone side shuffles:\n$side")
+      s"$label: zone side shuffles:\n${zoneSide.get}")
     assert(
       side.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty,
-      s"$label: zone side not a bucketed scan:\n$side")
+      s"$label: zone side not a bucketed scan:\n${zoneSide.get}")
   }
 
   /** Order-insensitive whole-frame equality with readable diffs. Decimals
