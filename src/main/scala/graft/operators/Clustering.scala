@@ -147,26 +147,42 @@ object Clustering {
       k: Int,
       iters: Int,
       kernelFrom: Int = 64): DataFrame = {
-    val base = vecs.select(col(idCol), col(vecCol)).cache()
-    val dim = base.select(size(col(vecCol))).head().getInt(0)
-    var assigned = base.withColumn("cluster", col(idCol) % k)
-    var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(idCol, "cluster", "dist")
-    for (_ <- 1 to iters) {
-      val cents = centroids(assigned, vecCol, "cluster", dim)
-      // the keep-forms carry the vector with the assignment, so the next
-      // round's centroid recompute reads it directly — no per-round
-      // re-join against `base` (one shuffle saved per iteration)
-      val keep =
-        if (k >= kernelFrom) assignFusedKeep(base, idCol, vecCol, cents)
-        else assignKeep(base, idCol, vecCol, cents)
-      result = keep.select(col(idCol), col("cluster"), col("dist"))
-      assigned = keep.select(col(idCol), col(vecCol), col("cluster"))
+    // AQE is pinned OFF for the loop's own jobs: a Lloyd round is a fixed
+    // micro-topology (hash agg → ≤k output rows → driver collect) where
+    // adaptive re-planning has nothing to decide — the shuffle output
+    // cardinality is ≤ k by construction at ANY corpus size — but its
+    // per-exchange stage materialization adds a driver barrier per round
+    // (measured ~0.4 s over 2 rounds at sf0.1). Scoped + restored, like
+    // Zones.withBucketedMergeConfs.
+    val spark = vecs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val base = vecs.select(col(idCol), col(vecCol)).cache()
+      val dim = base.select(size(col(vecCol))).head().getInt(0)
+      var assigned = base.withColumn("cluster", col(idCol) % k)
+      var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(idCol, "cluster", "dist")
+      for (_ <- 1 to iters) {
+        val cents = centroids(assigned, vecCol, "cluster", dim)
+        // the keep-forms carry the vector with the assignment, so the next
+        // round's centroid recompute reads it directly — no per-round
+        // re-join against `base` (one shuffle saved per iteration)
+        val keep =
+          if (k >= kernelFrom) assignFusedKeep(base, idCol, vecCol, cents)
+          else assignKeep(base, idCol, vecCol, cents)
+        result = keep.select(col(idCol), col("cluster"), col("dist"))
+        assigned = keep.select(col(idCol), col(vecCol), col("cluster"))
+      }
+      // evaluate the final assignment while the cache is hot, then release
+      // it — callers get a plan-free frame, and no cached partitions leak
+      // past the operator
+      val out = result.localCheckpoint()
+      base.unpersist()
+      out
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
     }
-    // evaluate the final assignment while the cache is hot, then release
-    // it — callers get a plan-free frame, and no cached partitions leak
-    // past the operator
-    val out = result.localCheckpoint()
-    base.unpersist()
-    out
   }
 }

