@@ -1603,6 +1603,17 @@ object SparkEntry {
         regexp_replace(col("text"), " (key|row|scan) ", "\n\n").as("text"))
       TextAnalysis.paragraphDedupSpans(structured, "doc_id", "text")
     }),
+    // the spans CONSUMED: documents rebuilt from their kept paragraphs by
+    // substr over the emitted [span_start, span_end) offsets, while the
+    // oracle reassembles the same text from the paragraph VALUES — the
+    // two derivations agree bitwise only if every span is exact.
+    "d11_paragraph_excise" -> ((s, dir) => {
+      val structured = t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), " (key|row|scan) ", "\n\n").as("text"))
+      TextAnalysis.exciseParagraphs(structured, "doc_id", "text",
+        TextAnalysis.paragraphDedupSpans(structured, "doc_id", "text"))
+    }),
     // TF-IDF term weights (linear idf N/df — one IEEE division, exactly
     // oracle-comparable; log-idf variant is spec-tested).
     "t5_tfidf" -> ((s, dir) => {
@@ -1752,6 +1763,34 @@ object SparkEntry {
           slice(col("e"), 2, 10000)).as("pe"))
       Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99)
         .select(col("id_a").as("probe_id"), col("id_b").as("match_id"))
+    }),
+    // e1's INCREMENTAL form: the corpus's sign-bit band keys are persisted
+    // once (build-once zone, commit-marker validated); the probe batch
+    // computes its own keys only and joins the STORED index — no corpus
+    // re-hash anywhere in the query plan (the embedding analog of d9).
+    // Same pair set as e1, so e1's brute-force cosine oracle is verbatim.
+    "e3_embedding_neardup_incremental" -> ((s, dir) => {
+      import graft.sources.Zones
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probes = v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("probe_id"),
+        concat(
+          array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 10000)).as("pe"))
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_e3_sigzone_${zoneKey(dir)}").getAbsolutePath
+      if (!Zones.exists(s, s"$zone/_SUCCESS")) {
+        Zones.delete(s, zone)
+        Dedup.writeEmbeddingSignatureIndex(s, zone, v, "vec_id", "e", mode = "overwrite")
+      }
+      // probe ids are offset above every corpus id, so id_a is always the
+      // corpus match and id_b the probe (no within-probe pair reaches
+      // 0.99 — distinct sources are near-orthogonal; one would fail the
+      // oracle hash loudly)
+      Dedup.embeddingNearDupIncremental(
+          Dedup.readEmbeddingSignatureIndex(s, zone), probes, "probe_id", "pe", 0.99)
+        .select(col("id_b").as("probe_id"), col("id_a").as("match_id"))
     }),
     // deterministic k-means (init vec_id%k, 2 Lloyd rounds, decimal-mean
     // centroids, cid tie-break) — corpus clustering oracle-checked on the
@@ -2006,6 +2045,31 @@ object SparkEntry {
           col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").as("ts"),
           col("event_type"), col("value"))
+    }),
+    // cross-RUN streaming dedup: st6's watermark state dies with the run;
+    // here the fingerprint ZONE is the memory that survives a restart.
+    // The stream runs TWICE over the same doubled feed with FRESH
+    // checkpoints (the re-delivered-crawl shape) and the output zone must
+    // hold exactly the original set once — in-batch dups die in the
+    // batch, cross-run dups die on the zone anti-join.
+    "st7_stream_dedup_crossrun" -> ((s, dir) => {
+      import graft.sources.Zones
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def feed = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .withColumn("__copy", explode(array(lit(1), lit(2))))
+        .drop("__copy")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st7_zones").getAbsolutePath
+      Zones.delete(s, root) // the cross-run memory IS what's tested: reset per invocation
+      Seq("run1", "run2").foreach { r =>
+        graft.streaming.EventStreams.dedupAgainstZone(
+          s, feed, Seq("event_id"), s"$root/fp", s"$root/out", s"$root/ckpt_$r")
+      }
+      s.read.parquet(s"$root/out").select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
     }),
     // true stream-stream interval join (watermark-bounded state on both
     // sides): each click joined to same-user purchases within the next
@@ -3221,6 +3285,25 @@ object SparkEntry {
         |  span_start + LENGTH(para) AS span_end,
         |  row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1 AS kept
         |FROM off WHERE para <> ''""".stripMargin,
+    // independent derivation: the oracle reassembles text_kept from the
+    // paragraph VALUES; the Spark side cuts the original text by the d10
+    // span OFFSETS — bitwise agreement proves the span arithmetic
+    "d11_paragraph_excise" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, regexp_replace(text, ' (key|row|scan) ', chr(10) || chr(10), 'g') AS st
+        |  FROM documents),
+        |px AS (SELECT doc_id, string_split(st, chr(10) || chr(10)) AS ps FROM docs2),
+        |paras AS (
+        |  SELECT doc_id, unnest(range(len(ps))) AS para_idx, unnest(ps) AS para FROM px),
+        |rk AS (
+        |  SELECT doc_id, para_idx, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1 AS kept
+        |  FROM paras WHERE para <> '')
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN kept THEN para END, chr(10) || chr(10)
+        |    ORDER BY para_idx), '') AS text_kept
+        |FROM rk GROUP BY doc_id""".stripMargin,
     "c1_hash_split" ->
       s"""SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -3394,6 +3477,16 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    // incremental-index form returns e1's exact pair set — oracle verbatim
+    "e3_embedding_neardup_incremental" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id + 10000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
+        |  FROM v WHERE vec_id % 10 = 0)
+        |SELECT probe_id, vec_id AS match_id FROM probes, v
+        |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
+        |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
+        |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
     "e2_kmeans_clusters" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),
@@ -3525,6 +3618,9 @@ object SparkEntry {
         |WHERE s.session_end < l.last_end
         |   OR epoch_us(s.session_end) + 3600000000 < epoch_us(maxts)""".stripMargin,
     "st6_stream_dedup" ->
+      "SELECT event_id, user_id, ts, event_type, value FROM events",
+    // two runs + doubling collapse back to the original set — same oracle
+    "st7_stream_dedup_crossrun" ->
       "SELECT event_id, user_id, ts, event_type, value FROM events",
     "st4_interval_join_stream" ->
       """SELECT l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts,

@@ -505,4 +505,90 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     embeddingNearDupJoin(df, idCol, vecCol, df, idCol, vecCol, threshold, bands, bitsPerBand, seed)
       .filter(col("id_a") < col("id_b"))
+
+  /** Per-band sign-bit keys as an array (index b = band b's key) — the
+    * stored form of [[bandedSignatures]]: banding a stored row back into
+    * (band, key) probes is a posexplode, no vector math.
+    */
+  private def bandKeyArray(
+      v: Column, planes: Seq[Array[Double]], bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      SimilaritySearch.signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+    }: _*)
+
+  /** Persist an embedding signature index: one row per vector —
+    * (id, v, bkeys) where `bkeys(b)` is band b's sign-bit key. The
+    * embedding analog of [[writeSignatureIndex]]: at corpus scale the
+    * daily embedding increment dedups against yesterday's stored keys
+    * instead of re-hashing the whole corpus through the hyperplanes.
+    * Keys are deterministic in (dim, bands, bitsPerBand, seed) — rows
+    * written on different days are directly joinable.
+    */
+  def writeEmbeddingSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L,
+      mode: String = "append"): Unit = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+      .write.mode(mode).parquet(path)
+  }
+
+  def readEmbeddingSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental embedding near-dup: pairs introduced by `increment`
+    * against a persisted embedding signature index (cross-batch ∪
+    * within-increment), cosine-confirmed. Signatures are computed for
+    * the increment ONLY; the index side band-probes its STORED keys
+    * (a posexplode of `bkeys` — no hyperplane math, no corpus rescan
+    * beyond the index zone). Ids-only candidates shuffle first;
+    * vectors join back once per distinct pair. Output: (id_a < id_b),
+    * matching [[embeddingNearDupPairsLsh]]'s contract.
+    */
+  def embeddingNearDupIncremental(
+      index: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val inc = increment.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val dim = inc.select(size(col("v"))).head().getInt(0)
+    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    val incSig = inc
+      .withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+      .cache()
+    def bandRows(df: DataFrame): DataFrame =
+      df.select(col("id"), posexplode(col("bkeys")).as(Seq("band", "key")))
+    val incBand = bandRows(incSig).cache()
+    val cross = incBand.alias("x")
+      .join(bandRows(index).alias("y"), Seq("band", "key"))
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    val within = incBand.alias("x")
+      .join(incBand.alias("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+    val vecs = index.select(col("id"), col("v"))
+      .unionByName(inc.select(col("id"), col("v")))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("sim", SimilaritySearch.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+  }
 }

@@ -279,4 +279,45 @@ object TextAnalysis {
       .withColumn("kept", row_number().over(wFirst) === 1)
       .select(col("doc_id"), col("para_idx"), col("span_start"), col("span_end"), col("kept"))
   }
+
+  /** Apply [[paragraphDedupSpans]] verdicts back onto the original text:
+    * rebuild each document from its kept paragraphs, CUT BY SPAN OFFSETS
+    * (`substr` over `[span_start, span_end)`) rather than by re-splitting
+    * — the consumer proof that the emitted spans are exact. The oracle
+    * derives the same text from the paragraph VALUES independently, so
+    * any off-by-one in the span arithmetic garbles `text_kept` and fails
+    * the bitwise hash. Returns one row per document that has ≥1
+    * non-empty paragraph: (doc_id, n_paras, n_kept, text_kept).
+    *
+    * Scale shape: the spans frame groups to one compact row per doc
+    * (offsets only, no paragraph bodies), then ONE hash join back to the
+    * original text — no second tokenization pass.
+    */
+  def exciseParagraphs(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        // collect_list skips the nulls `when` leaves for dropped spans
+        array_sort(collect_list(
+          when(col("kept"), struct(col("span_start"), col("span_end"))))).as("__spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(perDoc, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_paras"),
+        col("n_kept"),
+        array_join(
+          transform(
+            col("__spans"),
+            s => col("__text").substr(
+              s.getField("span_start").cast("int") + 1,
+              (s.getField("span_end") - s.getField("span_start")).cast("int"))),
+          "\n\n").as("text_kept"))
+  }
 }

@@ -81,6 +81,53 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Cross-RUN streaming dedup: each micro-batch drops rows whose key
+    * already sits in a persisted fingerprint zone, then appends the
+    * survivors to the output zone and their keys to the fingerprint
+    * zone. [[dedupWithinWatermark]] bounds state WITHIN one run; the
+    * fingerprint zone is the durable memory ACROSS runs — a restarted
+    * stream (fresh checkpoint, re-delivered feed) still emits each key
+    * once ever. The zone is consumed as an anti-join side per batch
+    * (scanned, never held in executor state), so its size is bounded by
+    * corpus keys on disk, not by streaming state memory; at warehouse
+    * scale the join prunes with a bloom pre-filter or bucketed layout
+    * like any other zone join.
+    *
+    * Delivery contract: foreachBatch is at-least-once — a batch retried
+    * after the output append could double-append. Production lands this
+    * in a transactional MERGE sink; with plain parquet zones the
+    * documented recovery is dedup-on-read over the output (the
+    * fingerprint zone itself stays correct: re-appended keys are
+    * duplicates WITHIN it, and the anti-join semantics are unchanged by
+    * duplicate fingerprints).
+    */
+  def dedupAgainstZone(
+      spark: SparkSession,
+      events: DataFrame,
+      keyCols: Seq[String],
+      fpZone: String,
+      outZone: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val firsts = batch.dropDuplicates(keyCols)
+        val fresh =
+          (if (graft.sources.Zones.exists(spark, fpZone))
+            firsts.join(spark.read.parquet(fpZone), keyCols, "left_anti")
+          else firsts).cache()
+        try {
+          fresh.write.mode("append").parquet(outZone)
+          fresh.select(keyCols.map(col): _*).write.mode("append").parquet(fpZone)
+        } finally { fresh.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)
   case class SessionState(startUs: Long, lastSeenUs: Long, nEvents: Long, totalValue: Double)
   case class UserSession(

@@ -111,6 +111,40 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.signatureIndex(corpus, "doc_id", "text", 3, 32).count())
   }
 
+  test("incremental embedding near-dup vs stored keys equals the self-join LSH over the union") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("e3_sig")
+      .toFile.getAbsolutePath + "/idx"
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    val corpusVecs = (0L until 40L).map(i => (i, vec().toSeq))
+    // increment: perturbed copies of corpus 0..9 (cross-batch pairs) plus
+    // a duplicated fresh pair (within-increment pair) plus noise
+    def perturb(v: Seq[Double]) = v.map(_ * 1.0001)
+    val freshDup = vec().toSeq
+    val incVecs = corpusVecs.take(10).map { case (i, v) => (1000L + i, perturb(v)) } ++
+      Seq((2000L, freshDup), (2001L, perturb(freshDup))) ++
+      (0 until 5).map(j => (3000L + j, vec().toSeq))
+    val corpus = corpusVecs.toDF("id", "v")
+    val inc = incVecs.toDF("id", "v")
+    Dedup.writeEmbeddingSignatureIndex(
+      spark, zone, corpus, "id", "v", bands = 8, bitsPerBand = 4, mode = "overwrite")
+    val got = Dedup.embeddingNearDupIncremental(
+      Dedup.readEmbeddingSignatureIndex(spark, zone), inc, "id", "v", 0.999,
+      bands = 8, bitsPerBand = 4)
+    // expected: the union self-join LSH restricted to pairs touching the
+    // increment (the index's internal pairs are yesterday's news)
+    val expected = Dedup.embeddingNearDupPairsLsh(
+        corpus.unionByName(inc), "id", "v", 0.999, bands = 8, bitsPerBand = 4)
+      .filter(col("id_b") >= 1000L) // increment ids start at 1000
+    assertSameRows(got, expected, "incremental embedding pairs vs union self-join")
+    // both pair kinds exercised
+    assert(got.filter(col("id_a") < 1000L).count() >= 10, "cross-batch pairs missing")
+    assert(got.filter(col("id_a") === 2000L && col("id_b") === 2001L).count() == 1,
+      "within-increment pair missing")
+  }
+
   test("persisted IVF index returns bit-identical results to build-per-query IVF") {
     val zone = java.nio.file.Files.createTempDirectory("k4_ivf")
       .toFile.getAbsolutePath + "/idx"

@@ -293,6 +293,30 @@ class ModulesSpec extends SparkSpec {
     assert(zone.filter(col("event_id") === 2L).head().getAs[Double]("value") == 99.0)
   }
 
+  test("streaming: cross-run dedup — the fingerprint zone remembers across restarts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crossrun").toFile.getAbsolutePath
+    def drop(dir: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"payload_$i")).toDF("event_id", "payload")
+        .write.mode("append").parquet(dir)
+    def run(inDir: String, ckpt: String): Unit = {
+      val schema = spark.read.parquet(inDir).schema
+      EventStreams.dedupAgainstZone(
+        spark, spark.readStream.schema(schema).parquet(inDir),
+        Seq("event_id"), s"$tmp/fp", s"$tmp/out", ckpt)
+    }
+    drop(s"$tmp/in1", 1 to 10)
+    run(s"$tmp/in1", s"$tmp/ckpt1")
+    assert(spark.read.parquet(s"$tmp/out").count() == 10)
+    // "restart": overlapping re-delivery (6..15) under a FRESH checkpoint
+    // — a watermark-state dedup forgets; the zone must not
+    drop(s"$tmp/in2", 6 to 15)
+    run(s"$tmp/in2", s"$tmp/ckpt2")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 15, s"expected 15 once-ever rows, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 15)
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(

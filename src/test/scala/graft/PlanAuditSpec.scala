@@ -238,6 +238,27 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("id_b") === 3L).count() == 1)
   }
 
+  test("e3: incremental embedding near-dup scans only the signature zone — no corpus re-hash") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("e3_audit")
+      .toFile.getAbsolutePath + "/idx"
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextGaussian()).toSeq))
+      .toDF("id", "v")
+    graft.operators.Dedup.writeEmbeddingSignatureIndex(
+      spark, zone, corpus, "id", "v", bands = 4, bitsPerBand = 4, mode = "overwrite")
+    val inc = (100L until 105L).map(i => (i, Array.fill(8)(rnd.nextGaussian()).toSeq))
+      .toDF("id", "v")
+    val pairs = graft.operators.Dedup.embeddingNearDupIncremental(
+      graft.operators.Dedup.readEmbeddingSignatureIndex(spark, zone), inc,
+      "id", "v", 0.9, bands = 4, bitsPerBand = 4)
+    val p = pairs.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, s"no file scan of the signature zone:\n$p")
+    assert(scans.forall(_.contains("e3_audit")),
+      s"plan scans files beyond the signature zone:\n${scans.mkString("\n")}")
+  }
+
   test("k4: persisted-IVF query plan scans only the index zone — no train, no re-assign") {
     import spark.implicits._
     val zone = java.nio.file.Files.createTempDirectory("k4_audit")
