@@ -49,6 +49,12 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       selected.map(_._1 -> -1.0): _*)
     (1 to runs).foreach { pass =>
+      // between passes, OUTSIDE any timed region: Spark's ContextCleaner
+      // releases localCheckpoint RDDs / broadcasts only after the driver
+      // GCs their references — a long bench session otherwise accretes
+      // checkpointed storage (pagerank/kmeans gates checkpoint per call)
+      // and late-pass micro-queries pay the memory pressure
+      System.gc()
       val order = selected.sortBy { case (n, _) =>
         scala.util.hashing.MurmurHash3.stringHash(s"$n#$pass")
       }

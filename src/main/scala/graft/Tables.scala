@@ -63,6 +63,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference-tracked cleanup (checkpoint RDDs, broadcasts, shuffle
+      // state) fires only on driver GC; the 30-min default never fires
+      // inside a bench/verify session, so long-running drivers accrete —
+      // 2 min keeps cleanup flowing without measurable GC cost
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 }
