@@ -1570,27 +1570,25 @@ object SparkEntry {
     // At 100 TB this is the daily shape: O(increment) compute against an
     // O(corpus) scan, never an O(corpus) re-shingle (plan-audited).
     "d9_incremental_dedup" -> ((s, dir) => {
-      import graft.sources.Zones
-      val corpus = nearDupCorpus(s, dir)
-      val day1 = corpus.filter(col("doc_id") % 3 =!= 0)
-      val day2 = corpus.filter(col("doc_id") % 3 === 0)
-      // BUILD-ONCE index zone, keyed by the sf dir (a stale zone from a
-      // different scale must never serve) and validated by the parquet
-      // commit marker — the build is deterministic, so re-invocations
-      // (bench warmup + timed passes) measure the STEADY STATE the
-      // operator is designed for: day-1 is never re-shingled
-      val zone = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_d9_sigzone_${zoneKey(dir)}").getAbsolutePath
-      if (!Zones.exists(s, s"$zone/_SUCCESS")) {
-        Zones.delete(s, zone)
-        Dedup.writeSignatureIndex(s, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
-      }
-      val idx = Dedup.readSignatureIndex(s, zone)
+      val (idx, day2) = day1SignatureZone(s, dir)
       // day-1 pairs from stored state + the increment against the index:
       // zero shingling of day-1 anywhere in the plan
       Dedup.minhashLshPairsFromIndex(idx, 32, 16, 0.6)
         .unionByName(Dedup.minhashLshPairsIncremental(
           idx, day2, "doc_id", "text", 3, 32, 16, 0.6))
+    }),
+    // incremental CLUSTER maintenance — the consumer of d9's increments:
+    // yesterday's assignment (star edges) ∪ today's new pairs re-labels
+    // in O(log new-diameter) rounds, no old-pair re-propagation. Result
+    // ≡ dupClusters over the full corpus pair set, so the oracle is d6's
+    // recursive-CTE closure verbatim.
+    "d12_incremental_clusters" -> ((s, dir) => {
+      val (idx, day2) = day1SignatureZone(s, dir)
+      val assignment = Curation.dupClusters(
+        Dedup.minhashLshPairsFromIndex(idx, 32, 16, 0.6), "id_a", "id_b")
+      val newPairs = Dedup.minhashLshPairsIncremental(
+        idx, day2, "doc_id", "text", 3, 32, 16, 0.6)
+      Curation.dupClustersIncremental(assignment, newPairs, "id_a", "id_b")
     }),
     // paragraph-granularity dedup with span offsets: duplicate paragraphs
     // are flagged (not excised) with their [span_start, span_end) in the
@@ -2213,6 +2211,28 @@ object SparkEntry {
 
   /** Filesystem-safe key for per-sf-dir build-once index zones. */
   private def zoneKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
+
+  /** The shared day-1 MinHash signature zone of the incremental dedup
+    * gates (d9, d12): BUILD-ONCE per sf dir (a stale zone from a
+    * different scale must never serve), validated by the parquet commit
+    * marker — the build is deterministic, so re-invocations (bench
+    * warmup + timed passes) measure the STEADY STATE the operators are
+    * designed for. Returns (stored index, day-2 increment).
+    */
+  private def day1SignatureZone(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.sources.Zones
+    val corpus = nearDupCorpus(s, dir)
+    val day1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val day2 = corpus.filter(col("doc_id") % 3 === 0)
+    val zone = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_d9_sigzone_${zoneKey(dir)}").getAbsolutePath
+    if (!Zones.exists(s, s"$zone/_SUCCESS")) {
+      Zones.delete(s, zone)
+      Dedup.writeSignatureIndex(s, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
+    }
+    (Dedup.readSignatureIndex(s, zone), day2)
+  }
 
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -2893,6 +2913,8 @@ object SparkEntry {
     // index-incremental form: same result set as the full recompute by
     // the union contract, so the oracle is d3's verbatim
     "d9_incremental_dedup" -> ngramJaccardOracle,
+    // incremental maintenance reproduces the full-closure clusters (d6)
+    "d12_incremental_clusters" -> dupClustersOracle,
     "q13_count_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -186,6 +186,34 @@ object Curation {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** Incremental cluster maintenance: fold NEW dup pairs into an existing
+    * cluster assignment without re-propagating the old pair set — the
+    * daily companion of [[graft.operators.Dedup.minhashLshPairsIncremental]].
+    * The old assignment already realizes its components as STARS (every
+    * id points at its component's min id), so the merged graph is just
+    * (id → cluster_id) star edges ∪ the new pairs: connectivity and min
+    * labels are identical to oldPairs ∪ newPairs, but propagation starts
+    * depth-1 — rounds scale with the NEW pairs' diameter, not with
+    * anything about the (arbitrarily large) old components. Self edges
+    * keep canonical/singleton ids in the node set.
+    *
+    * Contract: `assignment` is [[dupClusters]] output over the old pairs
+    * (or this function's own output — it composes day over day); result
+    * ≡ `dupClusters(oldPairs ∪ newPairs)`, including cluster merges when
+    * a new pair bridges two old clusters.
+    */
+  def dupClustersIncremental(
+      assignment: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val starEdges = assignment.select(col("id").as("a"), col("cluster_id").as("b"))
+    val edges = starEdges.unionByName(
+      newPairs.select(col(aCol).cast(starEdges.schema("a").dataType).as("a"),
+        col(bCol).cast(starEdges.schema("b").dataType).as("b")))
+    dupClusters(edges, "a", "b")
+  }
+
   /** Test-set decontamination: (train id, test id, containment) for every
     * pair where the TEST doc's n-gram coverage |A∩B| / |B| ≥ threshold
     * (A = train shingles, B = test shingles) — i.e. the test doc's content

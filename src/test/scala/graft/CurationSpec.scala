@@ -53,6 +53,27 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_.getLong(1) == 7L).map(_.getLong(2)).forall(_ == 2L))
   }
 
+  test("dupClustersIncremental folds new pairs into an assignment, merges included") {
+    import spark.implicits._
+    // old pairs: two clusters {1,2,3} and {10,11}, plus {20,21}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val assignment = Curation.dupClusters(oldPairs, "id_a", "id_b")
+    // new pairs: 3-10 BRIDGES two old clusters; 30-31 is a brand-new
+    // cluster; 21-22 extends an old one
+    val newPairs = Seq((3L, 10L), (30L, 31L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = Curation.dupClustersIncremental(assignment, newPairs, "id_a", "id_b")
+    val full = Curation.dupClusters(oldPairs.unionByName(newPairs), "id_a", "id_b")
+    assertSameRows(got, full, "incremental clusters vs full recompute")
+    // the bridge really merged: 11's label is now 1
+    assert(got.filter(col("id") === 11L && col("cluster_id") === 1L).count() == 1)
+    // and composition holds: a second day over the first day's output
+    val day3 = Seq((31L, 32L)).toDF("id_a", "id_b")
+    val got2 = Curation.dupClustersIncremental(got, day3, "id_a", "id_b")
+    val full2 = Curation.dupClusters(
+      oldPairs.unionByName(newPairs).unionByName(day3), "id_a", "id_b")
+    assertSameRows(got2, full2, "day-over-day composition")
+  }
+
   test("hashSplit is deterministic and roughly proportional") {
     import spark.implicits._
     val ids = (1L to 2000L).toDF("id")
