@@ -439,6 +439,72 @@ object SparkEntry {
         (abs(col("merged_est") - col("single_est")).cast("double") / col("single_est") <= 0.02)
           .as("merge_within_2pct"))
     }),
+    // A20: mergeable KLL quantile states — the percentile analog of
+    // a19's HLL union: per-month sketch states merged WITHOUT rescanning
+    // raw rows (Spark's approx_percentile exposes no reusable state).
+    // KLL compaction flips random coins, so estimates vary run to run;
+    // the compared data is exact values + rank-error-band flags (the
+    // d4/k2 planted-floor frame): the merged estimate's EXACT rank must
+    // sit within 0.04 of its target (k=200 → ε≈1.65% @99%; 0.04≈2.4ε)
+    // and merged vs single-pass ranks within 0.06 of each other. The
+    // rank check is one extra scan with the 1-row estimates broadcast.
+    "a20_kll_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("price"))
+      val merged = t(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(expr("kll_sketch_agg(cast(l_extendedprice as double), 200)").as("sk"))
+        .agg(expr("kll_quantiles(kll_merge_agg(sk), array(0.5d, 0.9d))").as("mq"))
+      val single = li.agg(
+        expr("kll_quantiles(kll_sketch_agg(price, 200), array(0.5d, 0.9d))").as("sq"),
+        count(lit(1)).as("n_exact"))
+      li.crossJoin(broadcast(merged.crossJoin(single)))
+        .agg(
+          max(col("n_exact")).as("n_exact"),
+          avg((col("price") <= element_at(col("mq"), 1)).cast("double")).as("r50m"),
+          avg((col("price") <= element_at(col("mq"), 2)).cast("double")).as("r90m"),
+          avg((col("price") <= element_at(col("sq"), 1)).cast("double")).as("r50s"),
+          avg((col("price") <= element_at(col("sq"), 2)).cast("double")).as("r90s"))
+        .select(
+          col("n_exact"),
+          (abs(col("r50m") - 0.5) <= 0.04).as("p50_in_band"),
+          (abs(col("r90m") - 0.9) <= 0.04).as("p90_in_band"),
+          (abs(col("r50m") - col("r50s")) <= 0.06 &&
+            abs(col("r90m") - col("r90s")) <= 0.06).as("merge_consistent"))
+    }),
+    // A21: the PERSISTED form of a19+a20 — a stats zone of per-month
+    // (epoch × returnflag) sketch states built once per sf dir; the
+    // rollup answers exact counts, KLL quantiles, and HLL distincts per
+    // flag by merging stored kilobyte states (PlanAuditSpec proves the
+    // rollup plan's only file scan is the zone). In-gate verification
+    // joins the 3-row estimates back to lineitem for exact ranks and
+    // exact distincts; compared data = exact n_rows (bitwise — counts
+    // sum losslessly from states) + the a20/a19 error-band flags.
+    "a21_stats_zone_rollup" -> ((s, dir) => {
+      val zone = monthlyStatsZone(s, dir)
+      val roll = Profiling.rollupStats(
+        Profiling.readStatsZone(s, zone), Seq(0.5, 0.9))
+      val est = broadcast(roll.select(
+        col("grp"), col("n_rows"),
+        element_at(col("value_quantiles"), 1).as("q50"),
+        element_at(col("value_quantiles"), 2).as("q90"),
+        col("key_distinct_est").as("nd_est")))
+      t(s, dir, "lineitem")
+        .join(est, col("l_returnflag") === col("grp"))
+        .groupBy("grp")
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          avg((col("l_extendedprice") <= col("q50")).cast("double")).as("r50"),
+          avg((col("l_extendedprice") <= col("q90")).cast("double")).as("r90"),
+          countDistinct(col("l_partkey")).as("nd_exact"),
+          max(col("nd_est")).as("nd_est"))
+        .select(
+          col("grp").as("l_returnflag"), col("n_rows"),
+          (abs(col("r50") - 0.5) <= 0.04).as("p50_in_band"),
+          (abs(col("r90") - 0.9) <= 0.04).as("p90_in_band"),
+          (abs(col("nd_est") - col("nd_exact")).cast("double") / col("nd_exact") <= 0.05)
+            .as("distinct_in_5pct"))
+    }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
       t(s, dir, "events")
@@ -611,6 +677,40 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
+    }),
+    // T12: Misra-Gries heavy hitters over document tokens — bounded-
+    // memory, MERGEABLE token stats (exact t4 shuffles every token
+    // occurrence; the standing 100 TB statistic moves kilobyte sketch
+    // states instead). The corpus vocabulary is near-uniform (31 tokens
+    // at ~2-3% each), exactly where MG guarantees nothing — so the gate
+    // PLANTS 3 hot tokens (40 copies per doc → ~14% mass each at every
+    // sf; background tokens are ~2-3%) and sizes the map (32) BELOW
+    // the vocabulary so purges genuinely occur; ε = 3.5/32 ≈ 10.9% of
+    // the stream sits between background and planted mass.
+    // Estimates depend on purge/merge order (task scheduling), so the
+    // compared data is the deterministic MG guarantees only: every
+    // above-ε·N token is captured, with lb ≤ exact ≤ ub — after the
+    // per-source states are MERGED (the mergeability path under test).
+    "t12_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .unionByName(docs.select(col("source"),
+          explode(array(Seq.fill(40)(
+            concat(lit("hot"), (col("doc_id") % 3).cast("string"))): _*)).as("token")))
+      val items = toks.groupBy("source").agg(expr("freq_items_agg(token, 32)").as("sk"))
+        .agg(expr("freq_top_items(freq_items_merge_agg(sk))").as("fis"))
+        .select(explode(col("fis")).as("fi"))
+        .select(col("fi.item").as("item"), col("fi.lb").as("lb"), col("fi.ub").as("ub"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(broadcast(total))
+        .filter(col("n_exact") > lit(3.5 / 32.0) * col("n_total"))
+        .join(broadcast(items), col("token") === col("item"), "left")
+        .select(col("token"), col("n_exact"),
+          col("item").isNotNull.as("captured"),
+          (col("item").isNotNull && col("lb") <= col("n_exact") &&
+            col("n_exact") <= col("ub")).as("bounds_ok"))
     }),
     "w2_top10_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2219,6 +2319,28 @@ object SparkEntry {
     * warmup + timed passes) measure the STEADY STATE the operators are
     * designed for. Returns (stored index, day-2 increment).
     */
+  /** a21's stats zone, built once per sf dir (commit-marker validated,
+    * dir-keyed like the d9/k4/e3 index zones): per-month × returnflag
+    * KLL/HLL states over lineitem — the steady-state nightly build whose
+    * rollups then never rescan raw rows.
+    */
+  private def monthlyStatsZone(s: SparkSession, dir: String): String = {
+    import graft.sources.Zones
+    val zone = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_a21_statszone_${zoneKey(dir)}").getAbsolutePath
+    if (!Zones.exists(s, s"$zone/_SUCCESS")) {
+      Zones.delete(s, zone)
+      Profiling.writeStatsZone(
+        t(s, dir, "lineitem"), zone,
+        epochExpr = "date_format(l_shipdate, 'yyyy-MM')",
+        groupExpr = "l_returnflag",
+        valueExpr = "l_extendedprice",
+        keyExpr = "l_partkey")
+    }
+    zone
+  }
+
   private def day1SignatureZone(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.sources.Zones
@@ -2358,6 +2480,27 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
         |  TRUE AS within_5pct, TRUE AS merge_within_2pct
         |FROM lineitem""".stripMargin,
+    "a20_kll_merge" ->
+      """SELECT COUNT(*) AS n_exact, TRUE AS p50_in_band,
+        |  TRUE AS p90_in_band, TRUE AS merge_consistent
+        |FROM lineitem""".stripMargin,
+    "a21_stats_zone_rollup" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS p50_in_band,
+        |  TRUE AS p90_in_band, TRUE AS distinct_in_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "t12_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'hot' || CAST(doc_id % 3 AS VARCHAR) AS token
+        |  FROM documents CROSS JOIN range(40)
+        |), c AS (SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT token, n_exact, TRUE AS captured, TRUE AS bounds_ok
+        |FROM c CROSS JOIN tot
+        |WHERE n_exact > 3.5 / 32.0 * n_total""".stripMargin,
     "a13_approx_quantiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.5) AS p50_exact,

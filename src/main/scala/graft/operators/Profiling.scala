@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Landing-zone data profiling: per-column row/null/distinct counts and
@@ -44,5 +44,53 @@ object Profiling {
           col(s"${c}__max").as("max_str"))
       }
       .reduce(_ unionByName _)
+  }
+
+  /** Persisted per-epoch mergeable sketch states — the standing
+    * statistics a 100 TB warehouse keeps NEXT TO the data: one row per
+    * (epoch, group) holding a row count, a KLL quantile state over
+    * `valueExpr`, and an HLL distinct state over `keyExpr`. Built once
+    * per epoch (e.g. nightly for the closing month); every later
+    * rollup — any group, any epoch range, quantiles AND distincts —
+    * merges kilobyte states instead of rescanning raw rows
+    * ([[rollupStats]], plan-audited to touch only the zone).
+    *
+    * Expressions are SQL snippets so callers can epoch however the
+    * table is laid out (`date_format(l_shipdate, 'yyyy-MM')`, a
+    * partition column, …). The state frame is months × groups rows of
+    * kilobytes — `repartition(1)` keeps the zone one file instead of
+    * shuffle-partition-many near-empty ones.
+    */
+  def writeStatsZone(
+      df: DataFrame,
+      path: String,
+      epochExpr: String,
+      groupExpr: String,
+      valueExpr: String,
+      keyExpr: String,
+      kllK: Int = 200): Unit = {
+    df.groupBy(expr(epochExpr).as("epoch"), expr(groupExpr).as("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"kll_sketch_agg(cast(($valueExpr) as double), $kllK)").as("value_kll"),
+        expr(s"hll_sketch_agg($keyExpr)").as("key_hll"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readStatsZone(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Any-range rollup from stored states, never touching raw rows:
+    * exact row counts (counts sum losslessly), KLL-merged quantile
+    * estimates at `ranks`, and the HLL-union distinct estimate.
+    */
+  def rollupStats(stats: DataFrame, ranks: Seq[Double]): DataFrame = {
+    val rankArr = ranks.map(r => s"${r}d").mkString("array(", ", ", ")")
+    stats.groupBy("grp")
+      .agg(
+        sum("n_rows").as("n_rows"),
+        expr(s"kll_quantiles(kll_merge_agg(value_kll), $rankArr)").as("value_quantiles"),
+        expr("hll_sketch_estimate(hll_union_agg(key_hll))").as("key_distinct_est"))
   }
 }

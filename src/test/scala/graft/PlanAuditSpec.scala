@@ -238,6 +238,28 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("id_b") === 3L).count() == 1)
   }
 
+  test("a21: stats-zone rollup's only file scan is the zone — no raw-table rescan") {
+    val zone = java.nio.file.Files.createTempDirectory("a21_audit")
+      .toFile.getAbsolutePath + "/stats"
+    graft.operators.Profiling.writeStatsZone(
+      Tables.load(spark, dir, "lineitem"), zone,
+      epochExpr = "date_format(l_shipdate, 'yyyy-MM')",
+      groupExpr = "l_returnflag",
+      valueExpr = "l_extendedprice",
+      keyExpr = "l_partkey")
+    val roll = graft.operators.Profiling.rollupStats(
+      graft.operators.Profiling.readStatsZone(spark, zone), Seq(0.5, 0.9))
+    val p = roll.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, s"no file scan of the stats zone:\n$p")
+    assert(scans.forall(_.contains("a21_audit")),
+      s"plan scans files beyond the stats zone:\n${scans.mkString("\n")}")
+    // and the states actually answer: exact counts survive the state path
+    val n = roll.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+    assert(n == Tables.load(spark, dir, "lineitem").count(),
+      "state-summed row count diverges from the raw count")
+  }
+
   test("e3: incremental embedding near-dup scans only the signature zone — no corpus re-hash") {
     import spark.implicits._
     val zone = java.nio.file.Files.createTempDirectory("e3_audit")

@@ -27,6 +27,59 @@ class SketchSpec extends SparkSpec {
     assert(worst <= 0.01, s"worst relative quantile error $worst")
   }
 
+  test("kll_sketch_agg: merged per-month states stay within the rank-error band") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    // per-month states → one merge → quantile estimates, never rescanning rows
+    val merged = li.groupBy(date_format(col("l_shipdate"), "yyyy-MM"))
+      .agg(expr("kll_sketch_agg(cast(l_extendedprice as double), 200)").as("sk"))
+      .agg(expr("kll_quantiles(kll_merge_agg(sk), array(0.1d, 0.5d, 0.9d))").as("q"))
+      .head().getSeq[Double](0)
+    val single = li
+      .agg(expr(
+        "kll_quantiles(kll_sketch_agg(cast(l_extendedprice as double), 200), array(0.1d, 0.5d, 0.9d))").as("q"))
+      .head().getSeq[Double](0)
+    val n = li.count().toDouble
+    for ((p, v) <- Seq(0.1, 0.5, 0.9).zip(merged)) {
+      val rank = li.filter(col("l_extendedprice") <= v).count() / n
+      assert(math.abs(rank - p) <= 0.04, s"merged rank($v) = $rank, want ~$p")
+    }
+    for ((p, v) <- Seq(0.1, 0.5, 0.9).zip(single)) {
+      val rank = li.filter(col("l_extendedprice") <= v).count() / n
+      assert(math.abs(rank - p) <= 0.04, s"single-pass rank($v) = $rank, want ~$p")
+    }
+  }
+
+  test("freq_items_agg: planted heavy hitters survive per-group merge with valid bounds") {
+    import spark.implicits._
+    // 40 uniform background tokens ×50 + 2 hot ×1000 → hot ≈ 25% each;
+    // map size 16 (< 42 distinct, ε = 3.5/16 ≈ 21.9%) forces real purges
+    val rows =
+      (0 until 2000).map(i => (i % 4, s"bg${i % 40}")) ++
+      (0 until 2000).map(i => (i % 4, s"h${i % 2}"))
+    val toks = rows.toDF("g", "token")
+    val items = toks.groupBy("g").agg(expr("freq_items_agg(token, 16)").as("sk"))
+      .agg(expr("freq_top_items(freq_items_merge_agg(sk))").as("fis"))
+      .select(explode(col("fis")).as("fi"))
+      .select(col("fi.item").as("item"), col("fi.lb").as("lb"), col("fi.ub").as("ub"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (hot <- Seq("h0", "h1")) {
+      assert(items.contains(hot), s"heavy hitter $hot purged — MG guarantee violated")
+      val (lb, ub) = items(hot)
+      assert(lb <= 1000L && 1000L <= ub, s"$hot bounds [$lb,$ub] exclude exact 1000")
+    }
+  }
+
+  test("t12's deterministic threshold dominates the library's a-priori error") {
+    // the gate filters on n_exact > 3.5/32 · N; capture is guaranteed for
+    // anything above the sketch's true a-priori error, so the formula
+    // must upper-bound it at every stream length the gate can see
+    for (n <- Seq(1000L, 50000L, 500000L, 50000000L)) {
+      val apriori = org.apache.datasketches.frequencies.ItemsSketch.getAprioriError(32, n)
+      assert(apriori <= 3.5 * n / 32.0 + 1e-9,
+        s"a-priori error $apriori exceeds gate threshold ${3.5 * n / 32.0} at n=$n")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact at rsd=0.02") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.groupBy("l_returnflag")
