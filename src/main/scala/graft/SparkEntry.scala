@@ -2169,6 +2169,52 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("ts"),
         col("event_type"), col("value"))
     }),
+    // ST8: streaming maintenance of the a21 stats zone — each batch's
+    // per-(month × event_type) KLL/HLL/count states merge into the
+    // stored zone via the staged swap, with the batchId INSIDE the
+    // swapped data. Two full runs over the same feed with FRESH
+    // checkpoints (the redelivery shape): run 2 must no-op on the
+    // high-water mark, so the rollup equals exactly-once stats — counts
+    // bitwise vs the batch oracle, sketch estimates in the a21 bands.
+    "st8_stats_zone_stream" -> ((s, dir) => {
+      import graft.sources.Zones
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def feed = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st8_zones").getAbsolutePath
+      Zones.delete(s, root) // the replay protection IS what's tested: reset per invocation
+      Seq("run1", "run2").foreach { r =>
+        graft.streaming.EventStreams.maintainStatsZone(
+          s, feed, s"$root/stats", s"$root/ckpt_$r",
+          epochExpr = "date_format(ts, 'yyyy-MM')",
+          groupExpr = "event_type",
+          valueExpr = "value",
+          keyExpr = "user_id")
+      }
+      val roll = Profiling.rollupStats(
+        Profiling.readStatsZone(s, s"$root/stats"), Seq(0.5, 0.9))
+      val est = broadcast(roll.select(
+        col("grp"), col("n_rows"),
+        element_at(col("value_quantiles"), 1).as("q50"),
+        element_at(col("value_quantiles"), 2).as("q90"),
+        col("key_distinct_est").as("nd_est")))
+      t(s, dir, "events")
+        .join(est, col("event_type") === col("grp"))
+        .groupBy("grp")
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          avg((col("value") <= col("q50")).cast("double")).as("r50"),
+          avg((col("value") <= col("q90")).cast("double")).as("r90"),
+          countDistinct(col("user_id")).as("nd_exact"),
+          max(col("nd_est")).as("nd_est"))
+        .select(
+          col("grp").as("event_type"), col("n_rows"),
+          (abs(col("r50") - 0.5) <= 0.04).as("p50_in_band"),
+          (abs(col("r90") - 0.9) <= 0.04).as("p90_in_band"),
+          (abs(col("nd_est") - col("nd_exact")).cast("double") / col("nd_exact") <= 0.05)
+            .as("distinct_in_5pct"))
+    }),
     // true stream-stream interval join (watermark-bounded state on both
     // sides): each click joined to same-user purchases within the next
     // 4 hours. Inner joins emit on match — over a finite AvailableNow
@@ -3787,6 +3833,11 @@ object SparkEntry {
     // two runs + doubling collapse back to the original set — same oracle
     "st7_stream_dedup_crossrun" ->
       "SELECT event_id, user_id, ts, event_type, value FROM events",
+    // two fresh-checkpoint runs, one effect: counts are exactly-once
+    "st8_stats_zone_stream" ->
+      """SELECT event_type, COUNT(*) AS n_rows, TRUE AS p50_in_band,
+        |  TRUE AS p90_in_band, TRUE AS distinct_in_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "st4_interval_join_stream" ->
       """SELECT l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts,
         |  r.value AS right_value

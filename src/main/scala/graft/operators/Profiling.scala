@@ -61,6 +61,19 @@ object Profiling {
     * kilobytes — `repartition(1)` keeps the zone one file instead of
     * shuffle-partition-many near-empty ones.
     */
+  private def statsStates(
+      df: DataFrame,
+      epochExpr: String,
+      groupExpr: String,
+      valueExpr: String,
+      keyExpr: String,
+      kllK: Int): DataFrame =
+    df.groupBy(expr(epochExpr).as("epoch"), expr(groupExpr).as("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"kll_sketch_agg(cast(($valueExpr) as double), $kllK)").as("value_kll"),
+        expr(s"hll_sketch_agg($keyExpr)").as("key_hll"))
+
   def writeStatsZone(
       df: DataFrame,
       path: String,
@@ -69,11 +82,7 @@ object Profiling {
       valueExpr: String,
       keyExpr: String,
       kllK: Int = 200): Unit = {
-    df.groupBy(expr(epochExpr).as("epoch"), expr(groupExpr).as("grp"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        expr(s"kll_sketch_agg(cast(($valueExpr) as double), $kllK)").as("value_kll"),
-        expr(s"hll_sketch_agg($keyExpr)").as("key_hll"))
+    statsStates(df, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
@@ -92,5 +101,71 @@ object Profiling {
         sum("n_rows").as("n_rows"),
         expr(s"kll_quantiles(kll_merge_agg(value_kll), $rankArr)").as("value_quantiles"),
         expr("hll_sketch_estimate(hll_union_agg(key_hll))").as("key_distinct_est"))
+  }
+
+  /** The zone's replay high-water mark: max over the `hwm` column, or
+    * -1 for an absent zone / one built by [[writeStatsZone]] (which
+    * carries no mark).
+    */
+  def statsZoneHighWater(spark: SparkSession, path: String): Long = {
+    import graft.sources.Zones
+    if (!Zones.exists(spark, s"$path/_SUCCESS")) -1L
+    else {
+      val df = Zones.read(spark, path)
+      if (!df.columns.contains("hwm")) -1L
+      else df.agg(coalesce(max("hwm"), lit(-1L))).head().getLong(0)
+    }
+  }
+
+  /** Merge an increment's states into a stored stats zone — the
+    * incremental/streaming maintenance step: per-call cost is
+    * O(increment rows + existing states); raw history is NEVER
+    * rescanned (counts sum, KLL states merge, HLL states union).
+    *
+    * Exactly-once under replay: `batchId` (when given, e.g. from
+    * `foreachBatch`) is carried INSIDE the swapped data as the `hwm`
+    * column, so the replay guard and the state update commit in one
+    * filesystem rename — a crash between "zone written" and "mark
+    * written" cannot exist, and a redelivered batch with
+    * id ≤ high-water no-ops (returns false). This closes, for
+    * statistics, the at-least-once caveat documented on the st7
+    * fingerprint zone.
+    *
+    * The staged write reads the CURRENT zone files while writing the
+    * tmp dir ([[graft.sources.Zones.overwriteSwap]]'s contract), so
+    * the zone stays readable throughout.
+    */
+  def mergeStatsIncrement(
+      spark: SparkSession,
+      increment: DataFrame,
+      path: String,
+      epochExpr: String,
+      groupExpr: String,
+      valueExpr: String,
+      keyExpr: String,
+      kllK: Int = 200,
+      batchId: Option[Long] = None): Boolean = {
+    import graft.sources.Zones
+    val stored = statsZoneHighWater(spark, path)
+    if (batchId.exists(_ <= stored)) return false
+    val hwm = batchId.getOrElse(stored + 1L)
+    val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
+      .withColumn("hwm", lit(hwm))
+    val merged =
+      if (!Zones.exists(spark, s"$path/_SUCCESS")) incStates
+      else {
+        val cur = Zones.read(spark, path)
+        val withHwm =
+          if (cur.columns.contains("hwm")) cur else cur.withColumn("hwm", lit(-1L))
+        withHwm.unionByName(incStates)
+          .groupBy("epoch", "grp")
+          .agg(
+            sum("n_rows").as("n_rows"),
+            expr("kll_merge_agg(value_kll)").as("value_kll"),
+            expr("hll_union_agg(key_hll)").as("key_hll"),
+            max("hwm").as("hwm"))
+      }
+    Zones.overwriteSwap(merged.repartition(1), path)
+    true
   }
 }

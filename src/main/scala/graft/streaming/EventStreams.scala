@@ -374,4 +374,41 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming maintenance of a [[graft.operators.Profiling]] stats
+    * zone: every micro-batch's per-(epoch × group) sketch states merge
+    * into the stored zone through the staged atomic swap, with the
+    * foreachBatch batchId carried inside the swapped data — so a batch
+    * redelivered after a crash (or a whole rerun from a fresh
+    * checkpoint over the same source) no-ops instead of double-counting.
+    * EXACTLY-ONCE zone effect on top of foreachBatch's at-least-once
+    * contract, closing for statistics the caveat documented on
+    * [[dedupAgainstZone]]'s fingerprint zone.
+    *
+    * At 100 TB this is how standing statistics stay fresh: per-batch
+    * cost is O(batch rows + existing kilobyte states); the raw history
+    * is never rescanned.
+    */
+  def maintainStatsZone(
+      spark: SparkSession,
+      events: DataFrame,
+      zonePath: String,
+      checkpoint: String,
+      epochExpr: String,
+      groupExpr: String,
+      valueExpr: String,
+      keyExpr: String,
+      kllK: Int = 200): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Profiling.mergeStatsIncrement(
+          spark, batch, zonePath, epochExpr, groupExpr, valueExpr, keyExpr,
+          kllK, batchId = Some(batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

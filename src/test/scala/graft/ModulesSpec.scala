@@ -317,6 +317,39 @@ class ModulesSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 15)
   }
 
+  test("stats zone: incremental merges equal the one-shot build; replayed batches no-op") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val tmp = java.nio.file.Files.createTempDirectory("graft_statsinc").toFile.getAbsolutePath
+    val zone = s"$tmp/stats"
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      Profiling.mergeStatsIncrement(spark, df, zone,
+        epochExpr = "day", groupExpr = "cast(k % 2 as string)",
+        valueExpr = "v", keyExpr = "k", batchId = Some(id))
+    val d1 = (1L to 40L).map(i => ("2024-01", i, i.toDouble)).toDF("day", "k", "v")
+    val d2 = ((1L to 20L).map(i => ("2024-01", i + 100, i * 2.0)) ++
+      (1L to 30L).map(i => ("2024-02", i, i * 3.0))).toDF("day", "k", "v")
+    assert(merge(d1, 0L))
+    assert(!merge(d1, 0L), "replayed batch id must no-op on the high-water mark")
+    assert(merge(d2, 1L))
+    assert(Profiling.statsZoneHighWater(spark, zone) == 1L)
+    // counts per (epoch, grp) ≡ a one-shot build over the union: counts
+    // sum losslessly through the state path, no matter how it was fed
+    Profiling.writeStatsZone(d1.unionByName(d2), s"$tmp/full",
+      epochExpr = "day", groupExpr = "cast(k % 2 as string)",
+      valueExpr = "v", keyExpr = "k")
+    val inc = Profiling.readStatsZone(spark, zone)
+      .select("epoch", "grp", "n_rows").sort("epoch", "grp")
+      .collect().map(_.toSeq).toSeq
+    val full = Profiling.readStatsZone(spark, s"$tmp/full")
+      .select("epoch", "grp", "n_rows").sort("epoch", "grp")
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full, s"incremental counts $inc diverge from one-shot $full")
+    // and the merged states still answer: total rows exact, distincts in band
+    val roll = Profiling.rollupStats(Profiling.readStatsZone(spark, zone), Seq(0.5))
+    assert(roll.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 90L)
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
