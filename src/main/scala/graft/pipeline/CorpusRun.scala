@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.control.RunLedger
+import graft.operators.{Curation, Dedup, Profiling, TextAnalysis}
+import graft.sources.Zones
+
+/** The daily TRAINING-CORPUS batch — the LLM-data analog of [[DailyRun]]:
+  * one runnable job folding a day's document increment into persisted
+  * corpus zones, where EVERY stage costs O(increment + indexes), never
+  * O(corpus). This is the composition the incremental operators exist
+  * for (d9 signature index, d12 cluster maintenance, st8 stats states):
+  *
+  *   gate (already ran today? → skip; RUNNING row → mutual exclusion)
+  *   → quality filter (token count + alpha ratio, pure column ops)
+  *   → exact dedup: within-increment dropDuplicates + anti-join against
+  *     the corpus FINGERPRINT zone (only increment fingerprints computed)
+  *   → near-dup: increment signatures vs the stored SIGNATURE INDEX
+  *     (banded cross-batch + within-increment candidates — day-1 text is
+  *     never re-shingled)
+  *   → cluster maintenance: yesterday's star-compressed assignment ∪
+  *     today's new pairs, O(log new-diameter) rounds
+  *   → keep policy: cluster canonicals (min-id roots) + singletons;
+  *     survivors APPEND to the day-partitioned corpus zone
+  *   → stats zone merge (counts exact, KLL/HLL states; day-keyed replay
+  *     guard rides inside the swap)
+  *   → ledger SUCCESS row carrying the per-stage counts
+  *
+  * Append-only discipline: closed day partitions of the corpus zone and
+  * the signature index are never rewritten (CorpusRunSpec pins this with
+  * a byte-identity census); only the small cluster-assignment and stats
+  * zones swap.
+  *
+  * Keep policy contract: a cluster's kept representative is its min-id
+  * member at the time each member arrives. With ingest-monotonic doc ids
+  * (the natural case) the kept set is stable; a later doc with a SMALLER
+  * id than an existing root is kept alongside the earlier representative
+  * (already-published corpus rows are never retracted).
+  *
+  * Usage: runMain graft.pipeline.CorpusRun <incrementDir> <warehouseDir> <runTs>
+  *   incrementDir: parquet of the day's documents (doc_id, text, source[, …])
+  *   runTs:        injected "now" (yyyy-MM-dd HH:mm:ss) — F11 determinism
+  */
+object CorpusRun {
+  val ProcessName = "corpus_pipeline"
+  val StaleRunningHours = 24
+
+  /** Quality floor: documents shorter than this many whitespace tokens
+    * (or mostly non-alphabetic) never enter the dedup stages.
+    */
+  val MinTokens = 5
+  val MinAlphaRatio = 0.25
+
+  /** MinHash geometry — shared with the d3/d9 gates: 3-gram shingles,
+    * 32 hashes in 16 bands, confirm at Jaccard ≥ 0.6.
+    */
+  val ShingleN = 3
+  val NumHashes = 32
+  val Bands = 16
+  val JaccardThreshold = 0.6
+
+  def main(args: Array[String]): Unit = {
+    val Array(incrementDir, whDir, runTs) = args.take(3)
+    val spark = Sessions
+      .builder("graft-corpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val outcome = run(spark, incrementDir, whDir, runTs)
+    println(s"""{"pipeline":"$ProcessName","outcome":"$outcome"}""")
+    spark.stop()
+  }
+
+  /** Returns "SKIPPED" (gate) or "SUCCESS"; rethrows after recording a
+    * FAILED ledger row if any stage fails.
+    */
+  def run(spark: SparkSession, incrementDir: String, whDir: String, runTs: String): String = {
+    val runDate = runTs.substring(0, 10)
+    val ledgerPath = s"$whDir/control/corpus_log"
+    val ledger0 =
+      if (Zones.exists(spark, ledgerPath)) Zones.read(spark, ledgerPath)
+      else RunLedger.empty(spark)
+    if (RunLedger.ranToday(ledger0, ProcessName, runDate) ||
+        RunLedger.anyRunning(ledger0, ProcessName, runTs, StaleRunningHours)) return "SKIPPED"
+    val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
+    Zones.overwriteSwap(ledger1, ledgerPath)
+    try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        val failed = RunLedger.finishRun(
+          Zones.read(spark, ledgerPath), runId, "FAILED", runTs,
+          messageOverride = Some(s"FAILED: $msg"))
+        Zones.overwriteSwap(failed, ledgerPath)
+        throw e
+    }
+  }
+
+  private def runStages(
+      spark: SparkSession,
+      incrementDir: String,
+      whDir: String,
+      runTs: String,
+      runDate: String,
+      ledgerPath: String,
+      runId: Long): String = {
+    val docsPath = s"$whDir/corpus/docs"
+    val fpPath = s"$whDir/corpus/fingerprints"
+    val sigPath = s"$whDir/corpus/sig_index"
+    val clustersPath = s"$whDir/corpus/clusters"
+    val statsPath = s"$whDir/corpus/stats"
+
+    // [1] increment + quality floor. Corrupt files quarantine, not kill
+    // (the DailyRun policy); the loss is surfaced in the ledger message.
+    val (rawInc, quarantined) = Zones.readRobust(spark, incrementDir)
+    val raw = rawInc.cache()
+    val nInput = raw.count()
+    val quality = raw.filter(
+      TextAnalysis.tokenCount(col("text")) >= MinTokens &&
+        TextAnalysis.alphaRatio(col("text")) >= MinAlphaRatio)
+      .cache()
+    val nQuality = quality.count()
+
+    // [2] exact dedup: first-wins within the increment, then anti-join
+    // the corpus fingerprint zone — only the increment hashes; the zone
+    // is probe-side state, not recomputed
+    val printed = quality
+      .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val exactSurvivors =
+      (if (Zones.exists(spark, fpPath))
+        printed.join(Zones.read(spark, fpPath), Seq("fp"), "left_anti")
+      else printed).cache()
+    val nExact = exactSurvivors.count()
+
+    // [3] near-dup pairs. Day 1 appends its signatures and derives pairs
+    // from the stored state (nothing shingles twice); later days compute
+    // increment signatures ONLY and band-join the stored index, then
+    // append — the index never sees a row twice.
+    val newPairs =
+      if (!Zones.exists(spark, sigPath)) {
+        Dedup.writeSignatureIndex(
+          spark, sigPath, exactSurvivors, "doc_id", "text", ShingleN, NumHashes)
+        Dedup.minhashLshPairsFromIndex(
+          Dedup.readSignatureIndex(spark, sigPath), NumHashes, Bands, JaccardThreshold)
+          .localCheckpoint()
+      } else {
+        // MATERIALIZE the cross-batch pairs BEFORE appending the
+        // increment's signatures: a lazy plan would re-list the grown
+        // index and join the increment against itself (self-pairs)
+        val pairs = Dedup.minhashLshPairsIncremental(
+          Dedup.readSignatureIndex(spark, sigPath), exactSurvivors,
+          "doc_id", "text", ShingleN, NumHashes, Bands, JaccardThreshold)
+          .localCheckpoint()
+        Dedup.writeSignatureIndex(
+          spark, sigPath, exactSurvivors, "doc_id", "text", ShingleN, NumHashes)
+        pairs
+      }
+
+    // [4] cluster maintenance: star edges ∪ new pairs — never the old
+    // pair set. The assignment zone is small (pair-involved docs only)
+    // and swaps atomically; a day with no new pairs leaves it untouched
+    // (pointer jumping needs ≥1 edge — and an unchanged closure needs no
+    // rewrite).
+    if (!newPairs.isEmpty) {
+      val assignment =
+        if (Zones.exists(spark, clustersPath))
+          Curation.dupClustersIncremental(
+            Zones.read(spark, clustersPath).select("id", "cluster_id"),
+            newPairs, "id_a", "id_b")
+        else Curation.dupClusters(newPairs, "id_a", "id_b")
+      Zones.overwriteSwap(assignment, clustersPath)
+    }
+
+    // [5] keep policy + publish: survivors whose cluster representative
+    // is someone else are dropped; canonicals and singletons append to
+    // the day-partitioned corpus zone, fingerprints to the probe zone.
+    val dropped =
+      if (Zones.exists(spark, clustersPath))
+        Zones.read(spark, clustersPath)
+          .filter(!col("is_canonical")).select(col("id").as("doc_id"))
+      else exactSurvivors.select("doc_id").limit(0)
+    // localCheckpoint, NOT cache: the fingerprint append below triggers
+    // recacheByPath on every cached plan reading the fp zone — a cached
+    // `kept` would re-execute its anti-join against the GROWN zone and
+    // silently become empty for the stats merge. Checkpointing severs
+    // the lineage so `kept` is immutable data from here on.
+    val kept = exactSurvivors
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("ingest_day", lit(runDate))
+      .localCheckpoint()
+    val nKept = kept.count()
+    kept.drop("fp").write.mode("append").partitionBy("ingest_day").parquet(docsPath)
+    exactSurvivors.select("fp").write.mode("append").parquet(fpPath)
+
+    // [6] standing statistics over what was PUBLISHED: counts exact,
+    // quantile/distinct states mergeable; the day-keyed replay guard
+    // commits inside the same swap as the states
+    Profiling.mergeStatsIncrement(
+      spark, kept, statsPath,
+      epochExpr = "substring(ingest_day, 1, 7)",
+      groupExpr = "source",
+      valueExpr = "cast(length(text) as double)",
+      keyExpr = "doc_id",
+      batchId = Some(java.time.LocalDate.parse(runDate).toEpochDay))
+
+    val message =
+      s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}, " +
+        s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
+        s"published $nKept." + (
+        if (quarantined.isEmpty) ""
+        else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
+          s"${Zones.quarantineDir(incrementDir)}.")
+    raw.unpersist(); quality.unpersist(); exactSurvivors.unpersist()
+    val done = RunLedger.finishRun(
+      Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
+      messageOverride = Some(message))
+    Zones.overwriteSwap(done, ledgerPath)
+    "SUCCESS"
+  }
+}

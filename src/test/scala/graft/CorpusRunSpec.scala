@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+import graft.pipeline.CorpusRun
+import graft.sources.Zones
+
+/** End-to-end daily corpus pipeline: three days of increments through
+  * quality → exact dedup → incremental near-dup → cluster maintenance →
+  * append-only publish → stats merge, with the contracts that matter at
+  * 100 TB pinned: closed day partitions byte-identical after later days,
+  * the cluster assignment ≡ a from-scratch closure over all pairs, and
+  * stats counts ≡ the published corpus.
+  */
+class CorpusRunSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private def fileCensus(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  test("three-day corpus run: dedup across days, append-only history, consistent stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    // day 1: 8 clean docs (no dups), one low-quality (2 tokens)
+    val base = (1L to 8L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i", "web"))
+    val in1 = drop("d1", docs(base :+ ((9L, "too short", "web"))))
+    assert(CorpusRun.run(spark, in1, wh, "2026-03-01 02:00:00") == "SUCCESS")
+    val day1Docs = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day1Docs.count() == 8, "day 1 should publish the 8 quality docs")
+    // same-day rerun gates out before touching anything
+    assert(CorpusRun.run(spark, in1, wh, "2026-03-01 09:00:00") == "SKIPPED")
+
+    val censusAfterDay1 = fileCensus(s"$wh/corpus/docs")
+
+    // day 2: 2 brand-new docs, 1 exact copy of doc 3's text (new id),
+    // 1 near-dup of doc 5 (first token dropped → Jaccard > 0.6),
+    // 1 low-quality reject
+    val in2 = drop("d2", docs(Seq(
+      (11L, "one1 two2 three3 four4 five5 six6 seven7 eight8", "news"),
+      (12L, "uno dos tres cuatro cinco seis siete ocho", "news"),
+      (13L, base(2)._2, "web"), // exact text of doc 3
+      (14L, base(4)._2.split(" ").drop(1).mkString(" "), "web"), // near-dup of doc 5
+      (15L, "tiny", "web"))))
+    assert(CorpusRun.run(spark, in2, wh, "2026-03-02 02:00:00") == "SUCCESS")
+    val day2Docs = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day2Docs.count() == 10, s"day 2 should add exactly 11+12: ${day2Docs.count()}")
+    assert(day2Docs.filter(col("doc_id").isin(13L, 14L, 15L)).isEmpty,
+      "exact copy, near-dup, and low-quality doc must all be dropped")
+
+    // closed day-1 files untouched by day 2 (append-only discipline)
+    val censusAfterDay2 = fileCensus(s"$wh/corpus/docs")
+    censusAfterDay1.foreach { case (path, sig) =>
+      assert(censusAfterDay2.get(path).contains(sig), s"day-1 file rewritten: $path")
+    }
+
+    // ledger message carries the per-stage counts
+    val msg2 = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg2.contains("input 5") && msg2.contains("quality-dropped 1") &&
+      msg2.contains("exact-dup-dropped 1") && msg2.contains("near-dup-dropped 1") &&
+      msg2.contains("published 2"), s"unexpected ledger message: $msg2")
+
+    // day 3: another near-dup chain — a near-dup of day-2's doc 11
+    // (cross-day candidate via the signature index, day-2 text never
+    // re-shingled) plus one fresh doc
+    val in3 = drop("d3", docs(Seq(
+      (21L, "one1 two2 three3 four4 five5 six6 seven7 eight8 nine9", "news"),
+      (22L, "completely fresh content rows nine ten eleven twelve", "blog"))))
+    assert(CorpusRun.run(spark, in3, wh, "2026-03-03 02:00:00") == "SUCCESS")
+    val day3Docs = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day3Docs.count() == 11, s"day 3 should add only doc 22: ${day3Docs.count()}")
+    assert(day3Docs.filter(col("doc_id") === 21L).isEmpty, "cross-day near-dup must drop")
+
+    // the incrementally-maintained assignment ≡ a from-scratch closure
+    // over the full pair set derived from the complete signature index
+    val idx = graft.operators.Dedup.readSignatureIndex(spark, s"$wh/corpus/sig_index")
+    val fullPairs = graft.operators.Dedup.minhashLshPairsFromIndex(
+      idx, CorpusRun.NumHashes, CorpusRun.Bands, CorpusRun.JaccardThreshold)
+    val scratch = Curation.dupClusters(fullPairs, "id_a", "id_b")
+      .select("id", "cluster_id").orderBy("id").collect().map(_.toSeq).toSeq
+    val maintained = Zones.read(spark, s"$wh/corpus/clusters")
+      .select("id", "cluster_id").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(maintained == scratch,
+      s"incremental assignment diverged:\n$maintained\nvs\n$scratch")
+
+    // stats zone: counts per (month, source) ≡ the published corpus
+    val statCounts = graft.operators.Profiling.readStatsZone(spark, s"$wh/corpus/stats")
+      .select(col("grp"), col("n_rows")).orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val corpusCounts = day3Docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(statCounts == corpusCounts,
+      s"stats zone counts $statCounts diverge from corpus $corpusCounts")
+
+    // replay guard: a rerun of day 3's merge id against the stats zone
+    // no-ops (the pipeline gate already skips, this is the inner guard)
+    assert(!graft.operators.Profiling.mergeStatsIncrement(
+      spark, day3Docs.limit(1), s"$wh/corpus/stats",
+      "substring(ingest_day, 1, 7)", "source",
+      "cast(length(text) as double)", "doc_id",
+      batchId = Some(java.time.LocalDate.parse("2026-03-03").toEpochDay)))
+  }
+}
