@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Profiling}
+import graft.pipeline.CorpusRun
+import graft.sources.Zones
+
+/** Multi-day scale proof for the corpus pipeline: 15 synthetic days of
+  * 150 fresh + 20 exact-copy + 20 near-dup + 5 junk documents, asserting
+  * the properties that decide whether the daily fold survives a year of
+  * production at cluster scale: per-day wall time stays FLAT while the
+  * corpus and its indexes grow (the O(increment) claim), closed day
+  * partitions are byte-immutable (append-only discipline), the
+  * incrementally-maintained cluster assignment equals a from-scratch
+  * closure over the full pair set, and the stats zone agrees with the
+  * published corpus exactly.
+  */
+class CorpusRunScaleSpec extends SparkSpec {
+
+  private val nDays = 15
+  private val freshPerDay = 150
+  private val copiesPerDay = 20
+  private val nearDupsPerDay = 20
+  private val junkPerDay = 5
+  private val idStride = 200 // id block per day
+
+  private def freshText(i: Long): String =
+    s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"
+
+  /** Day `d` increment (1-based): fresh docs with unique shingles, exact
+    * copies and near-dups (first token dropped → Jaccard 5/6) of the
+    * PREVIOUS day's fresh docs, and sub-quality junk.
+    */
+  private def incrementDay(d: Int): DataFrame = {
+    import spark.implicits._
+    val base = (d - 1).toLong * idStride
+    val fresh = (1 to freshPerDay).map { j =>
+      (base + j, freshText(base + j), s"s${(base + j) % 3}")
+    }
+    val (copies, nearDups) =
+      if (d == 1) (Nil, Nil)
+      else {
+        val prevBase = (d - 2).toLong * idStride
+        val c = (1 to copiesPerDay).map { k =>
+          val target = prevBase + 1 + ((d * 7 + k) % freshPerDay)
+          (base + freshPerDay + k, freshText(target), s"s${k % 3}")
+        }
+        val nd = (1 to nearDupsPerDay).map { k =>
+          val target = prevBase + 1 + ((d * 13 + k) % freshPerDay)
+          (base + freshPerDay + copiesPerDay + k,
+            freshText(target).split(" ").drop(1).mkString(" "), s"s${k % 3}")
+        }
+        (c, nd)
+      }
+    val junk = (1 to junkPerDay).map { k =>
+      (base + freshPerDay + copiesPerDay + nearDupsPerDay + k, "junk", "s0")
+    }
+    (fresh ++ copies ++ nearDups ++ junk).toDF("doc_id", "text", "source")
+  }
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+  }
+
+  test(s"$nDays daily corpus folds: flat per-day time, immutable closed days, exact closure") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_scale").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val day1 = java.time.LocalDate.parse("2026-04-01")
+    val docsRoot = s"$wh/corpus/docs"
+
+    val dayTimes = Array.ofDim[Double](nDays)
+    var closedCensus: Map[String, Map[String, (Long, Long)]] = Map.empty
+    def dayPartitions(): Map[String, Map[String, (Long, Long)]] =
+      Option(new java.io.File(docsRoot).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_day="))
+        .map(p => p.getName ->
+          parquetFiles(p).map(f => f.getName -> ((f.length, f.lastModified))).toMap)
+        .toMap
+
+    (1 to nDays).foreach { d =>
+      val date = day1.plusDays(d - 1).toString
+      val inDir = s"$tmp/in_day$d"
+      incrementDay(d).write.mode("overwrite").parquet(inDir)
+      val t0 = System.nanoTime()
+      assert(CorpusRun.run(spark, inDir, wh, s"$date 02:00:00") == "SUCCESS")
+      dayTimes(d - 1) = (System.nanoTime() - t0) / 1e9
+      if (d == 10) closedCensus = dayPartitions()
+    }
+
+    // ── every published day partition byte-identical after later days ──
+    val after = dayPartitions()
+    closedCensus.foreach { case (part, files) =>
+      assert(after.get(part).contains(files),
+        s"closed corpus partition $part changed after day 10")
+    }
+    assert(closedCensus.size == 10, s"expected 10 day partitions at day 10")
+
+    // ── dedup exactness: exactly the fresh docs survive, every day ─────
+    val corpus = spark.read.parquet(docsRoot)
+    assert(corpus.count() == nDays.toLong * freshPerDay,
+      s"corpus holds ${corpus.count()} docs, want ${nDays * freshPerDay}")
+    val perDay = corpus.groupBy("ingest_day").agg(count(lit(1)).as("n"))
+      .select("n").distinct().collect().map(_.getLong(0)).toSeq
+    assert(perDay == Seq(freshPerDay.toLong),
+      s"per-day published counts drift: $perDay")
+
+    // ── maintained clusters ≡ from-scratch closure over ALL pairs ──────
+    val idx = Dedup.readSignatureIndex(spark, s"$wh/corpus/sig_index")
+    val fullPairs = Dedup.minhashLshPairsFromIndex(
+      idx, CorpusRun.NumHashes, CorpusRun.Bands, CorpusRun.JaccardThreshold)
+    val scratch = Curation.dupClusters(fullPairs, "id_a", "id_b")
+      .select("id", "cluster_id").orderBy("id").collect().map(_.toSeq).toSeq
+    val maintained = Zones.read(spark, s"$wh/corpus/clusters")
+      .select("id", "cluster_id").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(maintained == scratch,
+      s"day-$nDays incremental assignment diverged from the full closure " +
+        s"(${maintained.size} vs ${scratch.size} rows)")
+    // every near-dup pairs with exactly its target: assignment rows =
+    // (target + dup) per planted pair, dups rooted at their kept target
+    assert(scratch.size == (nDays - 1) * nearDupsPerDay * 2,
+      s"pair-involved doc count ${scratch.size} != planted 2×${(nDays - 1) * nearDupsPerDay}")
+    assert(Zones.read(spark, s"$wh/corpus/clusters")
+      .filter(!col("is_canonical")).count() == (nDays - 1).toLong * nearDupsPerDay,
+      "dropped-doc count must equal the planted near-dups")
+
+    // ── stats zone ≡ published corpus, replay mark at the last day ─────
+    val statTotal = Profiling.readStatsZone(spark, s"$wh/corpus/stats")
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(statTotal == nDays.toLong * freshPerDay,
+      s"stats zone counts $statTotal != corpus ${nDays * freshPerDay}")
+    assert(Profiling.statsZoneHighWater(spark, s"$wh/corpus/stats") ==
+      day1.plusDays(nDays - 1).toEpochDay)
+
+    // ── flat per-day wall time: late median vs early median ────────────
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val early = median(dayTimes.slice(1, 6).toSeq) // skip day-1 cold start
+    val late = median(dayTimes.takeRight(5).toSeq)
+    assert(late <= early * 2.5,
+      s"per-day time ramps: early-median $early s → late-median $late s " +
+        s"(all: ${dayTimes.map(t => f"$t%.1f").mkString(",")})")
+  }
+}
