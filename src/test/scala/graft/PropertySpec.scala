@@ -256,6 +256,39 @@ class PropertySpec extends SparkSpec {
     assert(out(5L) == ("insert", Some(50.0)))
   }
 
+  test("sql dialect: randomized hostile literals survive every scanner verbatim") {
+    import graft.control.SqlRegistry
+    val rnd = new Random(7)
+    // fragments that would derail a scanner with naive quote/paren
+    // tracking: cast/regexp shapes, separators, both MySQL escape forms
+    val hostile = Seq("CAST(", " AS SIGNED)", ";", "(", ")", "''", "\\'", ",",
+      "REGEXP_SUBSTR(x, ", "BEGIN ", " END", "CAST(v AS DECIMAL(10,2))", " AS ")
+    def literalBody(): String =
+      (0 until rnd.nextInt(6)).map(_ => hostile(rnd.nextInt(hostile.size)))
+        .mkString("x", "", "y")
+    def squash(s: String) = s.replaceAll("\\s+", "")
+    (1 to 200).foreach { _ =>
+      val lits = Seq.fill(1 + rnd.nextInt(3))(literalBody())
+      // each statement: one hostile literal + one REAL cast outside it
+      val stmts = lits.zipWithIndex.map { case (b, i) =>
+        s"UPDATE t SET c$i = '$b', n$i = CAST(col$i AS SIGNED)"
+      }
+      val body = stmts.mkString(";\n") + ";"
+      val split = SqlRegistry.splitStatements(body)
+      assert(split.size == stmts.size,
+        s"splitter found ${split.size} statements in ${stmts.size}:\n$body")
+      split.zip(lits).zipWithIndex.foreach { case ((stmt, b), i) =>
+        val rew = SqlRegistry.rewriteRegexpSubstr(SqlRegistry.rewriteMysqlCasts(stmt))
+        assert(rew.contains(s"'$b'"),
+          s"literal content altered by a rewriter:\n'$b'\nnot verbatim in:\n$rew")
+        assert(squash(rew).contains(s"REGEXP_EXTRACT(col$i,"),
+          s"real CAST outside the literal was not rewritten:\n$rew")
+        assert(!squash(rew).contains(s"CAST(col${i}ASSIGNED)"),
+          s"original MySQL cast left in place:\n$rew")
+      }
+    }
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
