@@ -24,15 +24,20 @@ import graft.sources.Zones
   *   → cluster maintenance: yesterday's star-compressed assignment ∪
   *     today's new pairs, O(log new-diameter) rounds
   *   → keep policy: cluster canonicals (min-id roots) + singletons;
-  *     survivors APPEND to the day-partitioned corpus zone
+  *     survivors publish into the day's own corpus partition
   *   → stats zone merge (counts exact, KLL/HLL states; day-keyed replay
   *     guard rides inside the swap)
   *   → ledger SUCCESS row carrying the per-stage counts
   *
-  * Append-only discipline: closed day partitions of the corpus zone and
-  * the signature index are never rewritten (CorpusRunSpec pins this with
-  * a byte-identity census); only the small cluster-assignment and stats
-  * zones swap.
+  * The day owns its partition in every zone: corpus docs, fingerprints,
+  * and signatures are ingest_day-partitioned and published with
+  * day-scoped dynamic partition overwrite, and every probe-side read
+  * filters to PRIOR days. Closed days are never rewritten (CorpusRunSpec
+  * pins this with a byte-identity census), and a day retried after a
+  * partial failure is fully idempotent: it replaces its own leftovers,
+  * cannot see its failed attempt's fingerprints/signatures as "prior
+  * corpus", and the stats merge no-ops on the day-keyed high-water mark
+  * if it already committed.
   *
   * Keep policy contract: a cluster's kept representative is its min-id
   * member at the time each member arrives. With ingest-monotonic doc ids
@@ -98,6 +103,18 @@ object CorpusRun {
     }
   }
 
+  /** Rewrite exactly the `ingest_day` partitions present in `df`
+    * (dynamic partition overwrite, writer-scoped option) — the
+    * idempotent per-day publish primitive: closed days untouched, a
+    * retried day replaces its own partial leftovers.
+    */
+  private def dayOverwrite(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_day")
+      .parquet(path)
+
   private def runStages(
       spark: SparkSession,
       incrementDir: String,
@@ -125,7 +142,10 @@ object CorpusRun {
 
     // [2] exact dedup: first-wins within the increment, then anti-join
     // the corpus fingerprint zone — only the increment hashes; the zone
-    // is probe-side state, not recomputed
+    // is probe-side state, not recomputed. The probe reads PRIOR days
+    // only (partition-pruned): a retried day must not see its own failed
+    // attempt's fingerprints, or every row would look already-seen and
+    // the retry would publish an empty day.
     val printed = quality
       .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
       .withColumn("rn", row_number().over(
@@ -133,33 +153,36 @@ object CorpusRun {
       .filter(col("rn") === 1).drop("rn")
     val exactSurvivors =
       (if (Zones.exists(spark, fpPath))
-        printed.join(Zones.read(spark, fpPath), Seq("fp"), "left_anti")
+        printed.join(
+          Zones.read(spark, fpPath).filter(col("ingest_day") < lit(runDate)),
+          Seq("fp"), "left_anti")
       else printed).cache()
     val nExact = exactSurvivors.count()
 
-    // [3] near-dup pairs. Day 1 appends its signatures and derives pairs
-    // from the stored state (nothing shingles twice); later days compute
-    // increment signatures ONLY and band-join the stored index, then
-    // append — the index never sees a row twice.
+    // [3] near-dup pairs against the PRIOR-days signature index — the
+    // day-partition filter makes this immune to a failed attempt's
+    // leftovers AND to the grown-index lazy-read race (the appended day
+    // is outside the filtered view by construction). Day-1 text is never
+    // re-shingled on later days; the increment's signatures are computed
+    // once here and day-scope-overwritten into the index.
+    val daySigs = Dedup.signatureIndex(
+      exactSurvivors, "doc_id", "text", ShingleN, NumHashes)
+      .localCheckpoint()
+    val prior =
+      if (Zones.exists(spark, sigPath))
+        Dedup.readSignatureIndex(spark, sigPath)
+          .filter(col("ingest_day") < lit(runDate))
+          .drop("ingest_day")
+      else daySigs.limit(0)
     val newPairs =
-      if (!Zones.exists(spark, sigPath)) {
-        Dedup.writeSignatureIndex(
-          spark, sigPath, exactSurvivors, "doc_id", "text", ShingleN, NumHashes)
-        Dedup.minhashLshPairsFromIndex(
-          Dedup.readSignatureIndex(spark, sigPath), NumHashes, Bands, JaccardThreshold)
-          .localCheckpoint()
-      } else {
-        // MATERIALIZE the cross-batch pairs BEFORE appending the
-        // increment's signatures: a lazy plan would re-list the grown
-        // index and join the increment against itself (self-pairs)
-        val pairs = Dedup.minhashLshPairsIncremental(
-          Dedup.readSignatureIndex(spark, sigPath), exactSurvivors,
-          "doc_id", "text", ShingleN, NumHashes, Bands, JaccardThreshold)
-          .localCheckpoint()
-        Dedup.writeSignatureIndex(
-          spark, sigPath, exactSurvivors, "doc_id", "text", ShingleN, NumHashes)
-        pairs
-      }
+      (if (prior.isEmpty)
+        Dedup.minhashLshPairsFromIndex(daySigs, NumHashes, Bands, JaccardThreshold)
+      else
+        Dedup.minhashLshPairsIncremental(
+          prior, exactSurvivors,
+          "doc_id", "text", ShingleN, NumHashes, Bands, JaccardThreshold))
+        .localCheckpoint()
+    dayOverwrite(daySigs.withColumn("ingest_day", lit(runDate)), sigPath)
 
     // [4] cluster maintenance: star edges ∪ new pairs — never the old
     // pair set. The assignment zone is small (pair-involved docs only)
@@ -184,7 +207,7 @@ object CorpusRun {
         Zones.read(spark, clustersPath)
           .filter(!col("is_canonical")).select(col("id").as("doc_id"))
       else exactSurvivors.select("doc_id").limit(0)
-    // localCheckpoint, NOT cache: the fingerprint append below triggers
+    // localCheckpoint, NOT cache: the fingerprint publish below triggers
     // recacheByPath on every cached plan reading the fp zone — a cached
     // `kept` would re-execute its anti-join against the GROWN zone and
     // silently become empty for the stats merge. Checkpointing severs
@@ -194,8 +217,12 @@ object CorpusRun {
       .withColumn("ingest_day", lit(runDate))
       .localCheckpoint()
     val nKept = kept.count()
-    kept.drop("fp").write.mode("append").partitionBy("ingest_day").parquet(docsPath)
-    exactSurvivors.select("fp").write.mode("append").parquet(fpPath)
+    // day-scoped dynamic partition overwrite, NOT append: the day owns
+    // its partition in every zone, so a retry after a partial failure
+    // replaces its own leftovers instead of double-publishing
+    dayOverwrite(kept.drop("fp"), docsPath)
+    dayOverwrite(
+      exactSurvivors.select("fp").withColumn("ingest_day", lit(runDate)), fpPath)
 
     // [6] standing statistics over what was PUBLISHED: counts exact,
     // quantile/distinct states mergeable; the day-keyed replay guard

@@ -117,5 +117,30 @@ class CorpusRunSpec extends SparkSpec {
       "substring(ingest_day, 1, 7)", "source",
       "cast(length(text) as double)", "doc_id",
       batchId = Some(java.time.LocalDate.parse("2026-03-03").toEpochDay)))
+
+    // ── retry idempotence: day 3 "crashed" after publishing everything
+    // but before its ledger SUCCESS row — the retry must converge to the
+    // SAME state: day partitions replaced (not double-published), the
+    // retry must not see its failed attempt's fingerprints/signatures as
+    // prior corpus, clusters unchanged, stats no-op on the high-water
+    // mark ──────────────────────────────────────────────────────────────
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-03-03").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(CorpusRun.run(spark, in3, wh, "2026-03-03 04:00:00") == "SUCCESS")
+    val retryDocs = spark.read.parquet(s"$wh/corpus/docs")
+    assert(retryDocs.count() == 11, s"retry double-published: ${retryDocs.count()}")
+    assert(retryDocs.filter(col("ingest_day") === "2026-03-03")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(22L),
+      "retried day must republish exactly its kept set")
+    val maintainedRetry = Zones.read(spark, s"$wh/corpus/clusters")
+      .select("id", "cluster_id").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(maintainedRetry == scratch, "retry changed the cluster closure")
+    assert(graft.operators.Profiling.readStatsZone(spark, s"$wh/corpus/stats")
+      .agg(sum("n_rows")).head().getLong(0) == 11L,
+      "retry double-merged the stats zone")
   }
 }
