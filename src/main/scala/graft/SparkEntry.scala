@@ -505,6 +505,29 @@ object SparkEntry {
           (abs(col("nd_est") - col("nd_exact")).cast("double") / col("nd_exact") <= 0.05)
             .as("distinct_in_5pct"))
     }),
+    // B1: equi-depth binning from the PERSISTED stats zone — quartile
+    // cutpoints decoded from the merged KLL state (kilobytes), rows
+    // labeled by k pure comparisons: no sort, no shuffle, the 100 TB
+    // feature-bucketization shape. Cut values are sketch estimates
+    // (randomized), so compared data = the deterministic frame (bin ids,
+    // exact total) + per-bin occupancy flags: each quartile bin must
+    // hold 25% ± 5 pts of rows (two ε≈1.65% boundary ranks per bin).
+    "b1_quantile_bins" -> ((s, dir) => {
+      val zone = monthlyStatsZone(s, dir)
+      val cuts = Profiling.readStatsZone(s, zone)
+        .agg(expr("kll_quantiles(kll_merge_agg(value_kll), array(0.25d, 0.5d, 0.75d))").as("q"))
+        .head().getSeq[Double](0)
+      val binned = Profiling.bucketizeByQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", cuts)
+      binned
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(binned.agg(count(lit(1)).as("n_total"))))
+        .select(
+          col("bin"), col("n_total"),
+          (abs(col("n").cast("double") / col("n_total") - 0.25) <= 0.05)
+            .as("frac_in_band"))
+    }),
     // A1: scalar COUNT existence gate (check_status.py:19-30 shape).
     "a1_count_gate" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2534,6 +2557,11 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS p50_in_band,
         |  TRUE AS p90_in_band, TRUE AS distinct_in_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "b1_quantile_bins" ->
+      """SELECT CAST(r.range AS INT) AS bin,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_total,
+        |  TRUE AS frac_in_band
+        |FROM range(4) r""".stripMargin,
     "t12_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -103,6 +103,21 @@ object Profiling {
         expr("hll_sketch_estimate(hll_union_agg(key_hll))").as("key_distinct_est"))
   }
 
+  /** Equi-depth binning against quantile CUTPOINTS (typically decoded
+    * from a stats zone's merged KLL state): row → number of cutpoints
+    * strictly below its value, i.e. right-closed bins 0..k. The label is
+    * a pure column expression — k comparisons per row, no sort, no
+    * shuffle — which is what makes quantile feature-bucketization viable
+    * over 100 TB: the expensive part (the quantiles) comes from persisted
+    * kilobyte sketch states, not from ordering the data.
+    */
+  def bucketizeByQuantiles(df: DataFrame, valueExpr: String, cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted, "cutpoints must be sorted")
+    val bin = cuts.foldLeft(lit(0))((acc, c) =>
+      acc + (expr(valueExpr) > lit(c)).cast("int"))
+    df.withColumn("bin", bin)
+  }
+
   /** The zone's replay high-water mark: max over the `hwm` column, or
     * -1 for an absent zone / one built by [[writeStatsZone]] (which
     * carries no mark).

@@ -80,6 +80,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bucketizeByQuantiles: right-closed bins, exact totality on a known frame") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("v")
+    val binned = graft.operators.Profiling.bucketizeByQuantiles(df, "v", Seq(25.0, 50.0, 75.0))
+    val counts = binned.groupBy("bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L),
+      s"right-closed quartile bins must hold exactly 25 each: $counts")
+    assert(binned.filter(col("bin").isNull).isEmpty, "binning must be total")
+  }
+
   test("approx_count_distinct stays within 5% of exact at rsd=0.02") {
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
     val exact = li.groupBy("l_returnflag")
