@@ -33,6 +33,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** events.ts has shipped as both TIMESTAMP(NANOS) — surfaced as long
+    * nanos under `nanosAsLong` — and native TIMESTAMP(MICROS); the
+    * streaming gates normalize to a micro-precision LTZ timestamp
+    * (session TZ is UTC) whichever the testdata carries, mirroring
+    * [[Tables.load]]'s schema-adaptive conversion.
+    */
+  private def eventTsToMicros(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** sum(cast(c as decimal(p,s))) cast to double — the accumulation is
     * exact and order-independent (decimal addition), and the single final
     * decimal→double rounding is deterministic on the identical decimal
@@ -2112,7 +2125,7 @@ object SparkEntry {
       // then rejects as "must be a directory")
       val stream = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
       val rows = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.EventRow]
       val name = s"st3_sessions_${System.nanoTime()}"
@@ -2134,7 +2147,7 @@ object SparkEntry {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
       val rows = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.EventRow]
       val tmp = java.nio.file.Files.createTempDirectory("graft_st5_gate")
@@ -2156,7 +2169,7 @@ object SparkEntry {
     "st6_stream_dedup" -> ((s, dir) => {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val doubled = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
         .withColumn("__copy", explode(array(lit(1), lit(2))))
         .drop("__copy")
       val name = s"st6_dedup_${System.nanoTime()}"
@@ -2177,7 +2190,7 @@ object SparkEntry {
       import graft.sources.Zones
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       def feed = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
         .withColumn("__copy", explode(array(lit(1), lit(2))))
         .drop("__copy")
       val root = new java.io.File(
@@ -2203,7 +2216,7 @@ object SparkEntry {
       import graft.sources.Zones
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       def feed = s.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
       val root = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_st8_zones").getAbsolutePath
       Zones.delete(s, root) // the replay protection IS what's tested: reset per invocation
@@ -2247,7 +2260,7 @@ object SparkEntry {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       def side(eventType: String) = s.readStream.schema(batchSchema)
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos → µs (Tables.load parity)
+        .transform(eventTsToMicros) // nanos-or-micros → µs LTZ (Tables.load parity)
         .filter(col("event_type") === eventType)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.EventRow]

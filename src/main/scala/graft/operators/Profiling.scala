@@ -137,14 +137,30 @@ object Profiling {
     * O(increment rows + existing states); raw history is NEVER
     * rescanned (counts sum, KLL states merge, HLL states union).
     *
-    * Exactly-once under replay: `batchId` (when given, e.g. from
-    * `foreachBatch`) is carried INSIDE the swapped data as the `hwm`
-    * column, so the replay guard and the state update commit in one
-    * filesystem rename — a crash between "zone written" and "mark
-    * written" cannot exist, and a redelivered batch with
-    * id ≤ high-water no-ops (returns false). This closes, for
-    * statistics, the at-least-once caveat documented on the st7
-    * fingerprint zone.
+    * Exactly-once under replay: the replay guard is the SET of applied
+    * batch ids, carried INSIDE the swapped data (per-row `applied`
+    * arrays whose union is the zone's applied set), so the guard and
+    * the state update commit in one filesystem rename — a crash
+    * between "zone written" and "mark written" cannot exist. Only an
+    * EXACT replay (a `batchId` already in the applied set) no-ops and
+    * returns false; an out-of-order increment — a BACKFILL of an
+    * earlier day after later days have run — merges normally, which a
+    * plain high-water-mark guard would silently drop. `hwm` (the max
+    * applied id) is still maintained for rollups and monitoring. The
+    * `applied` array on each (epoch, grp) row holds the ids of the
+    * batches that contributed to that row: bounded by
+    * batches-per-epoch (≤ 31 for daily batches in monthly epochs), so
+    * pick `epochExpr` granular enough that the set stays small under
+    * high-frequency feeds.
+    *
+    * SINGLE-WRITER CONTRACT: the guard serializes replays of one
+    * logical writer (a foreachBatch sink, a daily pipeline behind a
+    * ledger gate). Two CONCURRENT writers can interleave stage/swap
+    * and one merge is lost — callers must serialize externally (the
+    * CorpusRun ledger RUNNING row does this). As a cheap tripwire,
+    * after the swap the zone is re-read and a missing just-applied
+    * batch id raises an error naming the interleave instead of
+    * silently losing the increment.
     *
     * The staged write reads the CURRENT zone files while writing the
     * tmp dir ([[graft.sources.Zones.overwriteSwap]]'s contract), so
@@ -161,26 +177,56 @@ object Profiling {
       kllK: Int = 200,
       batchId: Option[Long] = None): Boolean = {
     import graft.sources.Zones
-    val stored = statsZoneHighWater(spark, path)
-    if (batchId.exists(_ <= stored)) return false
-    val hwm = batchId.getOrElse(stored + 1L)
-    val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
-      .withColumn("hwm", lit(hwm))
-    val merged =
-      if (!Zones.exists(spark, s"$path/_SUCCESS")) incStates
+    val cur: Option[DataFrame] =
+      if (!Zones.exists(spark, s"$path/_SUCCESS")) None
       else {
-        val cur = Zones.read(spark, path)
+        val c = Zones.read(spark, path)
         val withHwm =
-          if (cur.columns.contains("hwm")) cur else cur.withColumn("hwm", lit(-1L))
-        withHwm.unionByName(incStates)
-          .groupBy("epoch", "grp")
-          .agg(
-            sum("n_rows").as("n_rows"),
-            expr("kll_merge_agg(value_kll)").as("value_kll"),
-            expr("hll_union_agg(key_hll)").as("key_hll"),
-            max("hwm").as("hwm"))
+          if (c.columns.contains("hwm")) c else c.withColumn("hwm", lit(-1L))
+        // legacy zones (pre-`applied`): seed each row's set with its own
+        // hwm — exact replays of those ids still no-op; older ids merge
+        val withApplied =
+          if (withHwm.columns.contains("applied")) withHwm
+          else withHwm.withColumn("applied",
+            when(col("hwm") >= 0, array(col("hwm")))
+              .otherwise(expr("cast(array() as array<bigint>)")))
+        Some(withApplied)
       }
-    Zones.overwriteSwap(merged.repartition(1), path)
-    true
+    val alreadyApplied = batchId.exists(b =>
+      cur.exists(_.agg(coalesce(max(array_contains(col("applied"), lit(b))), lit(false)))
+        .head().getBoolean(0)))
+    if (alreadyApplied) false
+    else {
+      val storedHwm = cur
+        .map(_.agg(coalesce(max("hwm"), lit(-1L))).head().getLong(0))
+        .getOrElse(-1L)
+      val hwm = batchId.getOrElse(storedHwm + 1L)
+      val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
+        .withColumn("hwm", lit(hwm))
+        .withColumn("applied", array(lit(hwm)))
+      val merged = cur match {
+        case None => incStates
+        case Some(c) =>
+          c.unionByName(incStates)
+            .groupBy("epoch", "grp")
+            .agg(
+              sum("n_rows").as("n_rows"),
+              expr("kll_merge_agg(value_kll)").as("value_kll"),
+              expr("hll_union_agg(key_hll)").as("key_hll"),
+              max("hwm").as("hwm"),
+              array_sort(array_distinct(flatten(collect_list("applied")))).as("applied"))
+      }
+      Zones.overwriteSwap(merged.repartition(1), path)
+      // single-writer tripwire: our batch id must be visible in the zone we
+      // just swapped in; if not, a concurrent writer's swap clobbered ours
+      val visible = Zones.read(spark, path)
+        .agg(coalesce(max(array_contains(col("applied"), lit(hwm))), lit(false)))
+        .head().getBoolean(0)
+      if (!visible) throw new IllegalStateException(
+        s"stats zone $path: batch $hwm missing immediately after its swap — " +
+          "a concurrent writer interleaved (single-writer contract violated); " +
+          "the increment was lost and must be re-merged under external serialization")
+      true
+    }
   }
 }

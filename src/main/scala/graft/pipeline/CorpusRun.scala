@@ -226,8 +226,12 @@ object CorpusRun {
 
     // [6] standing statistics over what was PUBLISHED: counts exact,
     // quantile/distinct states mergeable; the day-keyed replay guard
-    // commits inside the same swap as the states
-    Profiling.mergeStatsIncrement(
+    // commits inside the same swap as the states. The guard is the
+    // exact-replay SET, so a backfill of an earlier day merges; false
+    // here means THIS day's id already committed — expected only on a
+    // retry after a crash between the stats swap and the ledger SUCCESS
+    // row, and surfaced in the ledger message rather than dropped.
+    val statsMerged = Profiling.mergeStatsIncrement(
       spark, kept, statsPath,
       epochExpr = "substring(ingest_day, 1, 7)",
       groupExpr = "source",
@@ -238,7 +242,8 @@ object CorpusRun {
     val message =
       s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}, " +
         s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
-        s"published $nKept." + (
+        s"published $nKept." +
+        (if (statsMerged) "" else " STATS merge no-op (day already applied — retry).") + (
         if (quarantined.isEmpty) ""
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
           s"${Zones.quarantineDir(incrementDir)}.")

@@ -379,11 +379,24 @@ object EventStreams {
     * zone: every micro-batch's per-(epoch × group) sketch states merge
     * into the stored zone through the staged atomic swap, with the
     * foreachBatch batchId carried inside the swapped data — so a batch
-    * redelivered after a crash (or a whole rerun from a fresh
-    * checkpoint over the same source) no-ops instead of double-counting.
+    * redelivered after a crash no-ops instead of double-counting.
     * EXACTLY-ONCE zone effect on top of foreachBatch's at-least-once
     * contract, closing for statistics the caveat documented on
     * [[dedupAgainstZone]]'s fingerprint zone.
+    *
+    * SCOPE of the guard: redelivery within one checkpoint lineage, or
+    * a fresh-checkpoint rerun over an UNCHANGED source (where
+    * AvailableNow reproduces the same batch boundaries, as st8 pins).
+    * The checkpoint-local batchId says nothing about batch CONTENT, so
+    * if the source gained files before a fresh-checkpoint rerun, or a
+    * different trigger splits batches differently, a replayed id can
+    * carry a mix of old and genuinely new rows — and the new rows are
+    * then dropped with it. For feeds that need cross-lineage backfill,
+    * derive a content key instead (e.g. run
+    * [[graft.operators.Profiling.mergeStatsIncrement]] per event-day
+    * with batchId = epochDay, the CorpusRun discipline), which the
+    * applied-set guard then merges or skips per logical day rather
+    * than per checkpoint accident.
     *
     * At 100 TB this is how standing statistics stay fresh: per-batch
     * cost is O(batch rows + existing kilobyte states); the raw history

@@ -232,7 +232,13 @@ class ModulesSpec extends SparkSpec {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(batchSchema).parquet(s"$dir/events*.parquet")
     val rows = stream
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // schema-adaptive ts normalization (testdata has shipped both
+      // TIMESTAMP(NANOS)-as-long and native micros)
+      .transform { df =>
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else df.withColumn("ts", col("ts").cast("timestamp"))
+      }
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[EventStreams.EventRow]
     val sunk = EventStreams
@@ -329,13 +335,19 @@ class ModulesSpec extends SparkSpec {
     val d1 = (1L to 40L).map(i => ("2024-01", i, i.toDouble)).toDF("day", "k", "v")
     val d2 = ((1L to 20L).map(i => ("2024-01", i + 100, i * 2.0)) ++
       (1L to 30L).map(i => ("2024-02", i, i * 3.0))).toDF("day", "k", "v")
+    val d3 = (1L to 10L).map(i => ("2024-01", i + 200, i * 4.0)).toDF("day", "k", "v")
     assert(merge(d1, 0L))
-    assert(!merge(d1, 0L), "replayed batch id must no-op on the high-water mark")
-    assert(merge(d2, 1L))
-    assert(Profiling.statsZoneHighWater(spark, zone) == 1L)
+    assert(!merge(d1, 0L), "exact replay must no-op on the applied set")
+    assert(merge(d2, 2L))
+    // BACKFILL: an id below the high-water mark but never applied must
+    // merge — a global max-hwm guard would silently drop it and leave
+    // the zone permanently inconsistent with the corpus
+    assert(merge(d3, 1L), "backfill below the high-water mark must merge")
+    assert(!merge(d3, 1L), "replayed backfill must no-op")
+    assert(Profiling.statsZoneHighWater(spark, zone) == 2L)
     // counts per (epoch, grp) ≡ a one-shot build over the union: counts
     // sum losslessly through the state path, no matter how it was fed
-    Profiling.writeStatsZone(d1.unionByName(d2), s"$tmp/full",
+    Profiling.writeStatsZone(d1.unionByName(d2).unionByName(d3), s"$tmp/full",
       epochExpr = "day", groupExpr = "cast(k % 2 as string)",
       valueExpr = "v", keyExpr = "k")
     val inc = Profiling.readStatsZone(spark, zone)
@@ -347,7 +359,7 @@ class ModulesSpec extends SparkSpec {
     assert(inc == full, s"incremental counts $inc diverge from one-shot $full")
     // and the merged states still answer: total rows exact, distincts in band
     val roll = Profiling.rollupStats(Profiling.readStatsZone(spark, zone), Seq(0.5))
-    assert(roll.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 90L)
+    assert(roll.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 100L)
   }
 
   test("streaming: gap sessionization closes sessions after inactivity") {
