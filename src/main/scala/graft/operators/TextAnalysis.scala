@@ -259,6 +259,18 @@ object TextAnalysis {
     */
   def paragraphDedupSpans(
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    paragraphSpansFingerprinted(docs, idCol, textCol)
+      .select(col("doc_id"), col("para_idx"), col("span_start"), col("span_end"), col("kept"))
+
+  /** The shared span/fingerprint core of the batch and incremental
+    * paragraph dedups: one row per non-empty paragraph with its codepoint
+    * span in the original text, its md5 fingerprint `pfp`, and the
+    * within-frame first-occurrence verdict `kept` (ordered by
+    * (doc_id, para_idx) — the batch d10 semantics).
+    */
+  private def paragraphSpansFingerprinted(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val paras = docs.select(
@@ -273,12 +285,45 @@ object TextAnalysis {
           sum(col("plen")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)) + col("para_idx") * 2L) // +2 per preceding "\n\n"
       .withColumn("span_end", col("span_start") + col("plen"))
-    val wFirst = Window.partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_idx"))
+    val wFirst = Window.partitionBy("pfp").orderBy(col("doc_id"), col("para_idx"))
     withSpans
       .filter(col("para") =!= "")
+      .withColumn("pfp", md5(col("para")))
       .withColumn("kept", row_number().over(wFirst) === 1)
-      .select(col("doc_id"), col("para_idx"), col("span_start"), col("span_end"), col("kept"))
+      .select(
+        col("doc_id"), col("para_idx"), col("span_start"), col("span_end"),
+        col("kept"), col("pfp"))
   }
+
+  /** Cross-batch [[paragraphDedupSpans]]: verdicts for ONE day's documents
+    * against the fingerprints of every PRIOR day (`priorFps`, one `pfp`
+    * column — a persisted day-partitioned zone in the corpus pipeline). A
+    * paragraph is kept iff it is the first occurrence within the batch
+    * (same (doc_id, para_idx) order as the batch form) AND its fingerprint
+    * was never seen on a prior day. With batch-monotonic doc ids (the
+    * corpus-pipeline discipline) the concatenated incremental verdicts
+    * equal the batch form over the union of all batches
+    * (CorpusRunSpec pins this end-to-end through text reassembly).
+    *
+    * Scale shape: the batch form's linear plan plus ONE join of the day's
+    * paragraph fingerprints (narrow 32-char keys) against the prior-fp
+    * zone — O(increment paragraphs + zone), never O(corpus text); prior
+    * days' text is never re-split. Output adds `pfp` so the caller can
+    * publish the day's fingerprints without recomputing them.
+    */
+  def paragraphDedupSpansIncremental(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      priorFps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    paragraphSpansFingerprinted(docs, idCol, textCol)
+      .join(
+        priorFps.select(col("pfp")).distinct().withColumn("__prior", lit(true)),
+        Seq("pfp"), "left")
+      .withColumn("kept", col("kept") && col("__prior").isNull)
+      .select(
+        col("doc_id"), col("para_idx"), col("span_start"), col("span_end"),
+        col("kept"), col("pfp"))
 
   /** Apply [[paragraphDedupSpans]] verdicts back onto the original text:
     * rebuild each document from its kept paragraphs, CUT BY SPAN OFFSETS

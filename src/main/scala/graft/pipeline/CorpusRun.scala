@@ -23,8 +23,12 @@ import graft.sources.Zones
   *     never re-shingled)
   *   → cluster maintenance: yesterday's star-compressed assignment ∪
   *     today's new pairs, O(log new-diameter) rounds
-  *   → keep policy: cluster canonicals (min-id roots) + singletons;
-  *     survivors publish into the day's own corpus partition
+  *   → keep policy: cluster canonicals (min-id roots) + singletons
+  *   → paragraph excision: paragraphs already seen on PRIOR days (or
+  *     earlier today) are cut in place by span offsets against the
+  *     persisted paragraph-fingerprint zone — boilerplate dies cross-day
+  *     while the host doc survives; fully-boilerplate docs drop
+  *   → survivors publish into the day's own corpus partition
   *   → stats zone merge (counts exact, KLL/HLL states; day-keyed replay
   *     guard rides inside the swap)
   *   → ledger SUCCESS row carrying the per-stage counts
@@ -127,6 +131,7 @@ object CorpusRun {
     val fpPath = s"$whDir/corpus/fingerprints"
     val sigPath = s"$whDir/corpus/sig_index"
     val clustersPath = s"$whDir/corpus/clusters"
+    val paraFpPath = s"$whDir/corpus/para_fp"
     val statsPath = s"$whDir/corpus/stats"
 
     // [1] increment + quality floor. Corrupt files quarantine, not kill
@@ -217,12 +222,49 @@ object CorpusRun {
       .withColumn("ingest_day", lit(runDate))
       .localCheckpoint()
     val nKept = kept.count()
+
+    // [5b] cross-day paragraph excision: a paragraph already seen on any
+    // PRIOR day (boilerplate — nav chrome, license footers, newsletter
+    // banners) or earlier today is cut IN PLACE by span offsets; the doc
+    // survives with its unique text. The probe side is the persisted
+    // day-partitioned paragraph-fingerprint zone under the same prior-days
+    // filter discipline as the doc fingerprints: a retried day cannot see
+    // its failed attempt's fingerprints. Docs whose every paragraph is
+    // boilerplate drop entirely (counted separately in the ledger).
+    val priorPfp =
+      if (Zones.exists(spark, paraFpPath))
+        Zones.read(spark, paraFpPath).filter(col("ingest_day") < lit(runDate)).select("pfp")
+      else kept.select(md5(col("text")).as("pfp")).limit(0)
+    val spans = TextAnalysis.paragraphDedupSpansIncremental(kept, "doc_id", "text", priorPfp)
+      .localCheckpoint()
+    val (nParas, nParasKept) = {
+      val r = spans.agg(
+        count(lit(1)),
+        sum(when(col("kept"), 1L).otherwise(0L))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // published text = the span-excised reassembly (exciseParagraphs cuts
+    // by offsets, never re-splits); localCheckpoint severs lineage before
+    // the zone writes below, same reason as `kept`
+    val published = kept
+      .join(
+        TextAnalysis.exciseParagraphs(kept, "doc_id", "text", spans)
+          .filter(col("n_kept") > 0).select(col("doc_id"), col("text_kept")),
+        Seq("doc_id"))
+      .withColumn("text", col("text_kept")).drop("text_kept")
+      .localCheckpoint()
+    val nPublished = published.count()
+
     // day-scoped dynamic partition overwrite, NOT append: the day owns
     // its partition in every zone, so a retry after a partial failure
     // replaces its own leftovers instead of double-publishing
-    dayOverwrite(kept.drop("fp"), docsPath)
+    dayOverwrite(published.drop("fp"), docsPath)
     dayOverwrite(
       exactSurvivors.select("fp").withColumn("ingest_day", lit(runDate)), fpPath)
+    // ALL of today's paragraph fingerprints (kept AND excised verdicts —
+    // the distinct fp set is the same either way) become tomorrow's probe
+    dayOverwrite(
+      spans.select("pfp").distinct().withColumn("ingest_day", lit(runDate)), paraFpPath)
 
     // [6] standing statistics over what was PUBLISHED: counts exact,
     // quantile/distinct states mergeable; the day-keyed replay guard
@@ -232,7 +274,7 @@ object CorpusRun {
     // retry after a crash between the stats swap and the ledger SUCCESS
     // row, and surfaced in the ledger message rather than dropped.
     val statsMerged = Profiling.mergeStatsIncrement(
-      spark, kept, statsPath,
+      spark, published, statsPath,
       epochExpr = "substring(ingest_day, 1, 7)",
       groupExpr = "source",
       valueExpr = "cast(length(text) as double)",
@@ -242,7 +284,8 @@ object CorpusRun {
     val message =
       s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}, " +
         s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
-        s"published $nKept." +
+        s"para-excised ${nParas - nParasKept} of $nParas paragraph(s), " +
+        s"fully-excised-docs ${nKept - nPublished}, published $nPublished." +
         (if (statsMerged) "" else " STATS merge no-op (day already applied — retry).") + (
         if (quarantined.isEmpty) ""
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +

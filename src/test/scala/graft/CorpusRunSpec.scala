@@ -143,4 +143,85 @@ class CorpusRunSpec extends SparkSpec {
       .agg(sum("n_rows")).head().getLong(0) == 11L,
       "retry double-merged the stats zone")
   }
+
+  test("cross-day paragraph excision: boilerplate cut in place, ≡ batch d10 on the union") {
+    import graft.operators.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_para").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val boiler = "subscribe to our newsletter for weekly updates today"
+    // day 1: docA keeps the boilerplate (first occurrence anywhere); docB's
+    // copy is excised within-day. Unique parts are long enough that no doc
+    // pair crosses the near-dup Jaccard threshold.
+    val docA = s"$boiler\n\nalpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docB = s"kilo lima mike november oscar papa quebec romeo sierra tango\n\n$boiler"
+    val in1 = drop("p1", docs(Seq((1L, docA, "web"), (2L, docB, "web"))))
+    assert(CorpusRun.run(spark, in1, wh, "2026-05-01 02:00:00") == "SUCCESS")
+    val day1 = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day1.count() == 2)
+    assert(day1.filter(col("doc_id") === 1L).head().getAs[String]("text") == docA,
+      "first occurrence of the boilerplate must keep its full text")
+    assert(day1.filter(col("doc_id") === 2L).head().getAs[String]("text") ==
+      "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "within-day duplicate paragraph must be excised in place")
+
+    // day 2: docC carries the day-1 boilerplate in the MIDDLE (cross-day
+    // cut via the persisted fp zone — day-1 text is never re-split);
+    // docD is pure boilerplate → fully excised, dropped
+    val docC = s"uniform victor whiskey xray yankee zulu one two three four\n\n$boiler\n\nnine eight seven six five four three two one zero"
+    val docD = boiler
+    val censusBefore = fileCensus(s"$wh/corpus/docs/ingest_day=2026-05-01")
+    val in2 = drop("p2", docs(Seq((11L, docC, "news"), (12L, docD, "news"))))
+    assert(CorpusRun.run(spark, in2, wh, "2026-05-02 02:00:00") == "SUCCESS")
+    val day2 = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day2.count() == 3, s"docD must drop entirely: ${day2.count()}")
+    assert(day2.filter(col("doc_id") === 11L).head().getAs[String]("text") ==
+      "uniform victor whiskey xray yankee zulu one two three four\n\nnine eight seven six five four three two one zero",
+      "cross-day boilerplate paragraph must be excised in place")
+    // closed day-1 partition byte-identical (excision is probe-side only)
+    assert(fileCensus(s"$wh/corpus/docs/ingest_day=2026-05-01") == censusBefore,
+      "day-2 paragraph stage rewrote closed day-1 files")
+    // ledger message carries the excision counts
+    val msg2 = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg2.contains("para-excised 2 of 4") && msg2.contains("fully-excised-docs 1") &&
+      msg2.contains("published 1"), s"unexpected ledger message: $msg2")
+
+    // ── the incremental day-by-day verdicts ≡ batch d10 over the union of
+    // stage inputs (doc ids are day-monotonic), proven end-to-end through
+    // text reassembly: excise the union with BATCH spans and compare the
+    // published text per doc ──────────────────────────────────────────────
+    import spark.implicits._
+    val union = Seq((1L, docA), (2L, docB), (11L, docC), (12L, docD)).toDF("doc_id", "text")
+    val batchSpans = TextAnalysis.paragraphDedupSpans(union, "doc_id", "text")
+    val batchTexts = TextAnalysis.exciseParagraphs(union, "doc_id", "text", batchSpans)
+      .filter(col("n_kept") > 0)
+      .select("doc_id", "text_kept").as[(Long, String)].collect().toMap
+    val publishedTexts = day2.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(publishedTexts == batchTexts,
+      s"incremental excision diverged from the batch form:\n$publishedTexts\nvs\n$batchTexts")
+
+    // ── retry idempotence: day 2 rerun after a mangled-ledger "crash"
+    // converges to the same state (the day owns its para_fp partition and
+    // cannot see its failed attempt's fingerprints) ──────────────────────
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-05-02").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(CorpusRun.run(spark, in2, wh, "2026-05-02 04:00:00") == "SUCCESS")
+    val retry = spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(retry == batchTexts, "retried day diverged from its first publish")
+    assert(spark.read.parquet(s"$wh/corpus/para_fp")
+      .filter(col("ingest_day") === "2026-05-02").count() == 3,
+      "retried day must own exactly its paragraph-fingerprint partition " +
+        "(3 distinct fps: docC's two unique paras + the shared boilerplate)")
+  }
 }
