@@ -1999,6 +1999,42 @@ object SparkEntry {
           nProbe = 32),
         SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10), 20)
     }),
+    // INCREMENTAL maintenance of the persisted IVF index: the zone is
+    // built from "day 1" (even vec_ids) and "day 2" (odd vec_ids) is
+    // folded in by ASSIGNMENT ONLY — quantized against the standing
+    // centroids and appended into cell partitions, no sampling and no
+    // Lloyd rounds on the increment (plan-audited), with the
+    // quantization-drift retrain policy measured on the same pass.
+    // Queries over the appended index ≡ an index whose day-2 rows were
+    // assigned at build time (same centroids ⇒ same cells), so the
+    // recall frame is k3/k4's oracle verbatim over the full corpus.
+    "k5_knn_ivf_incremental" -> ((s, dir) => {
+      import graft.sources.Zones
+      val emb = t(s, dir, "embeddings")
+      val queries = annPlantedQueries(emb, 20)
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_k5_ivf_${zoneKey(dir)}").getAbsolutePath
+      // build-once day 1 + append-once day 2, both marker-validated: a
+      // crash between build and append rebuilds the whole zone (append
+      // twice would double day 2)
+      if (!Zones.exists(s, s"$zone/centroids/_SUCCESS") ||
+        !Zones.exists(s, s"$zone/assignments/_SUCCESS") ||
+        !Zones.exists(s, s"$zone/appended/_SUCCESS")) {
+        Zones.delete(s, zone)
+        // 128 cells: the day-1 half must still exceed the cell count at
+        // the smallest sf (250 vectors); nProbe=16 keeps k3's 1/8 probed
+        // fraction
+        SimilaritySearch.buildIvfIndex(
+          s, zone, emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nCells = 128)
+        SimilaritySearch.appendIvfIndex(
+          s, zone, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        s.range(1).write.mode("overwrite").parquet(s"$zone/appended")
+      }
+      annRecallFrame(
+        SimilaritySearch.ivfTopKPersisted(s, zone, queries, "vec_id", "embedding", 10,
+          nProbe = 16),
+        SimilaritySearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10), 20)
+    }),
 
     // ── Temporal joins (beyond-reference; Spark has no native as-of) ─────
     // backward as-of: every event carries the user's last purchase value
@@ -2604,6 +2640,9 @@ object SparkEntry {
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
         |  TRUE AS recall_ge_090""".stripMargin,
     "k4_knn_ivf_persisted" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
+        |  TRUE AS recall_ge_090""".stripMargin,
+    "k5_knn_ivf_incremental" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
         |  TRUE AS recall_ge_090""".stripMargin,
     "a16_column_profile" ->

@@ -232,6 +232,12 @@ object SimilaritySearch {
       // corpus sizes for more files/parallelism per cell.
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    // drift baseline for [[appendIvfIndex]]: the build-time mean squared
+    // quantization error, measured over the just-written zone (one extra
+    // scan, build-time only — appends never pay it)
+    val m = spark.read.parquet(s"$path/assignments")
+      .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
+    writeIvfMeta(spark, path, m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
   }
 
   /** The persisted quantizer, back as the driver-side matrix the probe
@@ -243,6 +249,94 @@ object SimilaritySearch {
       .select("cell", "centroid").orderBy("cell")
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Squared L2 distance of each assignment row's vector to its assigned
+    * centroid — the quantization-error measure behind the drift policy.
+    * The centroid matrix rides as ONE array literal; `element_at` picks
+    * the row's own centroid, so this is a narrow map, no join.
+    */
+  private def assignmentDist2(centroids: Array[Array[Double]]): Column = {
+    val cmat = typedlit(centroids.map(_.toSeq).toSeq)
+    aggregate(
+      zip_with(col("cv"), element_at(cmat, col("cell") + 1), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  private def writeIvfMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Long, meanDist2: Double): Unit = {
+    import spark.implicits._
+    Seq((n, meanDist2)).toDF("n_vectors", "mean_dist2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The append-day quantization frame — exposed for the plan-audit spec:
+    * a narrow map over the increment (no Sample node, no file scan of the
+    * standing assignment partitions).
+    */
+  private[graft] def assignIncrement(
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    increment.select(
+        col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
+
+  /** Result of one [[appendIvfIndex]] increment. `needsRetrain` is the
+    * documented drift policy: the increment's mean squared quantization
+    * error (distance to its assigned centroid) has inflated beyond
+    * `retrainInflation` × the BUILD-time baseline stored in the index
+    * meta — the standing centroids no longer describe the incoming
+    * distribution and the nightly job should schedule a full
+    * [[buildIvfIndex]] rebuild. Until the flag trips, days append by
+    * assignment only: no sampling, no Lloyd iterations, no rewrite of
+    * standing cell partitions.
+    */
+  final case class IvfAppendStats(
+      nAppended: Long,
+      baselineMeanDist2: Double,
+      incrementMeanDist2: Double,
+      needsRetrain: Boolean)
+
+  /** Fold a day's vectors into a persisted IVF index by ASSIGNMENT ONLY:
+    * each increment vector is quantized against the STANDING centroids
+    * and appended into its cell partition — the per-day cost is
+    * O(increment × k) narrow map work plus one cell-keyed shuffle, with
+    * no training sample, no Lloyd rounds, and no touch of the existing
+    * assignment files (PlanAuditSpec pins all three). Queries over the
+    * appended index are exactly [[ivfTopKPersisted]] over the union —
+    * identical to a zone whose day-2 rows were assigned at build time
+    * with the same centroids (gate k5).
+    *
+    * Two narrow passes over the increment (measure, then write) beat
+    * caching raw vectors; the drift measure rides the first pass.
+    */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      retrainInflation: Double = 1.5): IvfAppendStats = {
+    import graft.sources.Zones
+    val centroids = readIvfCentroids(spark, path)
+    val assigned = assignIncrement(increment, idCol, vecCol, centroids)
+    val m = assigned
+      .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
+    val (nInc, incMean) = (m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
+    // cell-hashed like the build (one file per cell per shuffle partition)
+    assigned.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    // baseline = BUILD-time quantization error; a legacy zone without meta
+    // adopts the first increment as its baseline (ratio 1, no retrain)
+    val baseline =
+      if (Zones.exists(spark, s"$path/meta/_SUCCESS"))
+        spark.read.parquet(s"$path/meta").select("mean_dist2").head().getDouble(0)
+      else { writeIvfMeta(spark, path, nInc, incMean); incMean }
+    IvfAppendStats(nInc, baseline, incMean, nInc > 0 && incMean > baseline * retrainInflation)
+  }
 
   /** IVF ANN top-k against a persisted index (see [[buildIvfIndex]]):
     * reads centroids + assignments from the zone — NO training, no

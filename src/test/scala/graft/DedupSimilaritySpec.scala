@@ -162,6 +162,72 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perQuery.count() > 0)
   }
 
+  test("incremental IVF append: assignment-only fold, query ≡ rebuild-from-union, drift policy") {
+    val root = java.nio.file.Files.createTempDirectory("k5_ivf").toFile.getAbsolutePath
+    val zone = s"$root/idx"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val day1 = emb.filter(col("vec_id") % 2 === 0)
+    val day2 = emb.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildIvfIndex(spark, zone, day1, "vec_id", "embedding", nCells = 16)
+    val standingFiles = new java.io.File(s"$zone/assignments").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+    val stats = SimilaritySearch.appendIvfIndex(spark, zone, day2, "vec_id", "embedding")
+    assert(stats.nAppended == day2.count())
+    assert(!stats.needsRetrain,
+      s"in-distribution increment tripped retrain: $stats")
+
+    // append-only: every standing cell file byte-identical after the fold
+    val afterFiles = new java.io.File(s"$zone/assignments").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+    standingFiles.foreach { case (path, sig) =>
+      assert(afterFiles.get(path).contains(sig), s"append rewrote standing file $path")
+    }
+
+    // assignment-only and complete: the appended zone ≡ the whole corpus
+    // assigned with the STANDING (day-1) centroids
+    val centroids = SimilaritySearch.readIvfCentroids(spark, zone)
+    val expected = SimilaritySearch
+      .assignIncrement(emb, "vec_id", "embedding", centroids)
+      .select("neighbor_id", "cell")
+    assertSameRows(
+      spark.read.parquet(s"$zone/assignments").select("neighbor_id", "cell"),
+      expected, "appended assignments vs standing-centroid assignment of the union")
+
+    // query equivalence in k3's oracle terms: every planted query
+    // retrieves its true neighbor from the appended index AND from an
+    // index REBUILT from the union (exact top-k lists may differ — the
+    // rebuilt quantizer trains on the union — but the planted-recall
+    // outcome is identical)
+    val queries = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> double(x) * (1.0d + 0.02d * double(i % 7 - 3)))")
+        .as("embedding"))
+    val rebuilt = s"$root/rebuild"
+    SimilaritySearch.buildIvfIndex(spark, rebuilt, emb, "vec_id", "embedding", nCells = 16)
+    def hits(zonePath: String): Set[Long] =
+      SimilaritySearch.ivfTopKPersisted(
+          spark, zonePath, queries, "vec_id", "embedding", 10, nProbe = 4)
+        .filter(col("neighbor_id") === col("query_id") - 1000000L)
+        .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    val (viaAppend, viaRebuild) = (hits(zone), hits(rebuilt))
+    assert(viaAppend.size == 20, s"appended index missed planted neighbors: $viaAppend")
+    assert(viaAppend == viaRebuild,
+      s"appended-index recall diverges from rebuild-from-union: $viaAppend vs $viaRebuild")
+
+    // drift policy: an out-of-distribution increment must trip the
+    // retrain flag against the build-time baseline
+    val shifted = day2.select(
+      (col("vec_id") + 500000L).as("vec_id"),
+      expr("transform(embedding, x -> double(x) * 10.0d + 40.0d)").as("embedding"))
+    val drift = SimilaritySearch.appendIvfIndex(spark, zone, shifted, "vec_id", "embedding")
+    assert(drift.needsRetrain,
+      s"shifted increment must trip retrain: $drift")
+    assert(drift.baselineMeanDist2 == stats.baselineMeanDist2,
+      "baseline must stay the BUILD-time error, not drift with appends")
+  }
+
   test("exact dedup collapses literal copies only") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val withCopies = docs.unionByName(

@@ -308,6 +308,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("k5: IVF append day is a narrow map — no sampling, no scan of standing partitions") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("k5_audit")
+      .toFile.getAbsolutePath + "/idx"
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.operators.SimilaritySearch.buildIvfIndex(
+      spark, zone, emb, "vec_id", "embedding", nCells = 16)
+    val centroids = graft.operators.SimilaritySearch.readIvfCentroids(spark, zone)
+    // in-memory increment: the append-day quantization frame must then
+    // contain NO file scan at all (a train/re-assign step would drag the
+    // corpus or the standing assignment partitions back in) and no Sample
+    // node (the build-time quantizer sampler must not run on appends)
+    val incData = emb
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(8).collect()
+      .map(r => (r.getLong(0) + 700000L, r.getSeq[Double](1)))
+    val inc = incData.toSeq.toDF("vec_id", "embedding")
+    val assigned = graft.operators.SimilaritySearch.assignIncrement(
+      inc, "vec_id", "embedding", centroids)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Sample"), s"append-day plan samples (Lloyd machinery leaked in):\n$p")
+    assert(!p.linesIterator.exists(_.contains("FileScan")),
+      s"append-day plan scans standing files:\n$p")
+    assert(assigned.count() == 8)
+  }
+
   test("e2 at k=64: assignment runs through the fused NearestCells kernel, flat plan") {
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
