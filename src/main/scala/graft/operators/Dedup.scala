@@ -30,6 +30,63 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-bucket bound for every LSH band join: no join task ever holds
+    * more than ~`DefaultMaxBucket`² candidate pairs of one bucket. Real
+    * corpora are boilerplate-heavy — one shared page template can put
+    * tens of thousands of docs behind a single (band, key), and a plain
+    * bucket join then builds that bucket's full quadratic candidate set
+    * in ONE task. The defense is EXACT (grid decomposition, below), so
+    * the pair set is bitwise identical with the defense engaged or
+    * dormant; 4096² ≈ 17M narrow candidate rows is a healthy task.
+    */
+  val DefaultMaxBucket = 4096
+
+  /** Exact bounded join of two (band, key)-bucketed frames — the
+    * hot-bucket policy behind every LSH candidate join. Bucket sizes are
+    * counted per side (one narrow shuffle each, same key as the join);
+    * buckets where either side exceeds `maxBucket` are GRID-SALTED: the
+    * x side splits into gx = ⌈cx/maxBucket⌉ hash chunks, the y side into
+    * gy, and each row is replicated across the other side's chunk axis,
+    * so the join key (band, key, saltx, salty) partitions the bucket's
+    * candidate pairs into gx×gy cells of ≤ ~maxBucket² pairs — every
+    * original pair lands in EXACTLY one cell (its (hash(xId) mod gx,
+    * hash(yId) mod gy) coordinates), hence the exactness. Normal buckets
+    * pay zero replication (salt (0,0)). The oversized-bucket list rides
+    * as a broadcast: boilerplate templates are few even when their
+    * buckets are huge.
+    */
+  private[graft] def boundedBucketJoin(
+      x: DataFrame,
+      y: DataFrame,
+      xId: String,
+      yId: String,
+      maxBucket: Int = DefaultMaxBucket,
+      keepSalts: Boolean = false): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val cx = x.groupBy("band", "key").agg(count(lit(1)).as("__cx"))
+    val cy = y.groupBy("band", "key").agg(count(lit(1)).as("__cy"))
+    val oversized = cx.join(cy, Seq("band", "key"))
+      .filter(col("__cx") > maxBucket || col("__cy") > maxBucket)
+      .select(
+        col("band"), col("key"),
+        ceil(col("__cx").cast("double") / maxBucket).cast("int").as("__gx"),
+        ceil(col("__cy").cast("double") / maxBucket).cast("int").as("__gy"))
+    val xs = x.join(broadcast(oversized), Seq("band", "key"), "left")
+      .withColumn("__saltx",
+        when(col("__gx").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(xId)), col("__gx")).cast("int")))
+      .withColumn("__salty", explode(sequence(lit(0), coalesce(col("__gy"), lit(1)) - 1)))
+      .drop("__gx", "__gy")
+    val ys = y.join(broadcast(oversized), Seq("band", "key"), "left")
+      .withColumn("__salty",
+        when(col("__gy").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(yId)), col("__gy")).cast("int")))
+      .withColumn("__saltx", explode(sequence(lit(0), coalesce(col("__gx"), lit(1)) - 1)))
+      .drop("__gx", "__gy")
+    val joined = xs.join(ys, Seq("band", "key", "__saltx", "__salty"))
+    if (keepSalts) joined else joined.drop("__saltx", "__salty")
+  }
+
   /** Exact dedup on a normalized text key: keeps the smallest id per
     * distinct content, with the duplicate count.
     */
@@ -156,7 +213,8 @@ object Dedup {
       n: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val docs = shingled(df, idCol, textCol, n)
@@ -177,12 +235,14 @@ object Dedup {
     // t·|a| ≤ |b| ≤ |a|/t, so mismatched-size bucket-mates are pruned
     // BEFORE the distinct and before shingle arrays are fetched — the
     // confirm join then moves arrays only for pairs that can still win.
-    val cand = banded.alias("x")
-      .join(banded.alias("y"), Seq("band", "key"))
+    val cand = boundedBucketJoin(
+        banded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band"), col("key")),
+        banded.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band"), col("key")),
+        "id_a", "id_b", maxBucket)
       .filter(
-        col("x.id") < col("y.id") &&
-          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        col("id_a") < col("id_b") &&
+          col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+      .select("id_a", "id_b")
       .distinct()
     val withGrams = cand
       .join(docs.select(col("id").as("id_a"), col("hgrams").as("grams_a")), "id_a")
@@ -273,15 +333,18 @@ object Dedup {
       index: DataFrame,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val banded = bandedFromSigs(index, numHashes, bands).cache()
-    val cand = banded.alias("x")
-      .join(banded.alias("y"), Seq("band", "key"))
+    val cand = boundedBucketJoin(
+        banded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band"), col("key")),
+        banded.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band"), col("key")),
+        "id_a", "id_b", maxBucket)
       .filter(
-        col("x.id") < col("y.id") &&
-          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        col("id_a") < col("id_b") &&
+          col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+      .select("id_a", "id_b")
       .distinct()
     confirmPairs(cand, index.select(col("id"), col("hgrams")), threshold)
   }
@@ -310,27 +373,35 @@ object Dedup {
       n: Int,
       numHashes: Int,
       bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val inc = signatureIndex(increment, idCol, textCol, n, numHashes).cache()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
-    // cross-batch candidates: increment probes the stored index buckets;
+    def xSide(df: DataFrame) =
+      df.select(col("id").as("id_x"), col("sz").as("sz_x"), col("band"), col("key"))
+    def ySide(df: DataFrame) =
+      df.select(col("id").as("id_y"), col("sz").as("sz_y"), col("band"), col("key"))
+    // cross-batch candidates: increment probes the stored index buckets
+    // (hot-bucket-bounded — a boilerplate band key with thousands of
+    // stored docs would otherwise go quadratic-in-bucket on one task);
     // id order is normalized so output matches the full recompute's
     // id_a < id_b contract regardless of which batch holds the lower id
-    val cross = incBanded.alias("x")
-      .join(bandedFromSigs(index, numHashes, bands).alias("y"), Seq("band", "key"))
+    val cross = boundedBucketJoin(
+        xSide(incBanded), ySide(bandedFromSigs(index, numHashes, bands)),
+        "id_x", "id_y", maxBucket)
       .filter(
-        col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
+        col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
       .select(
-        least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
     // increment-internal candidates (same shape as the full form's self-join)
-    val within = incBanded.alias("x")
-      .join(incBanded.alias("y"), Seq("band", "key"))
+    val within = boundedBucketJoin(
+        xSide(incBanded), ySide(incBanded), "id_x", "id_y", maxBucket)
       .filter(
-        col("x.id") < col("y.id") &&
-          col("x.sz") * threshold <= col("y.sz") && col("y.sz") * threshold <= col("x.sz"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        col("id_x") < col("id_y") &&
+          col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
     val cand = cross.unionByName(within).distinct()
     // exact-Jaccard confirm: shingle arrays come from the stored index for
     // corpus ids and the increment frame for new ids
@@ -465,7 +536,8 @@ object Dedup {
       threshold: Double,
       bands: Int = 8,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val l = left.select(col(leftId).as("id_a"), col(leftVec).cast("array<double>").as("va"))
     val r = right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
     val dim = r.select(size(col("vb"))).head().getInt(0)
@@ -479,8 +551,10 @@ object Dedup {
       explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
       .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
     // ids-only candidates first; vectors join back once per distinct pair,
-    // so the band shuffle moves (long, int, long) rows — not embeddings
-    val cand = lb.join(rb, Seq("band", "key"))
+    // so the band shuffle moves (long, int, long) rows — not embeddings.
+    // Hot-bucket-bounded: near-identical embedding families (boilerplate
+    // pages, stock images) pile behind one sign-bit key otherwise.
+    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxBucket)
       .select("id_a", "id_b")
       .distinct()
     cand
@@ -502,8 +576,10 @@ object Dedup {
       threshold: Double,
       bands: Int = 8,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame =
-    embeddingNearDupJoin(df, idCol, vecCol, df, idCol, vecCol, threshold, bands, bitsPerBand, seed)
+      seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    embeddingNearDupJoin(
+      df, idCol, vecCol, df, idCol, vecCol, threshold, bands, bitsPerBand, seed, maxBucket)
       .filter(col("id_a") < col("id_b"))
 
   /** Per-band sign-bit keys as an array (index b = band b's key) — the
@@ -562,25 +638,28 @@ object Dedup {
       threshold: Double,
       bands: Int = 8,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val inc = increment.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = inc.select(size(col("v"))).head().getInt(0)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
     val incSig = inc
       .withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
       .cache()
-    def bandRows(df: DataFrame): DataFrame =
-      df.select(col("id"), posexplode(col("bkeys")).as(Seq("band", "key")))
-    val incBand = bandRows(incSig).cache()
-    val cross = incBand.alias("x")
-      .join(bandRows(index).alias("y"), Seq("band", "key"))
+    def bandRows(df: DataFrame, as: String): DataFrame =
+      df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
+    val incBandX = bandRows(incSig, "id_x").cache()
+    // both joins hot-bucket-bounded (see [[boundedBucketJoin]]): a stored
+    // boilerplate-embedding family shares one sign-bit key per band
+    val cross = boundedBucketJoin(
+        incBandX, bandRows(index, "id_y"), "id_x", "id_y", maxBucket)
       .select(
-        least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
-    val within = incBand.alias("x")
-      .join(incBand.alias("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val within = boundedBucketJoin(
+        incBandX, incBandX.withColumnRenamed("id_x", "id_y"), "id_x", "id_y", maxBucket)
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
     val cand = cross.unionByName(within).distinct()
     val vecs = index.select(col("id"), col("v"))
       .unionByName(inc.select(col("id"), col("v")))

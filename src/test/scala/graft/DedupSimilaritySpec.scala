@@ -162,6 +162,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perQuery.count() > 0)
   }
 
+  test("hot-bucket defense: planted mega-bucket grid-salted, pairs exact, per-task cells bounded") {
+    import spark.implicits._
+    // one mega bucket (500 rows behind a single (band, key)) + normal
+    // buckets; maxBucket=50 forces a 10×10 salt grid on the hot one
+    val hot = (1L to 500L).map(i => (i, 0, "HOT"))
+    val cold = (1000L to 1019L).map(i => (i, 0, s"cold${i % 4}"))
+    val rows = (hot ++ cold).toDF("id", "band", "key")
+    val x = rows.select(col("id").as("id_x"), col("band"), col("key"))
+    val y = rows.select(col("id").as("id_y"), col("band"), col("key"))
+    val maxBucket = 50
+    val salted = graft.operators.Dedup
+      .boundedBucketJoin(x, y, "id_x", "id_y", maxBucket, keepSalts = true)
+      .cache()
+    // EXACT: the salted join's pair set is the plain bucket join's —
+    // every pair exactly once (grid cells partition the bucket)
+    val plain = x.join(y, Seq("band", "key")).select("id_x", "id_y")
+    assertSameRows(salted.select("id_x", "id_y"), plain, "salted vs plain bucket join")
+    // BOUNDED: no grid cell (= no join task's bucket group) holds more
+    // than ~maxBucket² candidates (2× slack for hash-chunk imbalance);
+    // the unsalted bucket would be 250,000 candidates in ONE task
+    val cellMax = salted
+      .groupBy("band", "key", "__saltx", "__salty").count()
+      .agg(max("count")).head().getLong(0)
+    assert(cellMax <= 2L * maxBucket * maxBucket,
+      s"hot-bucket cell holds $cellMax candidates — bound failed")
+    assert(cellMax < 500L * 500L, "defense did not engage on the planted mega-bucket")
+    salted.unpersist()
+
+    // end-to-end through the public paths: engaging the defense hard
+    // (tiny maxBucket) must not change a single emitted pair
+    val docs = Tables.load(spark, sf, "documents").limit(300).select("doc_id", "text")
+    val loose = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 16, 0.6)
+    val tight = graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", 3, 32, 16, 0.6, maxBucket = 4)
+    assertSameRows(tight, loose, "minhash pairs with defense engaged vs dormant")
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      (i.toLong, base.toSeq)
+    } ++ (0 until 30).map(j => (500L + j, Seq.fill(8)(1.0))) // planted identical family
+    val emb = vecs.toDF("id", "v")
+    val looseE = graft.operators.Dedup.embeddingNearDupPairsLsh(
+      emb, "id", "v", 0.999, bands = 4, bitsPerBand = 4)
+    val tightE = graft.operators.Dedup.embeddingNearDupPairsLsh(
+      emb, "id", "v", 0.999, bands = 4, bitsPerBand = 4, maxBucket = 8)
+    assertSameRows(tightE, looseE, "embedding pairs with defense engaged vs dormant")
+    assert(looseE.count() >= 30L * 29 / 2, "planted identical family must all pair")
+  }
+
   test("incremental IVF append: assignment-only fold, query ≡ rebuild-from-union, drift policy") {
     val root = java.nio.file.Files.createTempDirectory("k5_ivf").toFile.getAbsolutePath
     val zone = s"$root/idx"
