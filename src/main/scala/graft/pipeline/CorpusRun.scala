@@ -15,7 +15,9 @@ import graft.sources.Zones
   * for (d9 signature index, d12 cluster maintenance, st8 stats states):
   *
   *   gate (already ran today? → skip; RUNNING row → mutual exclusion)
-  *   → quality filter (token count + alpha ratio, pure column ops)
+  *   → quality suite (configurable named rules: token/alpha floors, C4
+  *     word-length + blocklist heuristics, Gopher repetition signals —
+  *     pure column ops; per-rule drop counts in the ledger)
   *   → exact dedup: within-increment dropDuplicates + anti-join against
   *     the corpus FINGERPRINT zone (only increment fingerprints computed)
   *   → near-dup: increment signatures vs the stored SIGNATURE INDEX
@@ -63,6 +65,42 @@ object CorpusRun {
   val MinTokens = 5
   val MinAlphaRatio = 0.25
 
+  /** One named quality rule: a document matching `drop` is rejected at
+    * stage [1], attributed to `name` in the ledger message.
+    */
+  final case class QualityRule(name: String, drop: org.apache.spark.sql.Column)
+
+  /** The default corpus-quality suite — the production form of the
+    * engine's t6 (Gopher repetition / symbol signals) and t9 (C4
+    * heuristics) operators, all pure column expressions (one codegen'd
+    * scan, no shuffle). First matching rule wins the attribution.
+    * Thresholds follow the published heuristics: C4 word-count and
+    * mean-word-length bounds, C4 blocklist terms, Gopher duplicate-line
+    * and duplicate-paragraph character mass, and a trigram-repetition
+    * signal ([[graft.operators.TextAnalysis.dupFraction]] over all word
+    * trigrams — the shuffle-free per-document form of t6's top-trigram
+    * mass).
+    */
+  def defaultQualityRules: Seq[QualityRule] = {
+    import graft.operators.TextAnalysis
+    val text = col("text")
+    Seq(
+      QualityRule("min_tokens", TextAnalysis.tokenCount(text) < MinTokens),
+      QualityRule("max_tokens", TextAnalysis.tokenCount(text) > 100000),
+      QualityRule("alpha_ratio", TextAnalysis.alphaRatio(text) < MinAlphaRatio),
+      QualityRule("mean_word_len",
+        !TextAnalysis.avgTokenLen(text).between(3.0, 10.0)),
+      QualityRule("blocklist",
+        lower(text).contains("javascript required") ||
+          lower(text).contains("lorem ipsum") ||
+          lower(text).contains("terms of use")),
+      QualityRule("dup_lines", TextAnalysis.dupLineCharFraction(text) > 0.3),
+      QualityRule("dup_paragraphs",
+        TextAnalysis.dupParagraphCharFraction(text) > 0.3),
+      QualityRule("dup_trigrams",
+        TextAnalysis.dupFraction(TextAnalysis.wordNgramsAll(text, 3)) > 0.6))
+  }
+
   /** MinHash geometry — shared with the d3/d9 gates: 3-gram shingles,
     * 32 hashes in 16 bands, confirm at Jaccard ≥ 0.6.
     */
@@ -83,9 +121,15 @@ object CorpusRun {
   }
 
   /** Returns "SKIPPED" (gate) or "SUCCESS"; rethrows after recording a
-    * FAILED ledger row if any stage fails.
+    * FAILED ledger row if any stage fails. `qualityRules` configures the
+    * stage-[1] filter suite (default: [[defaultQualityRules]]).
     */
-  def run(spark: SparkSession, incrementDir: String, whDir: String, runTs: String): String = {
+  def run(
+      spark: SparkSession,
+      incrementDir: String,
+      whDir: String,
+      runTs: String,
+      qualityRules: Seq[QualityRule] = defaultQualityRules): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/corpus_log"
     val ledger0 =
@@ -95,7 +139,7 @@ object CorpusRun {
         RunLedger.anyRunning(ledger0, ProcessName, runTs, StaleRunningHours)) return "SKIPPED"
     val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
     Zones.overwriteSwap(ledger1, ledgerPath)
-    try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId)
+    try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId, qualityRules)
     catch {
       case scala.util.control.NonFatal(e) =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
@@ -126,7 +170,8 @@ object CorpusRun {
       runTs: String,
       runDate: String,
       ledgerPath: String,
-      runId: Long): String = {
+      runId: Long,
+      qualityRules: Seq[QualityRule]): String = {
     val docsPath = s"$whDir/corpus/docs"
     val fpPath = s"$whDir/corpus/fingerprints"
     val sigPath = s"$whDir/corpus/sig_index"
@@ -134,15 +179,25 @@ object CorpusRun {
     val paraFpPath = s"$whDir/corpus/para_fp"
     val statsPath = s"$whDir/corpus/stats"
 
-    // [1] increment + quality floor. Corrupt files quarantine, not kill
+    // [1] increment + quality suite. Corrupt files quarantine, not kill
     // (the DailyRun policy); the loss is surfaced in the ledger message.
+    // Each doc is attributed to its FIRST matching drop rule (one
+    // codegen'd scan — the rules are pure column predicates); per-rule
+    // counts ride into the ledger. The rule-count collect is bounded by
+    // the rule-set size, not the data.
     val (rawInc, quarantined) = Zones.readRobust(spark, incrementDir)
     val raw = rawInc.cache()
     val nInput = raw.count()
-    val quality = raw.filter(
-      TextAnalysis.tokenCount(col("text")) >= MinTokens &&
-        TextAnalysis.alphaRatio(col("text")) >= MinAlphaRatio)
-      .cache()
+    val dropRule = qualityRules.foldRight(lit(null).cast("string")) {
+      (r, acc) => when(r.drop, lit(r.name)).otherwise(acc)
+    }
+    val flagged = raw.withColumn("__drop_rule", dropRule).cache()
+    val ruleCounts: Seq[(String, Long)] = flagged
+      .filter(col("__drop_rule").isNotNull)
+      .groupBy("__drop_rule").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(-_._2)
+    val quality = flagged.filter(col("__drop_rule").isNull).drop("__drop_rule").cache()
     val nQuality = quality.count()
 
     // [2] exact dedup: first-wins within the increment, then anti-join
@@ -281,8 +336,11 @@ object CorpusRun {
       keyExpr = "doc_id",
       batchId = Some(java.time.LocalDate.parse(runDate).toEpochDay))
 
+    val ruleBreakdown =
+      if (ruleCounts.isEmpty) ""
+      else ruleCounts.map { case (r, n) => s"$r=$n" }.mkString(" (", ", ", ")")
     val message =
-      s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}, " +
+      s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}$ruleBreakdown, " +
         s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
         s"para-excised ${nParas - nParasKept} of $nParas paragraph(s), " +
         s"fully-excised-docs ${nKept - nPublished}, published $nPublished." +
@@ -290,7 +348,7 @@ object CorpusRun {
         if (quarantined.isEmpty) ""
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
           s"${Zones.quarantineDir(incrementDir)}.")
-    raw.unpersist(); quality.unpersist(); exactSurvivors.unpersist()
+    raw.unpersist(); flagged.unpersist(); quality.unpersist(); exactSurvivors.unpersist()
     val done = RunLedger.finishRun(
       Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
       messageOverride = Some(message))

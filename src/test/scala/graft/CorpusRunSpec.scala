@@ -144,6 +144,43 @@ class CorpusRunSpec extends SparkSpec {
       "retry double-merged the stats zone")
   }
 
+  test("quality suite: planted low-quality docs dropped by named rule, counts in the ledger") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_q").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val clean = (1L to 3L).map(i =>
+      (i, s"regular healthy document number $i with plain sensible words", "web"))
+    val planted = Seq(
+      (11L, "too short", "web"), // min_tokens
+      (12L, "@@@@ #### %%%% ^^^^ &&&& **** !!!! ????", "web"), // alpha_ratio
+      (13L, "this page needs javascript required to view properly okay", "web"), // blocklist
+      (14L, "supercalifragilistic pneumonoultramicroscopicsilicovolcanoconiosis " +
+        "antidisestablishmentarianism floccinaucinihilipilification " +
+        "honorificabilitudinitatibus incomprehensibilities", "web"), // mean_word_len
+      (15L, "copy line alpha\ncopy line alpha\ncopy line alpha\ncopy line alpha\n" +
+        "unique tail here", "web"), // dup_lines (char mass > 0.3)
+      (16L, "spam gram spam gram spam gram spam gram spam gram spam gram " +
+        "spam gram spam gram spam gram spam gram", "web")) // dup_trigrams
+    val df = {
+      import spark.implicits._
+      (clean ++ planted).toDF("doc_id", "text", "source")
+    }
+    val in = s"$tmp/in"
+    df.write.mode("overwrite").parquet(in)
+    assert(CorpusRun.run(spark, in, wh, "2026-06-01 02:00:00") == "SUCCESS")
+    val published = spark.read.parquet(s"$wh/corpus/docs")
+    assert(published.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L),
+      "exactly the clean docs must publish")
+    val msg = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg.contains("quality-dropped 6"), s"unexpected ledger message: $msg")
+    Seq("min_tokens=1", "alpha_ratio=1", "blocklist=1", "mean_word_len=1",
+      "dup_lines=1", "dup_trigrams=1").foreach { tok =>
+      assert(msg.contains(tok), s"ledger message missing '$tok': $msg")
+    }
+  }
+
   test("cross-day paragraph excision: boilerplate cut in place, ≡ batch d10 on the union") {
     import graft.operators.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_para").toFile.getAbsolutePath
