@@ -41,10 +41,90 @@ object Dedup {
     */
   val DefaultMaxBucket = 4096
 
+  /** Per-(band, key) row counts of a bucketed frame — the precomputable
+    * side input of [[boundedBucketJoin]]. Operators issuing several
+    * bounded joins over the SAME banded frame (a self-join's two sides,
+    * an increment probing cross-batch AND within-batch) should compute
+    * this ONCE and pass it to every call: the count is a full scan of the
+    * frame, and re-deriving it per side re-executes whatever produced the
+    * frame (hyperplane signatures, banding) unless that work is cached.
+    */
+  private[graft] def bucketCounts(df: DataFrame): DataFrame =
+    df.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+
+  /** Buckets whose size exceeds `maxBucket` on either side, with the two
+    * sides' grid factors — the side input of the salted path. When both
+    * sides share one count frame (self-join) the list is a plain filter,
+    * no join.
+    */
+  private def oversizedBuckets(
+      cxN: DataFrame, cyN: DataFrame, maxBucket: Int): DataFrame =
+    if (cxN eq cyN)
+      cxN.filter(col("__n") > maxBucket)
+        .withColumn("__g", ceil(col("__n").cast("double") / maxBucket).cast("int"))
+        .select(col("band"), col("key"), col("__g").as("__gx"), col("__g").as("__gy"))
+    else
+      cxN.withColumnRenamed("__n", "__cx")
+        .join(cyN.withColumnRenamed("__n", "__cy"), Seq("band", "key"))
+        .filter(col("__cx") > maxBucket || col("__cy") > maxBucket)
+        .select(
+          col("band"), col("key"),
+          ceil(col("__cx").cast("double") / maxBucket).cast("int").as("__gx"),
+          ceil(col("__cy").cast("double") / maxBucket).cast("int").as("__gy"))
+
+  /** Per-frame emptiness of several small frames in ONE driver action (a
+    * tagged limit-1 union) — operators issuing multiple bounded joins pay
+    * one probe job, not one per join.
+    */
+  private def emptiness(frames: Seq[DataFrame]): Seq[Boolean] = {
+    val present = frames.zipWithIndex
+      .map { case (f, i) => f.select(lit(i).as("__t")).limit(1) }
+      .reduce(_ unionByName _)
+      .collect().map(_.getInt(0)).toSet
+    frames.indices.map(i => !present.contains(i))
+  }
+
+  /** [[boundedBucketJoin]] with the oversized-bucket list (and its
+    * emptiness verdict) supplied by the caller — the shape for operators
+    * that probe several joins' lists in one action via [[emptiness]].
+    */
+  private def boundedBucketJoinWith(
+      x: DataFrame,
+      y: DataFrame,
+      xId: String,
+      yId: String,
+      oversized: DataFrame,
+      dormant: Boolean,
+      keepSalts: Boolean = false): DataFrame =
+    if (dormant) {
+      // every salt would be (0, 0): the plain 2-key join is bitwise
+      // identical and skips the broadcast + per-row explode machinery
+      val joined = x.join(y, Seq("band", "key"))
+      if (keepSalts)
+        joined.withColumn("__saltx", lit(0)).withColumn("__salty", lit(0))
+      else joined
+    } else {
+      val xs = x.join(broadcast(oversized), Seq("band", "key"), "left")
+        .withColumn("__saltx",
+          when(col("__gx").isNull, lit(0))
+            .otherwise(pmod(xxhash64(col(xId)), col("__gx")).cast("int")))
+        .withColumn("__salty", explode(sequence(lit(0), coalesce(col("__gy"), lit(1)) - 1)))
+        .drop("__gx", "__gy")
+      val ys = y.join(broadcast(oversized), Seq("band", "key"), "left")
+        .withColumn("__salty",
+          when(col("__gy").isNull, lit(0))
+            .otherwise(pmod(xxhash64(col(yId)), col("__gy")).cast("int")))
+        .withColumn("__saltx", explode(sequence(lit(0), coalesce(col("__gx"), lit(1)) - 1)))
+        .drop("__gx", "__gy")
+      val joined = xs.join(ys, Seq("band", "key", "__saltx", "__salty"))
+      if (keepSalts) joined else joined.drop("__saltx", "__salty")
+    }
+
   /** Exact bounded join of two (band, key)-bucketed frames — the
     * hot-bucket policy behind every LSH candidate join. Bucket sizes are
-    * counted per side (one narrow shuffle each, same key as the join);
-    * buckets where either side exceeds `maxBucket` are GRID-SALTED: the
+    * counted per side (one narrow shuffle each, same key as the join,
+    * or a precomputed/shared [[bucketCounts]] frame); buckets where
+    * either side exceeds `maxBucket` are GRID-SALTED: the
     * x side splits into gx = ⌈cx/maxBucket⌉ hash chunks, the y side into
     * gy, and each row is replicated across the other side's chunk axis,
     * so the join key (band, key, saltx, salty) partitions the bucket's
@@ -61,30 +141,24 @@ object Dedup {
       xId: String,
       yId: String,
       maxBucket: Int = DefaultMaxBucket,
-      keepSalts: Boolean = false): DataFrame = {
+      keepSalts: Boolean = false,
+      xCounts: Option[DataFrame] = None,
+      yCounts: Option[DataFrame] = None): DataFrame = {
     require(maxBucket > 0, "maxBucket must be positive")
-    val cx = x.groupBy("band", "key").agg(count(lit(1)).as("__cx"))
-    val cy = y.groupBy("band", "key").agg(count(lit(1)).as("__cy"))
-    val oversized = cx.join(cy, Seq("band", "key"))
-      .filter(col("__cx") > maxBucket || col("__cy") > maxBucket)
-      .select(
-        col("band"), col("key"),
-        ceil(col("__cx").cast("double") / maxBucket).cast("int").as("__gx"),
-        ceil(col("__cy").cast("double") / maxBucket).cast("int").as("__gy"))
-    val xs = x.join(broadcast(oversized), Seq("band", "key"), "left")
-      .withColumn("__saltx",
-        when(col("__gx").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col(xId)), col("__gx")).cast("int")))
-      .withColumn("__salty", explode(sequence(lit(0), coalesce(col("__gy"), lit(1)) - 1)))
-      .drop("__gx", "__gy")
-    val ys = y.join(broadcast(oversized), Seq("band", "key"), "left")
-      .withColumn("__salty",
-        when(col("__gy").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col(yId)), col("__gy")).cast("int")))
-      .withColumn("__saltx", explode(sequence(lit(0), coalesce(col("__gx"), lit(1)) - 1)))
-      .drop("__gx", "__gy")
-    val joined = xs.join(ys, Seq("band", "key", "__saltx", "__salty"))
-    if (keepSalts) joined else joined.drop("__saltx", "__salty")
+    // a self-join's two sides share one count frame (callers pass the
+    // SAME Option instance) — the oversized list then needs no join
+    val shared = (xCounts, yCounts) match {
+      case (Some(a), Some(b)) => a eq b
+      case _ => false
+    }
+    val cxN = xCounts.getOrElse(bucketCounts(x))
+    val cyN = if (shared) cxN else yCounts.getOrElse(bucketCounts(y))
+    val oversized = oversizedBuckets(cxN, cyN, maxBucket).cache()
+    // DORMANT FAST PATH — the overwhelmingly common case: no bucket over
+    // the bound. One driver-side emptiness probe of the tiny aggregated
+    // list picks the plain 2-key join; output bitwise identical by the
+    // exactness of the decomposition.
+    boundedBucketJoinWith(x, y, xId, yId, oversized, oversized.isEmpty, keepSalts)
   }
 
   /** Exact dedup on a normalized text key: keeps the smallest id per
@@ -235,10 +309,13 @@ object Dedup {
     // t·|a| ≤ |b| ≤ |a|/t, so mismatched-size bucket-mates are pruned
     // BEFORE the distinct and before shingle arrays are fetched — the
     // confirm join then moves arrays only for pairs that can still win.
+    // the two join sides are projections of the SAME cached frame, so one
+    // bucket-count pass serves both (a self-join's sides cannot differ)
+    val counts = Some(bucketCounts(banded))
     val cand = boundedBucketJoin(
         banded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band"), col("key")),
         banded.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band"), col("key")),
-        "id_a", "id_b", maxBucket)
+        "id_a", "id_b", maxBucket, xCounts = counts, yCounts = counts)
       .filter(
         col("id_a") < col("id_b") &&
           col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
@@ -337,10 +414,11 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val banded = bandedFromSigs(index, numHashes, bands).cache()
+    val counts = Some(bucketCounts(banded)) // one count pass for both self-join sides
     val cand = boundedBucketJoin(
         banded.select(col("id").as("id_a"), col("sz").as("sz_a"), col("band"), col("key")),
         banded.select(col("id").as("id_b"), col("sz").as("sz_b"), col("band"), col("key")),
-        "id_a", "id_b", maxBucket)
+        "id_a", "id_b", maxBucket, xCounts = counts, yCounts = counts)
       .filter(
         col("id_a") < col("id_b") &&
           col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
@@ -374,10 +452,38 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashLshPairsIncrementalFromSigs(
+      index,
+      signatureIndex(increment, idCol, textCol, n, numHashes),
+      numHashes, bands, threshold, maxBucket)
+
+  /** [[minhashLshPairsIncremental]] with the increment's signature-index
+    * rows ALREADY computed — the shape for pipelines that materialize the
+    * increment index anyway to publish it (CorpusRun computes `daySigs`
+    * for the day's zone partition; without this entry point the pair
+    * stage would shingle + hash the increment a second time).
+    */
+  def minhashLshPairsIncrementalFromSigs(
+      index: DataFrame,
+      incrementIndex: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val inc = signatureIndex(increment, idCol, textCol, n, numHashes).cache()
+    val inc = incrementIndex.cache()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
+    // ONE bucket-count pass per distinct frame, shared by the three join
+    // sides below (increment appears three times, the index once), and ONE
+    // driver probe for both joins' oversized lists — the bound's cost is
+    // paid per input and per operator, not per join side
+    val incCounts = bucketCounts(incBanded)
+    val idxBanded = bandedFromSigs(index, numHashes, bands)
+    val idxCounts = bucketCounts(idxBanded)
+    val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
+    val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
+    val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
     def xSide(df: DataFrame) =
       df.select(col("id").as("id_x"), col("sz").as("sz_x"), col("band"), col("key"))
     def ySide(df: DataFrame) =
@@ -387,17 +493,17 @@ object Dedup {
     // stored docs would otherwise go quadratic-in-bucket on one task);
     // id order is normalized so output matches the full recompute's
     // id_a < id_b contract regardless of which batch holds the lower id
-    val cross = boundedBucketJoin(
-        xSide(incBanded), ySide(bandedFromSigs(index, numHashes, bands)),
-        "id_x", "id_y", maxBucket)
+    val cross = boundedBucketJoinWith(
+        xSide(incBanded), ySide(idxBanded),
+        "id_x", "id_y", ovCross, crossDormant)
       .filter(
         col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
     // increment-internal candidates (same shape as the full form's self-join)
-    val within = boundedBucketJoin(
-        xSide(incBanded), ySide(incBanded), "id_x", "id_y", maxBucket)
+    val within = boundedBucketJoinWith(
+        xSide(incBanded), ySide(incBanded), "id_x", "id_y", ovWithin, withinDormant)
       .filter(
         col("id_x") < col("id_y") &&
           col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
@@ -538,23 +644,38 @@ object Dedup {
       bitsPerBand: Int = 8,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // self-join (the embeddingNearDupPairsLsh shape): signatures, band
+    // rows, and bucket counts are computed ONCE and shared by both sides
+    val self = (left eq right) && leftId == rightId && leftVec == rightVec
     val l = left.select(col(leftId).as("id_a"), col(leftVec).cast("array<double>").as("va"))
-    val r = right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
+    val r =
+      if (self) l.toDF("id_b", "vb")
+      else right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
     val dim = r.select(size(col("vb"))).head().getInt(0)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    // cached: each band frame feeds its bucket-count pass AND the join —
+    // uncached, the hyperplane signature math (bands × bitsPerBand dot
+    // products per vector, the expensive part) would run twice per side
     val lb = l.select(
       col("id_a"),
       explode(bandedSignatures(col("va"), planes, bands, bitsPerBand)).as("bk"))
       .select(col("id_a"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val rb = r.select(
-      col("id_b"),
-      explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
-      .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
+    val rb =
+      if (self) lb.withColumnRenamed("id_a", "id_b")
+      else r.select(
+        col("id_b"),
+        explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
+        .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .cache()
+    val lCounts = Some(bucketCounts(lb))
+    val rCounts = if (self) lCounts else Some(bucketCounts(rb))
     // ids-only candidates first; vectors join back once per distinct pair,
     // so the band shuffle moves (long, int, long) rows — not embeddings.
     // Hot-bucket-bounded: near-identical embedding families (boilerplate
     // pages, stock images) pile behind one sign-bit key otherwise.
-    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxBucket)
+    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxBucket,
+        xCounts = lCounts, yCounts = rCounts)
       .select("id_a", "id_b")
       .distinct()
     cand
@@ -649,15 +770,24 @@ object Dedup {
     def bandRows(df: DataFrame, as: String): DataFrame =
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
+    // one bucket-count pass per distinct frame (increment ×3, index ×1)
+    // and one driver probe for both joins' oversized lists
+    val incCounts = bucketCounts(incBandX)
+    val idxBand = bandRows(index, "id_y")
+    val idxCounts = bucketCounts(idxBand)
+    val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
+    val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
+    val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
     // both joins hot-bucket-bounded (see [[boundedBucketJoin]]): a stored
     // boilerplate-embedding family shares one sign-bit key per band
-    val cross = boundedBucketJoin(
-        incBandX, bandRows(index, "id_y"), "id_x", "id_y", maxBucket)
+    val cross = boundedBucketJoinWith(
+        incBandX, idxBand, "id_x", "id_y", ovCross, crossDormant)
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
-    val within = boundedBucketJoin(
-        incBandX, incBandX.withColumnRenamed("id_x", "id_y"), "id_x", "id_y", maxBucket)
+    val within = boundedBucketJoinWith(
+        incBandX, incBandX.withColumnRenamed("id_x", "id_y"), "id_x", "id_y",
+        ovWithin, withinDormant)
       .filter(col("id_x") < col("id_y"))
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
     val cand = cross.unionByName(within).distinct()
