@@ -85,9 +85,16 @@ object CorpusRun {
     import graft.operators.TextAnalysis
     val text = col("text")
     Seq(
+      // null text first: every other predicate evaluates NULL on a null
+      // doc and would fall through the when() chain unattributed — the
+      // doc must die HERE, not survive to be fingerprinted (md5 = null)
+      QualityRule("null_text", text.isNull),
+      // alpha_ratio BEFORE min_tokens: tokenCount counts [a-z0-9]+ runs,
+      // so an all-symbol doc has tokenCount 0 AND alphaRatio 0 — the
+      // symbol wall is the more specific diagnosis and wins attribution
+      QualityRule("alpha_ratio", TextAnalysis.alphaRatio(text) < MinAlphaRatio),
       QualityRule("min_tokens", TextAnalysis.tokenCount(text) < MinTokens),
       QualityRule("max_tokens", TextAnalysis.tokenCount(text) > 100000),
-      QualityRule("alpha_ratio", TextAnalysis.alphaRatio(text) < MinAlphaRatio),
       QualityRule("mean_word_len",
         !TextAnalysis.avgTokenLen(text).between(3.0, 10.0)),
       QualityRule("blocklist",
@@ -238,9 +245,11 @@ object CorpusRun {
       (if (prior.isEmpty)
         Dedup.minhashLshPairsFromIndex(daySigs, NumHashes, Bands, JaccardThreshold)
       else
-        Dedup.minhashLshPairsIncremental(
-          prior, exactSurvivors,
-          "doc_id", "text", ShingleN, NumHashes, Bands, JaccardThreshold))
+        // daySigs IS the increment's signature index — handing it over
+        // directly means the day's text is shingled + hashed exactly once
+        // (computed above for the zone publish, reused for the pair stage)
+        Dedup.minhashLshPairsIncrementalFromSigs(
+          prior, daySigs, NumHashes, Bands, JaccardThreshold))
         .localCheckpoint()
     dayOverwrite(daySigs.withColumn("ingest_day", lit(runDate)), sigPath)
 
@@ -316,10 +325,15 @@ object CorpusRun {
     dayOverwrite(published.drop("fp"), docsPath)
     dayOverwrite(
       exactSurvivors.select("fp").withColumn("ingest_day", lit(runDate)), fpPath)
-    // ALL of today's paragraph fingerprints (kept AND excised verdicts —
-    // the distinct fp set is the same either way) become tomorrow's probe
+    // only fingerprints NEW to the corpus (kept verdicts) publish: an
+    // excised paragraph's fp is by definition already in a prior-day
+    // partition (cross-day cut) or carried by today's kept first
+    // occurrence (within-day cut), so the probe union stays complete
+    // while the zone holds ONE row per distinct fp ever seen — not one
+    // per day a boilerplate paragraph reappears
     dayOverwrite(
-      spans.select("pfp").distinct().withColumn("ingest_day", lit(runDate)), paraFpPath)
+      spans.filter(col("kept")).select("pfp").distinct()
+        .withColumn("ingest_day", lit(runDate)), paraFpPath)
 
     // [6] standing statistics over what was PUBLISHED: counts exact,
     // quantile/distinct states mergeable; the day-keyed replay guard

@@ -257,8 +257,14 @@ class CorpusRunSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(retry == batchTexts, "retried day diverged from its first publish")
     assert(spark.read.parquet(s"$wh/corpus/para_fp")
-      .filter(col("ingest_day") === "2026-05-02").count() == 3,
+      .filter(col("ingest_day") === "2026-05-02").count() == 2,
       "retried day must own exactly its paragraph-fingerprint partition " +
-        "(3 distinct fps: docC's two unique paras + the shared boilerplate)")
+        "(2 distinct KEPT fps: docC's two unique paras — the excised " +
+        "boilerplate's fp already lives in day-1's partition, kept-only " +
+        "publishing must not re-store it)")
+    // zone-wide invariant of kept-only publishing: one row per distinct fp
+    val allFps = spark.read.parquet(s"$wh/corpus/para_fp").select("pfp")
+    assert(allFps.count() == allFps.distinct().count(),
+      "para_fp zone must hold each fingerprint exactly once across all days")
   }
 }
