@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Landing-zone data profiling: per-column row/null/distinct counts and
@@ -138,20 +138,37 @@ object Profiling {
     * rescanned (counts sum, KLL states merge, HLL states union).
     *
     * Exactly-once under replay: the replay guard is the SET of applied
-    * batch ids, carried INSIDE the swapped data (per-row `applied`
-    * arrays whose union is the zone's applied set), so the guard and
+    * batch ids, carried INSIDE the swapped data, so the guard and
     * the state update commit in one filesystem rename — a crash
     * between "zone written" and "mark written" cannot exist. Only an
     * EXACT replay (a `batchId` already in the applied set) no-ops and
     * returns false; an out-of-order increment — a BACKFILL of an
     * earlier day after later days have run — merges normally, which a
     * plain high-water-mark guard would silently drop. `hwm` (the max
-    * applied id) is still maintained for rollups and monitoring. The
-    * `applied` array on each (epoch, grp) row holds the ids of the
-    * batches that contributed to that row: bounded by
-    * batches-per-epoch (≤ 31 for daily batches in monthly epochs), so
-    * pick `epochExpr` granular enough that the set stays small under
-    * high-frequency feeds.
+    * applied id) is still maintained for rollups and monitoring.
+    *
+    * BOUNDED REPRESENTATION (range compaction): each row stores its
+    * applied set as one dense run `[applied_base .. applied_floor]`
+    * plus an `applied` array of out-of-order extras, re-compacted on
+    * every merge (extras adjacent to the run are absorbed). An in-order
+    * feed — the production shape, daily batches or minutes-scale
+    * foreachBatch micro-batches alike — keeps the extras array EMPTY
+    * forever regardless of batches-per-epoch; only ids that arrive
+    * non-contiguously (interleaved backfills) are retained
+    * individually, and more than [[MaxAppliedExtras]] of them per
+    * (epoch, grp) row raises a named error (the feed is then not a
+    * replayable increment stream but a shuffle of history — re-feed in
+    * order, or coarsen `epochExpr`). The set semantics are EXACT: an
+    * id is applied iff it is in the run or in the extras.
+    *
+    * LEGACY-ZONE REPLAY CAVEAT: a zone written before the applied-set
+    * guard (hwm-only) upgrades by seeding each row's set with that
+    * row's hwm alone — exact replays of the LATEST batch (the
+    * realistic crash-redelivery) still no-op, but a redelivered OLDER
+    * legacy id re-merges and double-counts where the old high-water
+    * guard would have dropped it. The upgrade trades that narrow
+    * legacy window for backfill support; pinned by ModulesSpec's
+    * legacy-upgrade test so the tradeoff stays deliberate.
     *
     * SINGLE-WRITER CONTRACT: the guard serializes replays of one
     * logical writer (a foreachBatch sink, a daily pipeline behind a
@@ -166,6 +183,130 @@ object Profiling {
     * tmp dir ([[graft.sources.Zones.overwriteSwap]]'s contract), so
     * the zone stays readable throughout.
     */
+  /** Out-of-order ids retained per row before the merge refuses with a
+    * named error. In-order feeds never retain any (they ride the dense
+    * run); this only bounds adversarial/shuffled feeds.
+    */
+  val MaxAppliedExtras = 4096
+
+  /** Is `b` in the row's applied set: inside the dense run OR among the
+    * extras. The exact replay predicate.
+    */
+  private def appliedContains(b: Column): Column =
+    (col("applied_floor") >= col("applied_base") &&
+      b.between(col("applied_base"), col("applied_floor"))) ||
+      array_contains(col("applied"), b)
+
+  /** Range-compact the applied sets collected per (epoch, grp) during a
+    * merge: input columns `__rngs` (array of {base, floor} dense runs)
+    * and `__exs` (flattened extras), output columns `applied_base` /
+    * `applied_floor` / `applied`. Pure column expressions — three
+    * bounded array folds, no shuffle beyond the enclosing aggregation:
+    *   [1] sort runs by base, fold overlapping/adjacent ones into
+    *       disjoint runs, keep the WIDEST as the dense run (a mature
+    *       zone's multi-year run is never truncated by a backfill);
+    *       the rest — singletons in the single-writer protocol — spill
+    *       to the extras;
+    *   [2] extras adjacent above the run absorb into the floor, those
+    *       adjacent below absorb into the base (an empty run seeds from
+    *       the smallest candidate first);
+    *   [3] what remains are genuinely out-of-order ids — capped at
+    *       [[MaxAppliedExtras]] with a named raise_error.
+    * Exposed private[graft] so the spec can drive thousands of ids
+    * through the production fold in one select.
+    */
+  private[graft] def compactApplied(grouped: DataFrame): DataFrame = {
+    val cap = MaxAppliedExtras
+    grouped
+      // [1a] sorted runs fold into DISJOINT runs (adjacent/overlapping merge)
+      .withColumn("__runs", expr(
+        """aggregate(
+          |  array_sort(filter(__rngs, r -> r.floor >= r.base)),
+          |  cast(array() as array<struct<base: bigint, floor: bigint>>),
+          |  (acc, r) -> case
+          |    when size(acc) = 0 then array(r)
+          |    when r.base <= element_at(acc, -1).floor + 1 then
+          |      concat(slice(acc, 1, size(acc) - 1),
+          |             array(named_struct(
+          |               'base', element_at(acc, -1).base,
+          |               'floor', greatest(element_at(acc, -1).floor, r.floor))))
+          |    else concat(acc, array(r))
+          |  end)""".stripMargin))
+      // [1b] the WIDEST run survives as the dense run (never truncated —
+      // a mature zone's multi-year run must not spill for one backfill);
+      // the others, singletons in the single-writer protocol, spill
+      .withColumn("__bi", expr(
+        """aggregate(__runs,
+          |  named_struct('bi', 0, 'bw', cast(-1 as bigint), 'i', 0),
+          |  (acc, r) -> if(r.floor - r.base > acc.bw,
+          |    named_struct('bi', acc.i, 'bw', r.floor - r.base, 'i', acc.i + 1),
+          |    named_struct('bi', acc.bi, 'bw', acc.bw, 'i', acc.i + 1))).bi""".stripMargin))
+      .withColumn("__rest", expr("filter(__runs, (r, i) -> i != __bi)"))
+      .withColumn("__rf", expr(
+        s"""named_struct(
+           |  'base', coalesce(element_at(__runs, __bi + 1).base, cast(0 as bigint)),
+           |  'floor', coalesce(element_at(__runs, __bi + 1).floor, cast(-1 as bigint)),
+           |  'spill', flatten(transform(__rest,
+           |    r -> sequence(r.base, least(r.floor, r.base + $cap)))),
+           |  'ovf', exists(__rest, r -> r.floor > r.base + $cap))""".stripMargin))
+      .withColumn("__cand", expr(
+        """filter(
+          |  array_sort(array_distinct(concat(__exs, __rf.spill))),
+          |  e -> __rf.floor < __rf.base or e < __rf.base or e > __rf.floor)""".stripMargin))
+      // empty run seeds from the first (smallest) candidate
+      .withColumn("__base0", expr(
+        "if(__rf.floor < __rf.base and size(__cand) > 0, __cand[0], __rf.base)"))
+      .withColumn("__floor0", expr(
+        "if(__rf.floor < __rf.base and size(__cand) > 0, __cand[0], __rf.floor)"))
+      .withColumn("__cand0", expr(
+        "if(__rf.floor < __rf.base and size(__cand) > 0, slice(__cand, 2, size(__cand)), __cand)"))
+      .withColumn("__up", expr(
+        """aggregate(
+          |  filter(__cand0, e -> e > __floor0),
+          |  named_struct('floor', __floor0, 'kept', cast(array() as array<bigint>)),
+          |  (acc, e) -> if(e = acc.floor + 1,
+          |    named_struct('floor', e, 'kept', acc.kept),
+          |    named_struct('floor', acc.floor, 'kept', concat(acc.kept, array(e)))))""".stripMargin))
+      .withColumn("__down", expr(
+        """aggregate(
+          |  reverse(filter(__cand0, e -> e < __base0)),
+          |  named_struct('base', __base0, 'kept', cast(array() as array<bigint>)),
+          |  (acc, e) -> if(e = acc.base - 1,
+          |    named_struct('base', e, 'kept', acc.kept),
+          |    named_struct('base', acc.base, 'kept', concat(acc.kept, array(e)))))""".stripMargin))
+      .withColumn("applied_base", col("__down.base"))
+      .withColumn("applied_floor", col("__up.floor"))
+      .withColumn("applied", expr(
+        s"""case when __rf.ovf or size(__down.kept) + size(__up.kept) > $cap then
+           |  cast(raise_error(concat(
+           |    'stats zone applied-id overflow for epoch=', epoch, ' grp=', grp,
+           |    ': more than $cap out-of-order batch ids retained after range ',
+           |    'compaction — the feed is a shuffle of history, not an increment ',
+           |    'stream; re-feed in id order or coarsen epochExpr')) as array<bigint>)
+           |else array_sort(concat(__down.kept, __up.kept)) end""".stripMargin))
+      .drop("__rngs", "__exs", "__runs", "__bi", "__rest", "__rf", "__cand",
+        "__base0", "__floor0", "__cand0", "__up", "__down")
+  }
+
+  /** Upgrade any stored zone layout to the current guard schema:
+    * hwm-only → extras = [hwm] (see the legacy caveat above);
+    * flat-applied (round-8) → extras = stored array, empty run (the
+    * next merge's compaction folds them into a run).
+    */
+  private def upgradeGuardSchema(c: DataFrame): DataFrame = {
+    val withHwm =
+      if (c.columns.contains("hwm")) c else c.withColumn("hwm", lit(-1L))
+    val withApplied =
+      if (withHwm.columns.contains("applied")) withHwm
+      else withHwm.withColumn("applied",
+        when(col("hwm") >= 0, array(col("hwm")))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+    if (withApplied.columns.contains("applied_base")) withApplied
+    else withApplied
+      .withColumn("applied_base", lit(0L))
+      .withColumn("applied_floor", lit(-1L))
+  }
+
   def mergeStatsIncrement(
       spark: SparkSession,
       increment: DataFrame,
@@ -179,21 +320,9 @@ object Profiling {
     import graft.sources.Zones
     val cur: Option[DataFrame] =
       if (!Zones.exists(spark, s"$path/_SUCCESS")) None
-      else {
-        val c = Zones.read(spark, path)
-        val withHwm =
-          if (c.columns.contains("hwm")) c else c.withColumn("hwm", lit(-1L))
-        // legacy zones (pre-`applied`): seed each row's set with its own
-        // hwm — exact replays of those ids still no-op; older ids merge
-        val withApplied =
-          if (withHwm.columns.contains("applied")) withHwm
-          else withHwm.withColumn("applied",
-            when(col("hwm") >= 0, array(col("hwm")))
-              .otherwise(expr("cast(array() as array<bigint>)")))
-        Some(withApplied)
-      }
+      else Some(upgradeGuardSchema(Zones.read(spark, path)))
     val alreadyApplied = batchId.exists(b =>
-      cur.exists(_.agg(coalesce(max(array_contains(col("applied"), lit(b))), lit(false)))
+      cur.exists(_.agg(coalesce(max(appliedContains(lit(b))), lit(false)))
         .head().getBoolean(0)))
     if (alreadyApplied) false
     else {
@@ -203,24 +332,29 @@ object Profiling {
       val hwm = batchId.getOrElse(storedHwm + 1L)
       val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
         .withColumn("hwm", lit(hwm))
-        .withColumn("applied", array(lit(hwm)))
+        .withColumn("applied", expr("cast(array() as array<bigint>)"))
+        .withColumn("applied_base", lit(hwm))
+        .withColumn("applied_floor", lit(hwm))
       val merged = cur match {
         case None => incStates
         case Some(c) =>
-          c.unionByName(incStates)
-            .groupBy("epoch", "grp")
-            .agg(
-              sum("n_rows").as("n_rows"),
-              expr("kll_merge_agg(value_kll)").as("value_kll"),
-              expr("hll_union_agg(key_hll)").as("key_hll"),
-              max("hwm").as("hwm"),
-              array_sort(array_distinct(flatten(collect_list("applied")))).as("applied"))
+          compactApplied(
+            c.unionByName(incStates)
+              .groupBy("epoch", "grp")
+              .agg(
+                sum("n_rows").as("n_rows"),
+                expr("kll_merge_agg(value_kll)").as("value_kll"),
+                expr("hll_union_agg(key_hll)").as("key_hll"),
+                max("hwm").as("hwm"),
+                expr("collect_list(named_struct('base', applied_base, 'floor', applied_floor))")
+                  .as("__rngs"),
+                flatten(collect_list("applied")).as("__exs")))
       }
       Zones.overwriteSwap(merged.repartition(1), path)
       // single-writer tripwire: our batch id must be visible in the zone we
       // just swapped in; if not, a concurrent writer's swap clobbered ours
-      val visible = Zones.read(spark, path)
-        .agg(coalesce(max(array_contains(col("applied"), lit(hwm))), lit(false)))
+      val visible = upgradeGuardSchema(Zones.read(spark, path))
+        .agg(coalesce(max(appliedContains(lit(hwm))), lit(false)))
         .head().getBoolean(0)
       if (!visible) throw new IllegalStateException(
         s"stats zone $path: batch $hwm missing immediately after its swap — " +

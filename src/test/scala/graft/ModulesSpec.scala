@@ -362,6 +362,86 @@ class ModulesSpec extends SparkSpec {
     assert(roll.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 100L)
   }
 
+  test("stats zone: applied set is range-compacted and bounded (1000+ batch ids)") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.functions._
+    // [1] 1200 in-order batch ids through the PRODUCTION compaction fold
+    // in one select: they collapse to a single dense run, zero extras —
+    // the bound a minutes-scale foreachBatch feed relies on
+    def grouped(ids: Seq[Long]) = {
+      val idsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      idsDf
+        .withColumn("epoch", lit("2024-01")).withColumn("grp", lit("g"))
+        .groupBy("epoch", "grp")
+        .agg(expr("collect_list(named_struct('base', id, 'floor', id))").as("__rngs"))
+        .withColumn("__exs", expr("cast(array() as array<bigint>)"))
+    }
+    val dense = Profiling.compactApplied(grouped(0L until 1200L)).head()
+    assert(dense.getAs[Long]("applied_base") == 0L)
+    assert(dense.getAs[Long]("applied_floor") == 1199L)
+    assert(dense.getSeq[Long](dense.fieldIndex("applied")).isEmpty,
+      "1200 contiguous ids must compact to one dense run with zero extras")
+    // out-of-order stragglers stay as extras until their gap closes
+    val holey = Profiling.compactApplied(grouped(Seq(0L, 1L, 2L, 5L, 9L))).head()
+    assert(holey.getAs[Long]("applied_floor") == 2L)
+    assert(holey.getSeq[Long](holey.fieldIndex("applied")).toSeq == Seq(5L, 9L))
+    // [2] a feed that is a SHUFFLE of history (all-sparse, gap 2) blows
+    // the documented cap with the named error, not silent growth
+    val sparse = (0L until 2L * (Profiling.MaxAppliedExtras + 10L)).filter(_ % 2 == 0)
+    val err = intercept[Exception] {
+      Profiling.compactApplied(grouped(sparse)).head()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(rootMsg)).mkString(" | ")
+    assert(rootMsg(err).contains("applied-id overflow"),
+      s"expected the named overflow error, got: ${rootMsg(err)}")
+
+    // [3] END-TO-END: sequential in-order merges keep every row's extras
+    // EMPTY — the set lives in the run, per-row state is O(1) forever
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_statscap").toFile.getAbsolutePath
+    val zone = s"$tmp/stats"
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      Profiling.mergeStatsIncrement(spark, df, zone,
+        epochExpr = "day", groupExpr = "'all'", valueExpr = "v", keyExpr = "k",
+        batchId = Some(id))
+    (0L until 8L).foreach { i =>
+      val df = Seq(("2024-01", i, i.toDouble)).toDF("day", "k", "v")
+      assert(merge(df, i))
+    }
+    val rows = Profiling.readStatsZone(spark, zone)
+      .select("applied_base", "applied_floor", "applied").collect()
+    assert(rows.forall(r => r.getSeq[Long](r.fieldIndex("applied")).isEmpty),
+      "in-order feed must keep extras empty via run absorption")
+    assert(rows.forall(r => r.getAs[Long]("applied_base") == 0L &&
+      r.getAs[Long]("applied_floor") == 7L))
+    assert(!merge(Seq(("2024-01", 0L, 0.0)).toDF("day", "k", "v"), 3L),
+      "replay of a run-interior id must no-op")
+
+    // [4] legacy hwm-only zone upgrade, pinned: the LATEST legacy id
+    // still no-ops (crash redelivery), but an OLDER legacy id re-merges
+    // — the deliberate tradeoff that buys backfill support (the old
+    // global-hwm guard would have dropped both)
+    val legacy = s"$tmp/legacy"
+    Profiling.writeStatsZone(
+      Seq(("2024-01", 1L, 1.0), ("2024-01", 2L, 2.0)).toDF("day", "k", "v"),
+      legacy, epochExpr = "day", groupExpr = "'all'", valueExpr = "v", keyExpr = "k")
+    val upgraded = Profiling.readStatsZone(spark, legacy).withColumn("hwm", lit(5L))
+    graft.sources.Zones.overwriteSwap(upgraded, legacy)
+    def mergeLegacy(id: Long): Boolean =
+      Profiling.mergeStatsIncrement(spark,
+        Seq(("2024-01", 9L, 9.0)).toDF("day", "k", "v"), legacy,
+        epochExpr = "day", groupExpr = "'all'", valueExpr = "v", keyExpr = "k",
+        batchId = Some(id))
+    assert(!mergeLegacy(5L), "latest legacy id (the stored hwm) must no-op")
+    assert(mergeLegacy(3L),
+      "older legacy id re-merges after upgrade — the documented caveat")
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
