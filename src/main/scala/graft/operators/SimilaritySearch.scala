@@ -215,11 +215,7 @@ object SimilaritySearch {
       sampleSize: Int = 4096,
       seed: Long = 42L): Unit = {
     val centroids = trainCentroids(corpus, vecCol, nCells, iters, sampleSize, seed)
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1) // k rows — one footer beats nCells tiny files
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeIvfCentroids(spark, path, centroids)
     corpus.select(
         col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -336,6 +332,126 @@ object SimilaritySearch {
         spark.read.parquet(s"$path/meta").select("mean_dist2").head().getDouble(0)
       else { writeIvfMeta(spark, path, nInc, incMean); incMean }
     IvfAppendStats(nInc, baseline, incMean, nInc > 0 && incMean > baseline * retrainInflation)
+  }
+
+  /** Day-partitioned build — the OPERATIONAL zone layout behind
+    * [[graft.pipeline.IndexRun]]: assignments carry `ingest_day` and the
+    * write partitions by (cell, ingest_day), so a day's append is a
+    * day-scoped dynamic partition overwrite — a day retried after a
+    * crash replaces its own leftovers instead of double-appending, and
+    * standing (cell, prior-day) files are never touched. Queries
+    * ([[ivfTopKPersisted]]) project (neighbor_id, cv, cell) and are
+    * layout-agnostic.
+    */
+  def buildIvfIndexDaily(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      ingestDay: String,
+      iters: Int = 8,
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Unit = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, iters, sampleSize, seed)
+    writeIvfCentroids(spark, path, centroids)
+    corpus.select(
+        col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), centroids))
+      .withColumn("ingest_day", lit(ingestDay))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "ingest_day")
+      .parquet(s"$path/assignments")
+    val m = spark.read.parquet(s"$path/assignments")
+      .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
+    writeIvfMeta(spark, path, m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
+  }
+
+  /** [[appendIvfIndex]] for the day-partitioned layout: same assignment-
+    * only cost and drift measure, but the write is a (cell, ingest_day)
+    * dynamic partition overwrite scoped to THIS day — idempotent under
+    * retry. Requires a zone built by [[buildIvfIndexDaily]].
+    */
+  def appendIvfIndexDaily(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ingestDay: String,
+      retrainInflation: Double = 1.5): IvfAppendStats = {
+    import graft.sources.Zones
+    val centroids = readIvfCentroids(spark, path)
+    val assigned = assignIncrement(increment, idCol, vecCol, centroids)
+    val m = assigned
+      .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
+    val (nInc, incMean) = (m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
+    assigned.withColumn("ingest_day", lit(ingestDay))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "ingest_day")
+      .parquet(s"$path/assignments")
+    val baseline =
+      if (Zones.exists(spark, s"$path/meta/_SUCCESS"))
+        spark.read.parquet(s"$path/meta").select("mean_dist2").head().getDouble(0)
+      else { writeIvfMeta(spark, path, nInc, incMean); incMean }
+    IvfAppendStats(nInc, baseline, incMean, nInc > 0 && incMean > baseline * retrainInflation)
+  }
+
+  /** Full retrain of a day-partitioned index FROM ITS OWN ZONE — what
+    * the drift policy triggers: the raw vectors in the assignments are
+    * quantizer-independent, so the rebuild re-trains centroids over
+    * them, re-assigns every vector (ingest_day preserved), refreshes
+    * the drift baseline, and swaps the three subdirs in place. All
+    * heavy work happens against a staging dir while the old files keep
+    * serving; the exposure window is three directory renames. A crash
+    * mid-swap is recovered by the caller's ledger protocol (the day
+    * retries and rebuilds again — the assignments' raw vectors survive
+    * any prefix of the swap because their subdir is renamed LAST).
+    */
+  def rebuildIvfIndexDaily(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nCells: Int,
+      iters: Int = 8,
+      sampleSize: Int = 4096,
+      seed: Long = 42L): Unit = {
+    val cur = spark.read.parquet(s"$path/assignments")
+      .select(col("neighbor_id"), col("cv"), col("ingest_day").cast("string").as("ingest_day"))
+    val centroids = trainCentroids(cur, "cv", nCells, iters, sampleSize, seed)
+    val stage = s"$path/__rebuild__"
+    writeIvfCentroids(spark, stage, centroids)
+    cur.withColumn("cell", nearestCell(col("cv"), centroids))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "ingest_day")
+      .parquet(s"$stage/assignments")
+    val m = spark.read.parquet(s"$stage/assignments")
+      .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
+    writeIvfMeta(spark, stage, m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("centroids", "meta", "assignments").foreach { sub =>
+      val tgt = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(tgt, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$sub"), tgt))
+        throw new java.io.IOException(s"rebuild swap rename failed for $path/$sub")
+      spark.catalog.refreshByPath(s"$path/$sub")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  private def writeIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1) // k rows — one footer beats nCells tiny files
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** IVF ANN top-k against a persisted index (see [[buildIvfIndex]]):

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+import graft.pipeline.IndexRun
+import graft.sources.Zones
+
+/** Nightly IVF index maintenance: build → drift-free append (standing
+  * files untouched, drift logged) → drifted append (retrain trips,
+  * rebuild runs in place, baseline resets) → post-retrain append no
+  * longer trips — plus day-retry idempotence of the day-scoped append.
+  */
+class IndexRunSpec extends SparkSpec {
+
+  private def vecs(rows: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Two tight clusters at (0,0,0,0)-ish and (1,1,1,1)-ish. */
+  private def homeCluster(ids: Range): Seq[(Long, Seq[Double])] =
+    ids.map { i =>
+      val base = if (i % 2 == 0) 0.0 else 1.0
+      val j = (i % 7) * 0.01
+      (i.toLong, Seq(base + j, base - j, base + 2 * j, base - 2 * j))
+    }
+
+  /** A far-away cluster the build-time centroids never saw. */
+  private def driftedCluster(ids: Range): Seq[(Long, Seq[Double])] =
+    ids.map { i =>
+      val j = (i % 5) * 0.01
+      (i.toLong, Seq(50.0 + j, 50.0 - j, 50.0 + 2 * j, 50.0 - 2 * j))
+    }
+
+  private def census(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  private def lastMessage(wh: String): String =
+    Zones.read(spark, s"$wh/control/index_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+
+  test("index pipeline: build, drift-logged append, retrain trip, post-retrain calm") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_indexrun").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val index = s"$wh/index/ivf"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    // ── day 1: build ────────────────────────────────────────────────────
+    val in1 = drop("d1", vecs(homeCluster(0 until 64)))
+    assert(IndexRun.run(spark, in1, wh, "2026-07-01 03:00:00", nCells = 4) == "SUCCESS")
+    assert(lastMessage(wh).contains("BUILT ivf(4) from 64 vector(s)"))
+    assert(IndexRun.run(spark, in1, wh, "2026-07-01 04:00:00", nCells = 4) == "SKIPPED",
+      "same-day rerun must gate out")
+    val baseline0 = spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2")
+
+    // ── day 2: drift-free append — standing day-1 files byte-identical,
+    // drift ratio logged, no retrain ────────────────────────────────────
+    val day1Census = census(s"$index/assignments")
+    val in2 = drop("d2", vecs(homeCluster(100 until 132)))
+    assert(IndexRun.run(spark, in2, wh, "2026-07-02 03:00:00", nCells = 4) == "SUCCESS")
+    val msg2 = lastMessage(wh)
+    assert(msg2.contains("appended 32 vector(s)") && msg2.contains("quantization drift"),
+      s"drift ratio must be recorded in the ledger: $msg2")
+    assert(!msg2.contains("RETRAINED"), s"drift-free day must not retrain: $msg2")
+    val day1After = census(s"$index/assignments").filter(_._1.contains("ingest_day=2026-07-01"))
+    assert(day1After == day1Census.filter(_._1.contains("ingest_day=2026-07-01")),
+      "append must not touch standing day-1 assignment files")
+    assert(spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2") == baseline0,
+      "a non-retraining append must not move the baseline")
+
+    // ── day 3: drifted distribution — the policy trips, the job rebuilds
+    // in place and records it ───────────────────────────────────────────
+    val in3 = drop("d3", vecs(driftedCluster(200 until 248)))
+    assert(IndexRun.run(spark, in3, wh, "2026-07-03 03:00:00", nCells = 4) == "SUCCESS")
+    val msg3 = lastMessage(wh)
+    assert(msg3.contains("RETRAINED"), s"drifted day must trip the retrain policy: $msg3")
+    val baseline1 = spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2")
+    assert(baseline1 != baseline0, "retrain must reset the drift baseline")
+    assert(spark.read.parquet(s"$index/assignments").count() == 64 + 32 + 48,
+      "rebuild must preserve every vector")
+    // the rebuilt quantizer actually describes the new cluster: a query
+    // vector from it finds its planted twin via the persisted index
+    val q = vecs(Seq((9999L, Seq(50.0, 50.0, 50.0, 50.0))))
+    val top = SimilaritySearch.ivfTopKPersisted(
+      spark, index, q, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(top.count() == 3, "post-rebuild index must answer queries")
+    assert(top.filter(col("rank") === 1).head().getAs[Long]("neighbor_id") >= 200L,
+      "nearest neighbor of a drifted-cluster query must come from the drifted cluster")
+
+    // ── day 4: more of the SAME new distribution — the rebuilt centroids
+    // describe it, so the policy stays calm ─────────────────────────────
+    val in4 = drop("d4", vecs(driftedCluster(300 until 332)))
+    assert(IndexRun.run(spark, in4, wh, "2026-07-04 03:00:00", nCells = 4) == "SUCCESS")
+    assert(!lastMessage(wh).contains("RETRAINED"),
+      "post-retrain append of the same distribution must not re-trip")
+
+    // ── retry idempotence: day 4 "crashed" before its SUCCESS row — the
+    // rerun replaces its own day partition, total count unchanged ───────
+    val ledgerPath = s"$wh/control/index_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-07-04").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(IndexRun.run(spark, in4, wh, "2026-07-04 05:00:00") == "SUCCESS")
+    assert(spark.read.parquet(s"$index/assignments").count() == 64 + 32 + 48 + 32,
+      "retried day must replace its own partition, not double-append")
+  }
+}
