@@ -116,6 +116,19 @@ object CorpusRun {
   val Bands = 16
   val JaccardThreshold = 0.6
 
+  /** Retention: day partitions stay day-granular this long; once a whole
+    * MONTH falls beyond the horizon it is folded (probe zones) or
+    * file-compacted (docs). Two months keeps any retry/backfill window
+    * day-addressable.
+    */
+  val RetentionKeepDays = 62
+
+  /** A closed docs day-dir with more parquet files than this is eligible
+    * for file compaction; compacted dirs fall under it and are skipped on
+    * later runs, so the maintenance is naturally once per closed day.
+    */
+  val MaxFilesPerClosedDay = 4
+
   def main(args: Array[String]): Unit = {
     val Array(incrementDir, whDir, runTs) = args.take(3)
     val spark = Sessions
@@ -363,10 +376,131 @@ object CorpusRun {
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
           s"${Zones.quarantineDir(incrementDir)}.")
     raw.unpersist(); flagged.unpersist(); quality.unpersist(); exactSurvivors.unpersist()
+
+    // [7] retention/compaction: without this the day-partitioned zones
+    // accrete one file-set per day FOREVER — after a year every probe
+    // read lists 365 directories of shuffle-partition-many small files
+    // and the scan is task-scheduling-bound. Amortized monthly: no-op on
+    // most days, folds/compacts exactly once when a month closes.
+    val compacted = compactZones(spark, whDir, runDate)
+
     val done = RunLedger.finishRun(
       Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
-      messageOverride = Some(message))
+      messageOverride = Some(
+        message + (if (compacted.isEmpty) "" else s" COMPACTED: $compacted")))
     Zones.overwriteSwap(done, ledgerPath)
     "SUCCESS"
+  }
+
+  /** Zone retention/compaction lifecycle — returns a human summary of
+    * what moved ("" = no-op).
+    *
+    * PROBE zones (fingerprints, sig_index, para_fp): day partitions of
+    * months wholly older than `keepDays` FOLD into one month partition
+    * (`ingest_day=2026-02`). The month string sorts lexicographically
+    * BELOW every one of its days and below any later date, so the
+    * probe-side `ingest_day < runDate` prior-days filters are unaffected;
+    * these zones carry control metadata only, so coarsening the partition
+    * value loses nothing. The fold is: materialize (localCheckpoint) the
+    * affected rows — folded days PLUS any existing partition of the same
+    * months (a late backfill may have re-opened one) — dynamic-overwrite
+    * the month partitions, then delete the folded day directories. A
+    * crash between the write and the deletes leaves rows duplicated
+    * across day+month partitions, which every probe tolerates (the
+    * fingerprint join is an anti/semi join, near-dup candidates are
+    * `distinct`ed, duplicate confirm pairs fold to the same cluster
+    * closure, para-fp probes are `distinct`ed) and the next run's fold
+    * re-converges — self-healing, never silent loss.
+    *
+    * DOCS zone: the published corpus keeps day-granular partitions (the
+    * day identity is consumer-facing), but a closed day's
+    * shuffle-partition-many small files rewrite into
+    * ⌈rows/targetRowsPerFile⌉ files once its month closes. Content
+    * identity, not byte identity — the census contract on closed days is
+    * re-scoped to content for compacted months.
+    */
+  def compactZones(
+      spark: SparkSession,
+      whDir: String,
+      runDate: String,
+      keepDays: Int = RetentionKeepDays,
+      targetRowsPerFile: Long = 1L << 20,
+      maxFilesPerClosedDay: Int = MaxFilesPerClosedDay): String = {
+    val cutoffMonth = java.time.LocalDate.parse(runDate)
+      .minusDays(keepDays.toLong).toString.substring(0, 7)
+    val hconf = spark.sessionState.newHadoopConf()
+    def fsFor(path: String) =
+      new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+
+    def dayDirs(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = fsFor(path)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("ingest_day="))
+        .map(_.stripPrefix("ingest_day="))
+    }
+    def foldableDays(path: String): Seq[String] =
+      dayDirs(path).filter(v => v.length == 10 && v.substring(0, 7) < cutoffMonth)
+
+    // probe zones: fold closed months' day partitions into month partitions
+    def foldProbe(path: String): Option[String] = {
+      val days = foldableDays(path)
+      if (days.isEmpty) None
+      else {
+        val months = days.map(_.substring(0, 7)).distinct.sorted
+        val cur = Zones.read(spark, path)
+          .withColumn("ingest_day", col("ingest_day").cast("string"))
+        val folded = cur
+          .filter(col("ingest_day").isin(days ++ months: _*))
+          .withColumn("ingest_day",
+            when(length(col("ingest_day")) === 10, substring(col("ingest_day"), 1, 7))
+              .otherwise(col("ingest_day")))
+          .localCheckpoint() // materialized BEFORE the overwrite touches its files
+        folded.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_day").parquet(path)
+        val fs = fsFor(path)
+        days.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
+        spark.catalog.refreshByPath(path)
+        val zone = path.split('/').last
+        Some(s"$zone ${days.size}d→${months.mkString("+")}")
+      }
+    }
+
+    // docs zone: rewrite a closed day's many small files into few, values
+    // and day layout unchanged
+    def compactDocs(path: String): Option[String] = {
+      val fs = fsFor(path)
+      val days = foldableDays(path).filter { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"))
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerClosedDay
+      }
+      if (days.isEmpty) None
+      else {
+        val cur = Zones.read(spark, path)
+          .withColumn("ingest_day", col("ingest_day").cast("string"))
+          .filter(col("ingest_day").isin(days: _*))
+          .localCheckpoint()
+        val n = cur.count()
+        val perDay = math.max(1L,
+          math.ceil(n.toDouble / days.size / targetRowsPerFile).toLong)
+        cur
+          .repartition(col("ingest_day"), pmod(xxhash64(col("doc_id")), lit(perDay)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_day").parquet(path)
+        spark.catalog.refreshByPath(path)
+        Some(s"docs ${days.size} closed day(s) file-compacted")
+      }
+    }
+
+    (Seq(
+      foldProbe(s"$whDir/corpus/fingerprints"),
+      foldProbe(s"$whDir/corpus/sig_index"),
+      foldProbe(s"$whDir/corpus/para_fp"),
+      compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
   }
 }

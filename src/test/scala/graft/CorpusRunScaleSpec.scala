@@ -144,4 +144,76 @@ class CorpusRunScaleSpec extends SparkSpec {
       s"per-day time ramps: early-median $early s → late-median $late s " +
         s"(all: ${dayTimes.map(t => f"$t%.1f").mkString(",")})")
   }
+
+  test("retention compaction: closed months fold, probe reads stay equivalent, docs content-identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_compact").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def doc(i: Long) =
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h", s"s${i % 3}")
+    def run(tag: String, rows: Seq[(Long, String, String)], ts: String): Unit = {
+      val dir = s"$tmp/in_$tag"
+      rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+      assert(CorpusRun.run(spark, dir, wh, ts) == "SUCCESS")
+    }
+    // two January days + one February day (Jan closes, Feb stays hot)
+    run("j30", Seq(doc(1), doc(2)), "2026-01-30 02:00:00")
+    run("j31", Seq(doc(11), doc(12)), "2026-01-31 02:00:00")
+    run("f01", Seq(doc(21)), "2026-02-01 02:00:00")
+
+    def contentSet(path: String, cols: String*): Set[Seq[Any]] =
+      Zones.read(spark, s"$wh/corpus/$path").select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+    val fpBefore = contentSet("fingerprints", "fp")
+    val sigBefore = contentSet("sig_index", "id", "sz", "sig")
+    val pfpBefore = contentSet("para_fp", "pfp")
+    val docsBefore = contentSet("docs", "doc_id", "text", "source", "ingest_day")
+
+    // forced horizon: 2026-04-15 − 62d ⇒ cutoff month 2026-02 — January
+    // folds, February survives day-granular
+    val note = CorpusRun.compactZones(spark, wh, "2026-04-15",
+      maxFilesPerClosedDay = 1)
+    assert(note.contains("fingerprints 2d→2026-01") &&
+      note.contains("sig_index 2d→2026-01") && note.contains("para_fp 2d→2026-01"),
+      s"unexpected compaction summary: $note")
+    Seq("fingerprints", "sig_index", "para_fp").foreach { z =>
+      assert(!new java.io.File(s"$wh/corpus/$z/ingest_day=2026-01-30").exists(),
+        s"$z: folded day dir must be gone")
+      assert(new java.io.File(s"$wh/corpus/$z/ingest_day=2026-01").exists(),
+        s"$z: month partition must exist")
+      assert(new java.io.File(s"$wh/corpus/$z/ingest_day=2026-02-01").exists(),
+        s"$z: hot month must stay day-granular")
+    }
+    // probe-zone CONTENT unchanged by the fold (only the partition value
+    // coarsened); docs content-and-day-identity unchanged, layout kept
+    assert(contentSet("fingerprints", "fp") == fpBefore)
+    assert(contentSet("sig_index", "id", "sz", "sig") == sigBefore)
+    assert(contentSet("para_fp", "pfp") == pfpBefore)
+    assert(contentSet("docs", "doc_id", "text", "source", "ingest_day") == docsBefore,
+      "docs compaction must preserve content INCLUDING the per-row day")
+    assert(new java.io.File(s"$wh/corpus/docs/ingest_day=2026-01-30").exists(),
+      "docs keeps day-granular partitions")
+    Seq("2026-01-30", "2026-01-31").foreach { d =>
+      val files = Option(new java.io.File(s"$wh/corpus/docs/ingest_day=$d").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"closed docs day $d must compact to 1 file, has $files")
+    }
+    // idempotent: a second pass over the same horizon is a no-op
+    assert(CorpusRun.compactZones(spark, wh, "2026-04-15",
+      maxFilesPerClosedDay = 1) == "")
+
+    // ── end-to-end probe equivalence: an exact copy and a near-dup of
+    // FOLDED January docs still die on a later day ───────────────────────
+    val nearDup = doc(11)._2.split(" ").drop(1).mkString(" ")
+    run("apr", Seq(
+      (1001L, doc(1)._2, "s0"),  // exact copy of folded doc 1
+      (1002L, nearDup, "s1"),    // near-dup of folded doc 11
+      doc(1003L)),               // fresh
+      "2026-04-16 02:00:00")
+    val aprDocs = spark.read.parquet(s"$wh/corpus/docs")
+      .filter(col("ingest_day") === "2026-04-16")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(aprDocs == Seq(1003L),
+      s"dedup against folded month partitions must still hold, published $aprDocs")
+  }
 }
