@@ -2364,6 +2364,33 @@ object SparkEntry {
           col("media.width").as("width"),
           col("media.height").as("height"),
           col("media.byte_len").as("byte_len"))
+    }),
+
+    // MP4/ISO-BMFF header decode: synthetic ftyp+moov(mvhd+trak/tkhd)
+    // fixtures with arithmetic-determined params; every 7th payload is
+    // TRUNCATED mid-box and must surface as a null meta struct (the
+    // malformed-media row-level contract), mirrored by the oracle's CASE
+    "mm4_video_headers" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 1920 + 1).toInt
+          val h = (id % 1080 + 1).toInt
+          val ts = 1000L + (id % 5) * 600L
+          val dur = ts * (id % 300 + 1)
+          val full = Multimodal.Fixtures.mp4Bytes(w, h, ts, dur)
+          (id, if (id % 7 == 0) full.take(40) else full)
+        }
+        .toDF("doc_id", "payload")
+      Multimodal.decodeVideoMeta(payloads, "payload")
+        .select(
+          col("doc_id"),
+          col("video.timescale").as("timescale"),
+          col("video.duration_ticks").as("duration_ticks"),
+          (col("video.duration_ticks").cast("double") /
+            col("video.timescale").cast("double")).as("duration_sec"),
+          col("video.width").as("width"),
+          col("video.height").as("height"))
     })
   )
 
@@ -3948,6 +3975,18 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1
         |            ELSE doc_id % 600 + 1 END AS INT) AS height,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 44 END AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin,
+    "mm4_video_headers" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE 1000 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE (1000 + (doc_id % 5) * 600) * (doc_id % 300 + 1) END AS BIGINT)
+        |    AS duration_ticks,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE doc_id % 300 + 1 END AS DOUBLE) AS duration_sec,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 1920 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 1080 + 1 END AS INT) AS height
         |FROM documents""".stripMargin,
     "k1_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -70,6 +70,10 @@ object Multimodal {
     *     payload is `precision u8, height u16be, width u16be`.
     *   - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
     *     little-endian u16 width/height at offsets 6/8.
+    *   - MP4/ISO-BMFF: `ftyp` first box, then a box walk into `moov` for
+    *     `mvhd` (movie timescale + duration) and the first track's
+    *     `tkhd` (16.16 fixed-point pixel dims); u64 largesize and
+    *     version-1 (64-bit time) headers handled.
     *
     * Anything else (or a truncated/malformed header) falls back to
     * [[StubDecoder]] rather than throwing — at corpus scale a bad file is
@@ -154,6 +158,85 @@ object Multimodal {
       None
     }
 
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+
+    /** ISO-BMFF (MP4/MOV/M4A): any file whose first box is `ftyp`. */
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    /** First box of `typ` in [from, to): (payloadStart, boxEnd). Box =
+      * u32be size + 4cc type; size 1 → u64 largesize follows; size 0 →
+      * box runs to `to`. A hostile/truncated size that fails to advance
+      * or overruns ends the walk (None) — the malformed-media contract
+      * is a row-level fallback, never a hung task.
+      */
+    private def findBox(
+        b: Array[Byte], from: Long, to: Long, typ: String): Option[(Long, Long)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val at = i.toInt
+        val size32 = be32(b, at)
+        val t = new String(b, at + 4, 4, "US-ASCII")
+        val (payload, end) =
+          if (size32 == 1L) {
+            if (i + 16 > to) return None
+            (i + 16, i + be64(b, at + 8))
+          } else if (size32 == 0L) (i + 8, to)
+          else (i + 8, i + size32)
+        if (end <= i || end > to) return None
+        if (t == typ) return Some((payload, end))
+        i = end
+      }
+      None
+    }
+
+    /** mvhd → (timescale, duration ticks); version 1 uses 64-bit times. */
+    private def mvhdMeta(b: Array[Byte], p0: Long): Option[(Long, Long)] = {
+      val p = p0.toInt
+      if (p + 4 > b.length) None
+      else if (u8(b, p) == 0) {
+        if (p + 20 > b.length) None else Some((be32(b, p + 12), be32(b, p + 16)))
+      } else {
+        if (p + 32 > b.length) None else Some((be32(b, p + 20), be64(b, p + 24)))
+      }
+    }
+
+    /** tkhd → (width, height): 16.16 fixed point after the transform
+      * matrix; offsets differ between version 0 and 1 (64-bit times).
+      */
+    private def tkhdDims(b: Array[Byte], p0: Long): Option[(Int, Int)] = {
+      val p = p0.toInt
+      if (p + 4 > b.length) None
+      else {
+        val (wOff, need) = if (u8(b, p) == 0) (p + 76, p + 84) else (p + 88, p + 96)
+        if (need > b.length) None
+        else Some(((be32(b, wOff) >> 16).toInt, (be32(b, wOff + 4) >> 16).toInt))
+      }
+    }
+
+    /** Parsed MP4 header metadata (what a curation pipeline filters
+      * videos on without a codec): movie duration/timescale from `mvhd`,
+      * first video track's pixel dims from `tkhd`.
+      */
+    final case class Mp4Meta(
+        byte_len: Long, timescale: Long, duration_ticks: Long, width: Int, height: Int)
+
+    /** Box walk ftyp → moov → (mvhd, trak/tkhd). None for non-MP4 bytes
+      * or any truncated/hostile structure.
+      */
+    def decodeMp4(b: Array[Byte]): Option[Mp4Meta] =
+      if (!isMp4(b)) None
+      else
+        for {
+          (moovP, moovEnd) <- findBox(b, 0L, b.length.toLong, "moov")
+          (mvhdP, _) <- findBox(b, moovP, moovEnd, "mvhd")
+          (ts, dur) <- mvhdMeta(b, mvhdP)
+          (trakP, trakEnd) <- findBox(b, moovP, moovEnd, "trak")
+          (tkhdP, _) <- findBox(b, trakP, trakEnd, "tkhd")
+          (w, h) <- tkhdDims(b, tkhdP)
+        } yield Mp4Meta(b.length.toLong, ts, dur, w, h)
+
     def decode(bytes: Array[Byte]): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(bytes).map("%02x".format(_)).mkString
@@ -170,6 +253,11 @@ object Multimodal {
       else if (isWav(bytes))
         wavFeatures(bytes) match {
           case Some((rate, ch)) => MediaFeatures(bytes.length.toLong, "wav", rate, ch, hex)
+          case None => StubDecoder.decode(bytes)
+        }
+      else if (isMp4(bytes))
+        decodeMp4(bytes) match {
+          case Some(m) => MediaFeatures(bytes.length.toLong, "mp4", m.width, m.height, hex)
           case None => StubDecoder.decode(bytes)
         }
       else StubDecoder.decode(bytes)
@@ -222,6 +310,73 @@ object Multimodal {
         le16v(blockAlign) ++ le16v(bitsPerSample) ++
         "data".getBytes("US-ASCII") ++ le32(0L)
     }
+
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+
+    private val unityMatrix: Array[Byte] =
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+    /** Minimal-but-valid ISO-BMFF header: `ftyp(isom)` +
+      * `moov{mvhd(v0) + trak{tkhd(v0)}}` — 236 bytes, parseable by any
+      * box walker (this one, ffprobe, mp4dump). No media data: headers
+      * are what a curation pipeline filters on.
+      */
+    def mp4Bytes(width: Int, height: Int, timescale: Long, duration: Long): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+      val mvhd = box("mvhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ // v0, ctime, mtime
+          be32(timescale) ++ be32(duration) ++
+          be32(0x00010000L) ++ Array[Byte](1, 0) ++ // rate 1.0, volume 1.0
+          Array.fill[Byte](10)(0) ++ unityMatrix ++
+          Array.fill[Byte](24)(0) ++ be32(2)) // predefined, next track id
+      val tkhd = box("tkhd",
+        Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ // v0 + enabled flags
+          be32(1) ++ be32(0) ++ be32(duration) ++ // track id, reserved, duration
+          Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++ // reserved, layer..volume
+          unityMatrix ++
+          be32(width.toLong << 16) ++ be32(height.toLong << 16)) // 16.16 fixed
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
+  }
+
+  /** Video-header schema produced by [[decodeVideoMeta]]. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration_ticks", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Decode MP4/ISO-BMFF headers partition-at-a-time, appending a video
+    * metadata struct; null/empty/non-MP4/truncated payloads yield a null
+    * struct (row-level fact, never a task failure) — same contract as
+    * [[decodeFeatures]].
+    */
+  def decodeVideoMeta(
+      df: DataFrame,
+      binaryCol: String,
+      outCol: String = "video"): DataFrame = {
+    val schema = df.schema.add(outCol, videoMetaSchema, nullable = true)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx) match {
+          case b: Array[Byte] if b.nonEmpty => b
+          case _ => null
+        }
+        val meta =
+          if (bytes == null) null
+          else HeaderDecoder.decodeMp4(bytes)
+            .map(m => Row(m.byte_len, m.timescale, m.duration_ticks, m.width, m.height))
+            .orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(encoder)
   }
 
   /** Decode a binary column partition-at-a-time, appending the feature

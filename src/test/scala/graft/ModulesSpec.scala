@@ -65,6 +65,36 @@ class ModulesSpec extends SparkSpec {
 
     // checksum identical to the stub's (same md5 contract)
     assert(png.checksum == Multimodal.StubDecoder.decode(Fixtures.pngBytes(1920, 1080)).checksum)
+
+    // MP4/ISO-BMFF: ftyp → moov → mvhd (duration, timescale) + tkhd dims
+    val mp4 = HeaderDecoder.decode(Fixtures.mp4Bytes(1280, 720, 90000L, 3780000L))
+    assert(mp4.format == "mp4" && mp4.width == 1280 && mp4.height == 720)
+    val meta = HeaderDecoder.decodeMp4(Fixtures.mp4Bytes(1280, 720, 90000L, 3780000L)).get
+    assert(meta.timescale == 90000L && meta.duration_ticks == 3780000L)
+    assert(meta.byte_len == 236L)
+    // truncated mid-box → stub fallback / None, never a throw
+    assert(HeaderDecoder.decode(Fixtures.mp4Bytes(64, 64, 1000L, 5000L).take(40))
+      .format == "unknown")
+    assert(HeaderDecoder.decodeMp4(Fixtures.mp4Bytes(64, 64, 1000L, 5000L).take(40)).isEmpty)
+    // hostile box size (overruns the buffer) ends the walk, no hang
+    val hostile = Fixtures.mp4Bytes(8, 8, 1000L, 1000L).clone
+    (20 until 24).foreach(hostile(_) = 0xff.toByte) // moov's u32be size → huge
+    assert(HeaderDecoder.decodeMp4(hostile).isEmpty)
+    // version-1 headers (64-bit times) shift every offset
+    def b32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def b64(v: Long) = b32(v >>> 32) ++ b32(v & 0xffffffffL)
+    def bx(t: String, p: Array[Byte]) = b32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    val mvhd1 = bx("mvhd", Array[Byte](1, 0, 0, 0) ++ b64(0) ++ b64(0) ++
+      b32(600) ++ b64(1200) ++ Array.fill[Byte](80)(0))
+    val tkhd1 = bx("tkhd", Array[Byte](1, 0, 0, 7) ++ b64(0) ++ b64(0) ++
+      b32(1) ++ b32(0) ++ b64(1200) ++ Array.fill[Byte](16)(0) ++
+      Array.fill[Byte](36)(0) ++ b32(320L << 16) ++ b32(240L << 16))
+    val v1 = bx("ftyp", "isomisom".getBytes("US-ASCII")) ++
+      bx("moov", mvhd1 ++ bx("trak", tkhd1))
+    val m1 = HeaderDecoder.decodeMp4(v1).get
+    assert(m1.timescale == 600L && m1.duration_ticks == 1200L &&
+      m1.width == 320 && m1.height == 240,
+      s"v1 box offsets: $m1")
   }
 
   test("multimodal: frame sampling explodes stride-spaced indices") {
