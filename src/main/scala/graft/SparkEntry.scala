@@ -1706,12 +1706,13 @@ object SparkEntry {
     // At 100 TB this is the daily shape: O(increment) compute against an
     // O(corpus) scan, never an O(corpus) re-shingle (plan-audited).
     "d9_incremental_dedup" -> ((s, dir) => {
-      val (idx, day2) = day1SignatureZone(s, dir)
+      val (idx, day2, idxCounts) = day1SignatureZone(s, dir)
       // day-1 pairs from stored state + the increment against the index:
       // zero shingling of day-1 anywhere in the plan
       Dedup.minhashLshPairsFromIndex(idx, 32, 16, 0.6)
         .unionByName(Dedup.minhashLshPairsIncremental(
-          idx, day2, "doc_id", "text", 3, 32, 16, 0.6))
+          idx, day2, "doc_id", "text", 3, 32, 16, 0.6,
+          indexCounts = idxCounts))
     }),
     // incremental CLUSTER maintenance — the consumer of d9's increments:
     // yesterday's assignment (star edges) ∪ today's new pairs re-labels
@@ -1719,11 +1720,11 @@ object SparkEntry {
     // ≡ dupClusters over the full corpus pair set, so the oracle is d6's
     // recursive-CTE closure verbatim.
     "d12_incremental_clusters" -> ((s, dir) => {
-      val (idx, day2) = day1SignatureZone(s, dir)
+      val (idx, day2, idxCounts) = day1SignatureZone(s, dir)
       val assignment = Curation.dupClusters(
         Dedup.minhashLshPairsFromIndex(idx, 32, 16, 0.6), "id_a", "id_b")
       val newPairs = Dedup.minhashLshPairsIncremental(
-        idx, day2, "doc_id", "text", 3, 32, 16, 0.6)
+        idx, day2, "doc_id", "text", 3, 32, 16, 0.6, indexCounts = idxCounts)
       Curation.dupClustersIncremental(assignment, newPairs, "id_a", "id_b")
     }),
     // paragraph-granularity dedup with span offsets: duplicate paragraphs
@@ -1923,7 +1924,8 @@ object SparkEntry {
       // 0.99 — distinct sources are near-orthogonal; one would fail the
       // oracle hash loudly)
       Dedup.embeddingNearDupIncremental(
-          Dedup.readEmbeddingSignatureIndex(s, zone), probes, "probe_id", "pe", 0.99)
+          Dedup.readEmbeddingSignatureIndex(s, zone), probes, "probe_id", "pe", 0.99,
+          indexCounts = Dedup.readBucketCounts(s, zone))
         .select(col("id_b").as("probe_id"), col("id_a").as("match_id"))
     }),
     // deterministic k-means (init vec_id%k, 2 Lloyd rounds, decimal-mean
@@ -2487,7 +2489,7 @@ object SparkEntry {
   }
 
   private def day1SignatureZone(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Option[DataFrame]) = {
     import graft.sources.Zones
     val corpus = nearDupCorpus(s, dir)
     val day1 = corpus.filter(col("doc_id") % 3 =!= 0)
@@ -2496,9 +2498,12 @@ object SparkEntry {
       System.getProperty("java.io.tmpdir"), s"graft_d9_sigzone_${zoneKey(dir)}").getAbsolutePath
     if (!Zones.exists(s, s"$zone/_SUCCESS")) {
       Zones.delete(s, zone)
-      Dedup.writeSignatureIndex(s, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
+      Dedup.writeSignatureIndex(s, zone, day1, "doc_id", "text", 3, 32,
+        mode = "overwrite", bands = 16)
     }
-    (Dedup.readSignatureIndex(s, zone), day2)
+    // stored bucket counts (absent only for a zone written pre-upgrade):
+    // the increment probe then skips the index-side counting scan
+    (Dedup.readSignatureIndex(s, zone), day2, Dedup.readBucketCounts(s, zone))
   }
 
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {

@@ -353,7 +353,11 @@ object Dedup {
       .select(col("id"), size(col("hgrams")).as("sz"), col("hgrams"), col("sig"))
 
   /** Persist a batch's signature index into a zone (append = the daily
-    * increment discipline; "overwrite" to start a corpus).
+    * increment discipline; "overwrite" to start a corpus). With
+    * `bands > 0` the zone also maintains its per-(band, key) bucket
+    * counts (see [[readBucketCounts]]) so incremental dedup's hot-bucket
+    * defense reads a kilobyte side-file instead of recounting the whole
+    * index every day.
     */
   def writeSignatureIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -363,11 +367,65 @@ object Dedup {
       textCol: String,
       n: Int,
       numHashes: Int,
-      mode: String = "append"): Unit =
-    signatureIndex(df, idCol, textCol, n, numHashes).write.mode(mode).parquet(path)
+      mode: String = "append",
+      bands: Int = 0): Unit = {
+    val idx = signatureIndex(df, idCol, textCol, n, numHashes)
+    val toWrite = if (bands > 0) idx.cache() else idx
+    toWrite.write.mode(mode).parquet(path)
+    if (bands > 0) {
+      mergeBucketCountsZone(
+        spark, path,
+        bucketCounts(bandedFromSigs(toWrite, numHashes, bands)),
+        replace = mode == "overwrite")
+      toWrite.unpersist()
+      ()
+    }
+  }
 
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Fold a batch's bucket counts into the zone's `_counts` side-file
+    * (underscore paths are invisible to the main parquet read). Counts
+    * tune only the hot-bucket defense's ENGAGEMENT and split granularity
+    * — the grid decomposition is exact for any split factors — so the
+    * side-zone is a pure efficiency artifact: absent → operators count
+    * in-plan; stale → the defense is merely mis-tuned, never wrong.
+    */
+  private def mergeBucketCountsZone(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fresh: DataFrame,
+      replace: Boolean): Unit = {
+    import graft.sources.Zones
+    val target = s"$path/_counts"
+    val merged =
+      if (replace || !Zones.exists(spark, s"$target/_SUCCESS")) fresh
+      else
+        Zones.read(spark, target).unionByName(fresh)
+          .groupBy("band", "key").agg(sum("__n").as("__n"))
+    Zones.overwriteSwap(merged.repartition(1), target)
+  }
+
+  /** Per-(band, key) bucket counts of a signature-index frame — what a
+    * pipeline publishes next to each day's index partition so later
+    * days sum a kilobyte zone instead of recounting the corpus (the
+    * day-partitioned form of the `_counts` side-file).
+    */
+  def signatureBucketCounts(index: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bucketCounts(bandedFromSigs(index, numHashes, bands))
+
+  /** The zone's stored bucket counts, if maintained — pass to the
+    * incremental pair operators as `indexCounts` to skip the index-side
+    * counting scan.
+    */
+  def readBucketCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    import graft.sources.Zones
+    if (Zones.exists(spark, s"$path/_counts/_SUCCESS"))
+      Some(Zones.read(spark, s"$path/_counts"))
+    else None
+  }
 
   /** (band, key) rows from STORED signatures — banding is a pure slice
     * of the persisted `sig` array, so index-side candidates never
@@ -452,11 +510,12 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
+      maxBucket: Int = DefaultMaxBucket,
+      indexCounts: Option[DataFrame] = None): DataFrame =
     minhashLshPairsIncrementalFromSigs(
       index,
       signatureIndex(increment, idCol, textCol, n, numHashes),
-      numHashes, bands, threshold, maxBucket)
+      numHashes, bands, threshold, maxBucket, indexCounts)
 
   /** [[minhashLshPairsIncremental]] with the increment's signature-index
     * rows ALREADY computed — the shape for pipelines that materialize the
@@ -470,17 +529,20 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      indexCounts: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val inc = incrementIndex.cache()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
     // ONE bucket-count pass per distinct frame, shared by the three join
     // sides below (increment appears three times, the index once), and ONE
     // driver probe for both joins' oversized lists — the bound's cost is
-    // paid per input and per operator, not per join side
+    // paid per input and per operator, not per join side. A stored
+    // `indexCounts` side-zone replaces the index-side counting scan
+    // entirely (see [[readBucketCounts]]).
     val incCounts = bucketCounts(incBanded)
     val idxBanded = bandedFromSigs(index, numHashes, bands)
-    val idxCounts = bucketCounts(idxBanded)
+    val idxCounts = indexCounts.getOrElse(bucketCounts(idxBanded))
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
     val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
@@ -734,8 +796,18 @@ object Dedup {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = v.select(size(col("v"))).head().getInt(0)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
-    v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
-      .write.mode(mode).parquet(path)
+    val keyed = v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+      .cache()
+    keyed.write.mode(mode).parquet(path)
+    // bucket counts ride next to the index (hidden _counts side-file):
+    // daily probes then never recount the corpus — see [[readBucketCounts]]
+    mergeBucketCountsZone(
+      spark, path,
+      bucketCounts(
+        keyed.select(posexplode(col("bkeys")).as(Seq("band", "key")))),
+      replace = mode == "overwrite")
+    keyed.unpersist()
+    ()
   }
 
   def readEmbeddingSignatureIndex(
@@ -760,7 +832,8 @@ object Dedup {
       bands: Int = 8,
       bitsPerBand: Int = 8,
       seed: Long = 42L,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      indexCounts: Option[DataFrame] = None): DataFrame = {
     val inc = increment.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = inc.select(size(col("v"))).head().getInt(0)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
@@ -774,7 +847,7 @@ object Dedup {
     // and one driver probe for both joins' oversized lists
     val incCounts = bucketCounts(incBandX)
     val idxBand = bandRows(index, "id_y")
-    val idxCounts = bucketCounts(idxBand)
+    val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
     val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))

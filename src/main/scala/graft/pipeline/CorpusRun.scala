@@ -254,6 +254,18 @@ object CorpusRun {
           .filter(col("ingest_day") < lit(runDate))
           .drop("ingest_day")
       else daySigs.limit(0)
+    // prior bucket counts from the day-partitioned counts zone (summed
+    // over prior days — exact under the same filter): the hot-bucket
+    // defense then never rescans the index to count it. Absent (a corpus
+    // predating the zone) → the operator counts in-plan; missing days
+    // only under-tune the defense, never the output.
+    val sigCountsPath = s"$whDir/corpus/sig_counts"
+    val priorCounts =
+      if (Zones.exists(spark, sigCountsPath))
+        Some(Zones.read(spark, sigCountsPath)
+          .filter(col("ingest_day") < lit(runDate))
+          .groupBy("band", "key").agg(sum("__n").as("__n")))
+      else None
     val newPairs =
       (if (prior.isEmpty)
         Dedup.minhashLshPairsFromIndex(daySigs, NumHashes, Bands, JaccardThreshold)
@@ -262,9 +274,13 @@ object CorpusRun {
         // directly means the day's text is shingled + hashed exactly once
         // (computed above for the zone publish, reused for the pair stage)
         Dedup.minhashLshPairsIncrementalFromSigs(
-          prior, daySigs, NumHashes, Bands, JaccardThreshold))
+          prior, daySigs, NumHashes, Bands, JaccardThreshold,
+          indexCounts = priorCounts))
         .localCheckpoint()
     dayOverwrite(daySigs.withColumn("ingest_day", lit(runDate)), sigPath)
+    dayOverwrite(
+      Dedup.signatureBucketCounts(daySigs, NumHashes, Bands)
+        .withColumn("ingest_day", lit(runDate)), sigCountsPath)
 
     // [4] cluster maintenance: star edges ∪ new pairs — never the old
     // pair set. The assignment zone is small (pair-involved docs only)
@@ -500,6 +516,7 @@ object CorpusRun {
     (Seq(
       foldProbe(s"$whDir/corpus/fingerprints"),
       foldProbe(s"$whDir/corpus/sig_index"),
+      foldProbe(s"$whDir/corpus/sig_counts"),
       foldProbe(s"$whDir/corpus/para_fp"),
       compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
   }
