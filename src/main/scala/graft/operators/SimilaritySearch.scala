@@ -401,46 +401,35 @@ object SimilaritySearch {
     IvfAppendStats(nInc, baseline, incMean, nInc > 0 && incMean > baseline * retrainInflation)
   }
 
-  /** Full retrain of a day-partitioned index FROM ITS OWN ZONE — what
-    * the drift policy triggers: the raw vectors in the assignments are
-    * quantizer-independent, so the rebuild re-trains centroids over
-    * them, re-assigns every vector (ingest_day preserved), refreshes
-    * the drift baseline, and swaps the three subdirs in place. All
-    * heavy work happens against a staging dir while the old files keep
-    * serving; the exposure window is three directory renames. A crash
-    * mid-swap is recovered by the caller's ledger protocol (the day
-    * retries and rebuilds again — the assignments' raw vectors survive
-    * any prefix of the swap because their subdir is renamed LAST).
+  /** Full retrain of a day-partitioned index FROM ITS OWN ZONE into a
+    * NEW directory — what the drift policy triggers: the raw vectors in
+    * the assignments are quantizer-independent, so the rebuild re-trains
+    * centroids over them and re-assigns every vector (ingest_day
+    * preserved) into `toPath`, refreshing the drift baseline. The source
+    * index keeps serving untouched throughout; the caller makes the new
+    * version live atomically ([[graft.pipeline.IndexRun]] flips a
+    * pointer file in ONE rename — no window where new centroids can pair
+    * with old assignments).
     */
-  def rebuildIvfIndexDaily(
+  def retrainIvfIndexDaily(
       spark: org.apache.spark.sql.SparkSession,
-      path: String,
+      fromPath: String,
+      toPath: String,
       nCells: Int,
       iters: Int = 8,
       sampleSize: Int = 4096,
       seed: Long = 42L): Unit = {
-    val cur = spark.read.parquet(s"$path/assignments")
+    val cur = spark.read.parquet(s"$fromPath/assignments")
       .select(col("neighbor_id"), col("cv"), col("ingest_day").cast("string").as("ingest_day"))
     val centroids = trainCentroids(cur, "cv", nCells, iters, sampleSize, seed)
-    val stage = s"$path/__rebuild__"
-    writeIvfCentroids(spark, stage, centroids)
+    writeIvfCentroids(spark, toPath, centroids)
     cur.withColumn("cell", nearestCell(col("cv"), centroids))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "ingest_day")
-      .parquet(s"$stage/assignments")
-    val m = spark.read.parquet(s"$stage/assignments")
+      .parquet(s"$toPath/assignments")
+    val m = spark.read.parquet(s"$toPath/assignments")
       .agg(count(lit(1)), avg(assignmentDist2(centroids))).head()
-    writeIvfMeta(spark, stage, m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("centroids", "meta", "assignments").foreach { sub =>
-      val tgt = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(tgt, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$sub"), tgt))
-        throw new java.io.IOException(s"rebuild swap rename failed for $path/$sub")
-      spark.catalog.refreshByPath(s"$path/$sub")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    writeIvfMeta(spark, toPath, m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
   }
 
   private def writeIvfCentroids(

@@ -25,9 +25,11 @@ import graft.sources.Zones
   *     overwrite — a retried day replaces its own leftovers)
   *   → drift ratio = increment mean squared quantization error /
   *     build-time baseline, logged in the ledger SUCCESS message
-  *   → ratio > threshold: full in-place retrain from the zone
-  *     ([[SimilaritySearch.rebuildIvfIndexDaily]]), baseline reset,
-  *     "RETRAINED" recorded
+  *   → ratio > threshold: full retrain from the zone's own vectors into
+  *     the NEXT index version ([[SimilaritySearch.retrainIvfIndexDaily]]
+  *     into `v<N+1>` while `v<N>` keeps serving), then an atomic pointer
+  *     flip — no state pairs new centroids with old assignments;
+  *     baseline reset, "RETRAINED" recorded
   *   → ledger SUCCESS row carrying counts + drift
   *
   * Usage: runMain graft.pipeline.IndexRun <incrementDir> <warehouseDir> <runTs>
@@ -39,6 +41,61 @@ object IndexRun {
   val StaleRunningHours = 24
   val NCells = 16
   val RetrainInflation = 1.5
+
+  /** The live index version — `<base>/CURRENT` names a `v<N>` subdir.
+    * Retrain builds `v<N+1>` completely (the old version keeps serving),
+    * then flips this pointer in one rename: there is no state in which
+    * new centroids can pair with old assignments. A missing/corrupt
+    * pointer recovers to the highest complete version on disk.
+    */
+  private def pointer(base: String) = new org.apache.hadoop.fs.Path(s"$base/CURRENT")
+
+  private def fsFor(spark: SparkSession, base: String) =
+    new org.apache.hadoop.fs.Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Resolve the live version's path, or None for a brand-new index.
+    * Falls back to (and repairs from) the highest on-disk `v<N>` whose
+    * assignments completed, so a crash after a version build but before
+    * or during the pointer flip self-heals.
+    */
+  def currentIndexPath(spark: SparkSession, base: String): Option[String] = {
+    val fs = fsFor(spark, base)
+    val fromPointer =
+      if (!fs.exists(pointer(base))) None
+      else {
+        val in = fs.open(pointer(base))
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(s"$base/$v").filter(p =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$p/assignments/_SUCCESS")))
+      }
+    fromPointer.orElse {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(base))) None
+      else fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$base/$v/assignments/_SUCCESS")))
+        .sortBy(_.drop(1).toInt)
+        .lastOption
+        .map(s"$base/" + _)
+    }
+  }
+
+  private def writePointer(spark: SparkSession, base: String, version: String): Unit = {
+    val fs = fsFor(spark, base)
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/CURRENT.__tmp__")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    // delete+rename: the gap is covered by currentIndexPath's
+    // highest-version recovery, so a crash here is still consistent
+    fs.delete(pointer(base), false)
+    if (!fs.rename(tmp, pointer(base)))
+      throw new java.io.IOException(s"pointer flip failed for $base")
+  }
+
+  private def versionOf(path: String): Int =
+    path.split('/').last.drop(1).toInt
 
   def main(args: Array[String]): Unit = {
     val Array(incrementDir, whDir, runTs) = args.take(3)
@@ -73,29 +130,37 @@ object IndexRun {
     val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
     Zones.overwriteSwap(ledger1, ledgerPath)
     try {
-      val indexPath = s"$whDir/index/ivf"
+      val indexBase = s"$whDir/index/ivf"
       val increment = spark.read.parquet(incrementDir)
       val message =
-        if (!Zones.exists(spark, s"$indexPath/assignments/_SUCCESS")) {
-          SimilaritySearch.buildIvfIndexDaily(
-            spark, indexPath, increment, idCol, vecCol, nCells, runDate)
-          val n = spark.read.parquet(s"$indexPath/meta")
-            .select("n_vectors").head().getLong(0)
-          s"Index day $runDate: BUILT ivf($nCells) from $n vector(s)."
-        } else {
-          val st = SimilaritySearch.appendIvfIndexDaily(
-            spark, indexPath, increment, idCol, vecCol, runDate, retrainInflation)
-          val ratio =
-            if (st.baselineMeanDist2 > 0) st.incrementMeanDist2 / st.baselineMeanDist2
-            else 1.0
-          val base = f"Index day $runDate: appended ${st.nAppended} vector(s), " +
-            f"quantization drift $ratio%.3f " +
-            f"(increment ${st.incrementMeanDist2}%.4f vs baseline ${st.baselineMeanDist2}%.4f, " +
-            f"retrain at ${retrainInflation}%.1fx)."
-          if (st.needsRetrain) {
-            SimilaritySearch.rebuildIvfIndexDaily(spark, indexPath, nCells)
-            base + " RETRAINED: centroids rebuilt from the full zone, baseline reset."
-          } else base
+        currentIndexPath(spark, indexBase) match {
+          case None =>
+            SimilaritySearch.buildIvfIndexDaily(
+              spark, s"$indexBase/v1", increment, idCol, vecCol, nCells, runDate)
+            writePointer(spark, indexBase, "v1")
+            val n = spark.read.parquet(s"$indexBase/v1/meta")
+              .select("n_vectors").head().getLong(0)
+            s"Index day $runDate: BUILT ivf($nCells) v1 from $n vector(s)."
+          case Some(live) =>
+            val st = SimilaritySearch.appendIvfIndexDaily(
+              spark, live, increment, idCol, vecCol, runDate, retrainInflation)
+            val ratio =
+              if (st.baselineMeanDist2 > 0) st.incrementMeanDist2 / st.baselineMeanDist2
+              else 1.0
+            val base = f"Index day $runDate: appended ${st.nAppended} vector(s), " +
+              f"quantization drift $ratio%.3f " +
+              f"(increment ${st.incrementMeanDist2}%.4f vs baseline ${st.baselineMeanDist2}%.4f, " +
+              f"retrain at ${retrainInflation}%.1fx)."
+            if (st.needsRetrain) {
+              val nextV = s"v${versionOf(live) + 1}"
+              SimilaritySearch.retrainIvfIndexDaily(
+                spark, live, s"$indexBase/$nextV", nCells)
+              writePointer(spark, indexBase, nextV)
+              fsFor(spark, indexBase)
+                .delete(new org.apache.hadoop.fs.Path(live), true)
+              base + s" RETRAINED: $nextV rebuilt from the full zone, " +
+                "baseline reset, pointer flipped."
+            } else base
         }
       val done = RunLedger.finishRun(
         Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,

@@ -50,7 +50,9 @@ class IndexRunSpec extends SparkSpec {
   test("index pipeline: build, drift-logged append, retrain trip, post-retrain calm") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_indexrun").toFile.getAbsolutePath
     val wh = s"$tmp/wh"
-    val index = s"$wh/index/ivf"
+    val base = s"$wh/index/ivf"
+    def index: String = IndexRun.currentIndexPath(spark, base)
+      .getOrElse(fail("no live index version"))
     def drop(day: String, df: DataFrame): String = {
       val dir = s"$tmp/in_$day"
       df.write.mode("overwrite").parquet(dir)
@@ -60,7 +62,8 @@ class IndexRunSpec extends SparkSpec {
     // ── day 1: build ────────────────────────────────────────────────────
     val in1 = drop("d1", vecs(homeCluster(0 until 64)))
     assert(IndexRun.run(spark, in1, wh, "2026-07-01 03:00:00", nCells = 4) == "SUCCESS")
-    assert(lastMessage(wh).contains("BUILT ivf(4) from 64 vector(s)"))
+    assert(lastMessage(wh).contains("BUILT ivf(4) v1 from 64 vector(s)"))
+    assert(index == s"$base/v1", "pointer must resolve the freshly built v1")
     assert(IndexRun.run(spark, in1, wh, "2026-07-01 04:00:00", nCells = 4) == "SKIPPED",
       "same-day rerun must gate out")
     val baseline0 = spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2")
@@ -86,6 +89,8 @@ class IndexRunSpec extends SparkSpec {
     assert(IndexRun.run(spark, in3, wh, "2026-07-03 03:00:00", nCells = 4) == "SUCCESS")
     val msg3 = lastMessage(wh)
     assert(msg3.contains("RETRAINED"), s"drifted day must trip the retrain policy: $msg3")
+    assert(index == s"$base/v2", "retrain must advance the live version and flip the pointer")
+    assert(!new java.io.File(s"$base/v1").exists(), "retired version must be deleted")
     val baseline1 = spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2")
     assert(baseline1 != baseline0, "retrain must reset the drift baseline")
     assert(spark.read.parquet(s"$index/assignments").count() == 64 + 32 + 48,
@@ -117,5 +122,11 @@ class IndexRunSpec extends SparkSpec {
     assert(IndexRun.run(spark, in4, wh, "2026-07-04 05:00:00") == "SUCCESS")
     assert(spark.read.parquet(s"$index/assignments").count() == 64 + 32 + 48 + 32,
       "retried day must replace its own partition, not double-append")
+
+    // ── pointer lost (crash inside the delete+rename flip): recovery
+    // resolves the highest COMPLETE version on disk ─────────────────────
+    assert(new java.io.File(s"$base/CURRENT").delete())
+    assert(IndexRun.currentIndexPath(spark, base).contains(s"$base/v2"),
+      "a missing pointer must recover to the highest complete version")
   }
 }
