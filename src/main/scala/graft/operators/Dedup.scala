@@ -415,6 +415,30 @@ object Dedup {
   def signatureBucketCounts(index: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bucketCounts(bandedFromSigs(index, numHashes, bands))
 
+  /** [[signatureBucketCounts]] grouped additionally by `carryCols` (a
+    * day-partition column) — the backfill shape: seed a day-partitioned
+    * counts zone from an EXISTING index in one pass, so a corpus that
+    * predates the counts zone doesn't leave the hot-bucket defense blind
+    * to exactly the historical megabuckets it exists for.
+    */
+  def signatureBucketCountsBy(
+      index: DataFrame, numHashes: Int, bands: Int, carryCols: String*): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val banded = index.select(
+      carryCols.map(col) :+
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"): _*)
+    banded
+      .select(carryCols.map(col) ++ Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+      .groupBy((carryCols ++ Seq("band", "key")).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+  }
+
   /** The zone's stored bucket counts, if maintained — pass to the
     * incremental pair operators as `indexCounts` to skip the index-side
     * counting scan.

@@ -191,26 +191,33 @@ object Multimodal {
       None
     }
 
-    /** mvhd → (timescale, duration ticks); version 1 uses 64-bit times. */
-    private def mvhdMeta(b: Array[Byte], p0: Long): Option[(Long, Long)] = {
+    /** mvhd → (timescale, duration ticks); version 1 uses 64-bit times.
+      * Bounds are checked against the BOX's own end, not the buffer: an
+      * undersized box must yield None, never fields read from sibling
+      * boxes' bytes.
+      */
+    private def mvhdMeta(b: Array[Byte], p0: Long, boxEnd: Long): Option[(Long, Long)] = {
       val p = p0.toInt
-      if (p + 4 > b.length) None
+      val end = math.min(boxEnd, b.length.toLong)
+      if (p + 4 > end) None
       else if (u8(b, p) == 0) {
-        if (p + 20 > b.length) None else Some((be32(b, p + 12), be32(b, p + 16)))
+        if (p + 20 > end) None else Some((be32(b, p + 12), be32(b, p + 16)))
       } else {
-        if (p + 32 > b.length) None else Some((be32(b, p + 20), be64(b, p + 24)))
+        if (p + 32 > end) None else Some((be32(b, p + 20), be64(b, p + 24)))
       }
     }
 
     /** tkhd → (width, height): 16.16 fixed point after the transform
       * matrix; offsets differ between version 0 and 1 (64-bit times).
+      * Bounds against the box end — see [[mvhdMeta]].
       */
-    private def tkhdDims(b: Array[Byte], p0: Long): Option[(Int, Int)] = {
+    private def tkhdDims(b: Array[Byte], p0: Long, boxEnd: Long): Option[(Int, Int)] = {
       val p = p0.toInt
-      if (p + 4 > b.length) None
+      val end = math.min(boxEnd, b.length.toLong)
+      if (p + 4 > end) None
       else {
         val (wOff, need) = if (u8(b, p) == 0) (p + 76, p + 84) else (p + 88, p + 96)
-        if (need > b.length) None
+        if (need > end) None
         else Some(((be32(b, wOff) >> 16).toInt, (be32(b, wOff + 4) >> 16).toInt))
       }
     }
@@ -230,11 +237,11 @@ object Multimodal {
       else
         for {
           (moovP, moovEnd) <- findBox(b, 0L, b.length.toLong, "moov")
-          (mvhdP, _) <- findBox(b, moovP, moovEnd, "mvhd")
-          (ts, dur) <- mvhdMeta(b, mvhdP)
+          (mvhdP, mvhdEnd) <- findBox(b, moovP, moovEnd, "mvhd")
+          (ts, dur) <- mvhdMeta(b, mvhdP, mvhdEnd)
           (trakP, trakEnd) <- findBox(b, moovP, moovEnd, "trak")
-          (tkhdP, _) <- findBox(b, trakP, trakEnd, "tkhd")
-          (w, h) <- tkhdDims(b, tkhdP)
+          (tkhdP, tkhdEnd) <- findBox(b, trakP, trakEnd, "tkhd")
+          (w, h) <- tkhdDims(b, tkhdP, tkhdEnd)
         } yield Mp4Meta(b.length.toLong, ts, dur, w, h)
 
     def decode(bytes: Array[Byte]): MediaFeatures = {

@@ -150,11 +150,15 @@ object Profiling {
     * BOUNDED REPRESENTATION (range compaction): each row stores its
     * applied set as one dense run `[applied_base .. applied_floor]`
     * plus an `applied` array of out-of-order extras, re-compacted on
-    * every merge (extras adjacent to the run are absorbed). An in-order
+    * every merge (extras adjacent to the run are absorbed). Every merge
+    * stamps EVERY row with the batch id — the replay predicate is
+    * zone-level (any row containing b no-ops b), so a row's set means
+    * "batches applied to the zone while this row existed", and a group
+    * absent from some batches accretes no gap-extras. An in-order
     * feed — the production shape, daily batches or minutes-scale
-    * foreachBatch micro-batches alike — keeps the extras array EMPTY
-    * forever regardless of batches-per-epoch; only ids that arrive
-    * non-contiguously (interleaved backfills) are retained
+    * foreachBatch micro-batches alike — therefore keeps the extras
+    * array EMPTY forever regardless of batches-per-epoch; only ids that
+    * arrive non-contiguously (interleaved backfills) are retained
     * individually, and more than [[MaxAppliedExtras]] of them per
     * (epoch, grp) row raises a named error (the feed is then not a
     * replayable increment stream but a shuffle of history — re-feed in
@@ -348,7 +352,17 @@ object Profiling {
                 max("hwm").as("hwm"),
                 expr("collect_list(named_struct('base', applied_base, 'floor', applied_floor))")
                   .as("__rngs"),
-                flatten(collect_list("applied")).as("__exs")))
+                flatten(collect_list("applied")).as("__exs"))
+              // EVERY row absorbs this batch's id, not only rows the
+              // increment touched: the replay guard is zone-level (any
+              // row containing b no-ops b), so per-row sets track
+              // "batches applied while this row existed" — a group
+              // absent from some batches would otherwise accrete one
+              // permanent gap-extra per miss until the cap wedged the
+              // merge (groups routinely skip batches in real feeds)
+              .withColumn("__rngs", concat(
+                col("__rngs"),
+                array(struct(lit(hwm).as("base"), lit(hwm).as("floor"))))))
       }
       Zones.overwriteSwap(merged.repartition(1), path)
       // single-writer tripwire: our batch id must be visible in the zone we

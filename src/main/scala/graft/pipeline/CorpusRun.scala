@@ -256,10 +256,26 @@ object CorpusRun {
       else daySigs.limit(0)
     // prior bucket counts from the day-partitioned counts zone (summed
     // over prior days — exact under the same filter): the hot-bucket
-    // defense then never rescans the index to count it. Absent (a corpus
-    // predating the zone) → the operator counts in-plan; missing days
-    // only under-tune the defense, never the output.
+    // defense then never rescans the index to count it.
     val sigCountsPath = s"$whDir/corpus/sig_counts"
+    // seed/repair FIRST: every sig partition needs a counts partition, or
+    // the summed prior undercounts exactly the historical megabuckets the
+    // defense exists for (a corpus predating the counts zone, or a crash
+    // between the sig and counts publishes) — partial counts are
+    // indistinguishable from complete ones at read time. One banding pass
+    // over just the missing partitions.
+    if (Zones.exists(spark, sigPath)) {
+      val missing = (listIngestDays(spark, sigPath).toSet --
+        listIngestDays(spark, sigCountsPath).toSet - runDate).toSeq
+      if (missing.nonEmpty)
+        dayOverwrite(
+          Dedup.signatureBucketCountsBy(
+            Dedup.readSignatureIndex(spark, sigPath)
+              .withColumn("ingest_day", col("ingest_day").cast("string"))
+              .filter(col("ingest_day").isin(missing: _*)),
+            NumHashes, Bands, "ingest_day"),
+          sigCountsPath)
+    }
     val priorCounts =
       if (Zones.exists(spark, sigCountsPath))
         Some(Zones.read(spark, sigCountsPath)
@@ -397,8 +413,16 @@ object CorpusRun {
     // accrete one file-set per day FOREVER — after a year every probe
     // read lists 365 directories of shuffle-partition-many small files
     // and the scan is task-scheduling-bound. Amortized monthly: no-op on
-    // most days, folds/compacts exactly once when a month closes.
-    val compacted = compactZones(spark, whDir, runDate)
+    // most days, folds/compacts exactly once when a month closes. Only
+    // SUCCESS days fold: a failed attempt's partitions stay day-granular
+    // so its retry — however much later — still owns and replaces them
+    // instead of anti-joining against its own failed fingerprints
+    // hidden inside a month partition.
+    val successDays: Set[String] = Zones.read(spark, ledgerPath)
+      .filter(col("process_name") === ProcessName && col("status") === "SUCCESS")
+      .select(substring(col("start_time").cast("string"), 1, 10).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val compacted = compactZones(spark, whDir, runDate, foldEligible = successDays)
 
     val done = RunLedger.finishRun(
       Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
@@ -417,97 +441,148 @@ object CorpusRun {
     * BELOW every one of its days and below any later date, so the
     * probe-side `ingest_day < runDate` prior-days filters are unaffected;
     * these zones carry control metadata only, so coarsening the partition
-    * value loses nothing. The fold is: materialize (localCheckpoint) the
-    * affected rows — folded days PLUS any existing partition of the same
-    * months (a late backfill may have re-opened one) — dynamic-overwrite
-    * the month partitions, then delete the folded day directories. A
-    * crash between the write and the deletes leaves rows duplicated
-    * across day+month partitions, which every probe tolerates (the
-    * fingerprint join is an anti/semi join, near-dup candidates are
-    * `distinct`ed, duplicate confirm pairs fold to the same cluster
-    * closure, para-fp probes are `distinct`ed) and the next run's fold
-    * re-converges — self-healing, never silent loss.
+    * value loses nothing. `foldEligible` excludes days that must stay
+    * day-addressable — the production caller passes the ledger's SUCCESS
+    * days, so a failed attempt's partitions are NEVER folded into a month
+    * (a retry must not see its own failed fingerprints as prior corpus,
+    * at any distance in time).
+    *
+    * Durability: the fold stages its full month content — folded days
+    * PLUS any existing partition of the same months (a late backfill may
+    * have re-opened one) — to an on-disk `.fold_tmp` BEFORE the month
+    * partitions are overwritten, because the overwrite's commit deletes
+    * the existing month directory (the only durable copy of previously
+    * folded rows) before renaming replacements in. A crash at any point
+    * leaves either the old layout intact or a completed stage that the
+    * next run's RECOVERY replays (re-overwrite from the stage, delete no
+    * day dirs — duplicate rows across day+month partitions are tolerated
+    * by every probe: anti/semi joins, `distinct`ed candidates, and
+    * sig_count overcounts only over-engage the defense).
     *
     * DOCS zone: the published corpus keeps day-granular partitions (the
-    * day identity is consumer-facing), but a closed day's
-    * shuffle-partition-many small files rewrite into
-    * ⌈rows/targetRowsPerFile⌉ files once its month closes. Content
-    * identity, not byte identity — the census contract on closed days is
-    * re-scoped to content for compacted months.
+    * day identity is consumer-facing); a closed day whose files are
+    * numerous AND small rewrites into ~`targetFileBytes` files. The
+    * BYTES-based eligibility is what terminates: a compacted day's mean
+    * file size is ≥ targetFileBytes/4, so it never re-qualifies — a
+    * row-count policy would rewrite every large day forever. The rewrite
+    * stages compacted days durably, then swaps each day directory
+    * (delete + rename); recovery completes half-swapped days from the
+    * stage. Content identity, not byte identity — the census contract on
+    * closed days is re-scoped to content for compacted months.
     */
   def compactZones(
       spark: SparkSession,
       whDir: String,
       runDate: String,
       keepDays: Int = RetentionKeepDays,
-      targetRowsPerFile: Long = 1L << 20,
-      maxFilesPerClosedDay: Int = MaxFilesPerClosedDay): String = {
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerClosedDay: Int = MaxFilesPerClosedDay,
+      foldEligible: String => Boolean = _ => true): String = {
     val cutoffMonth = java.time.LocalDate.parse(runDate)
       .minusDays(keepDays.toLong).toString.substring(0, 7)
     val hconf = spark.sessionState.newHadoopConf()
     def fsFor(path: String) =
       new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-
-    def dayDirs(path: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = fsFor(path)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("ingest_day="))
-        .map(_.stripPrefix("ingest_day="))
-    }
     def foldableDays(path: String): Seq[String] =
-      dayDirs(path).filter(v => v.length == 10 && v.substring(0, 7) < cutoffMonth)
+      listIngestDays(spark, path)
+        .filter(v => v.length == 10 && v.substring(0, 7) < cutoffMonth && foldEligible(v))
+
+    def dynamicOverwrite(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_day").parquet(path)
 
     // probe zones: fold closed months' day partitions into month partitions
     def foldProbe(path: String): Option[String] = {
+      val fs = fsFor(path)
+      val tmp = s"$path/.fold_tmp" // dot-hidden: invisible to the main read
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      // RECOVERY: a COMPLETED stage from a crashed pass is the only
+      // durable copy of its months' previously-folded rows — replay the
+      // overwrite from it; delete no day dirs (duplicates are tolerated
+      // and the next regular fold re-converges). A partial stage
+      // (no _SUCCESS) is discarded — the old layout is still intact.
+      if (Zones.exists(spark, s"$tmp/_SUCCESS")) {
+        dynamicOverwrite(spark.read.parquet(tmp), path)
+        fs.delete(tmpPath, true)
+        spark.catalog.refreshByPath(path)
+      } else if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
       val days = foldableDays(path)
       if (days.isEmpty) None
       else {
         val months = days.map(_.substring(0, 7)).distinct.sorted
-        val cur = Zones.read(spark, path)
+        val folded = Zones.read(spark, path)
           .withColumn("ingest_day", col("ingest_day").cast("string"))
-        val folded = cur
           .filter(col("ingest_day").isin(days ++ months: _*))
           .withColumn("ingest_day",
             when(length(col("ingest_day")) === 10, substring(col("ingest_day"), 1, 7))
               .otherwise(col("ingest_day")))
-          .localCheckpoint() // materialized BEFORE the overwrite touches its files
-        folded.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_day").parquet(path)
-        val fs = fsFor(path)
+        // [1] durable stage (source files untouched while it writes)
+        folded.write.mode("overwrite").partitionBy("ingest_day").parquet(tmp)
+        // [2] month partitions overwritten FROM the staged files
+        dynamicOverwrite(spark.read.parquet(tmp), path)
+        // [3] folded day dirs die; [4] stage cleared
         days.foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
+        fs.delete(tmpPath, true)
         spark.catalog.refreshByPath(path)
         val zone = path.split('/').last
         Some(s"$zone ${days.size}d→${months.mkString("+")}")
       }
     }
 
-    // docs zone: rewrite a closed day's many small files into few, values
-    // and day layout unchanged
+    // docs zone: rewrite a closed day's many-and-small files into few,
+    // values and day layout unchanged
     def compactDocs(path: String): Option[String] = {
       val fs = fsFor(path)
-      val days = foldableDays(path).filter { d =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"))
-          .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerClosedDay
+      val tmp = s"$path/.compact_tmp"
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      // RECOVERY: complete half-swapped days (target dir missing, staged
+      // copy present under a COMPLETED stage); discard everything else
+      if (Zones.exists(spark, s"$tmp/_SUCCESS")) {
+        fs.listStatus(tmpPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("ingest_day="))
+          .foreach { staged =>
+            val target = new org.apache.hadoop.fs.Path(s"$path/${staged.getName}")
+            if (!fs.exists(target)) fs.rename(staged, target)
+          }
+        spark.catalog.refreshByPath(path)
       }
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      def fileStats(d: String): (Int, Long) = {
+        val fsList = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (fsList.length, fsList.map(_.getLen).sum)
+      }
+      val stats = foldableDays(path).map(d => d -> fileStats(d)).toMap
+      val days = stats.collect {
+        case (d, (nFiles, bytes))
+            if nFiles > maxFilesPerClosedDay &&
+              bytes / math.max(nFiles, 1) < targetFileBytes / 4 => d
+      }.toSeq.sorted
       if (days.isEmpty) None
       else {
+        // per-day output file count from BYTES (ceil(dayBytes/target)),
+        // shipped as a map literal into the repartition expression
+        val filesPerDay = days.map(d =>
+          d -> math.max(1L, math.ceil(stats(d)._2.toDouble / targetFileBytes).toLong)).toMap
+        val fmap = typedlit(filesPerDay)
         val cur = Zones.read(spark, path)
           .withColumn("ingest_day", col("ingest_day").cast("string"))
           .filter(col("ingest_day").isin(days: _*))
-          .localCheckpoint()
-        val n = cur.count()
-        val perDay = math.max(1L,
-          math.ceil(n.toDouble / days.size / targetRowsPerFile).toLong)
-        cur
-          .repartition(col("ingest_day"), pmod(xxhash64(col("doc_id")), lit(perDay)))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ingest_day").parquet(path)
+        // [1] durable stage — the zone's files are intact while this writes
+        cur.repartition(
+            col("ingest_day"),
+            pmod(xxhash64(col("doc_id")), element_at(fmap, col("ingest_day"))))
+          .write.mode("overwrite").partitionBy("ingest_day").parquet(tmp)
+        // [2] per-day swap: delete target, rename staged dir in
+        days.foreach { d =>
+          val target = new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d")
+          fs.delete(target, true)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/ingest_day=$d"), target))
+            throw new java.io.IOException(s"docs compaction swap failed for $d")
+        }
+        fs.delete(tmpPath, true)
         spark.catalog.refreshByPath(path)
         Some(s"docs ${days.size} closed day(s) file-compacted")
       }
@@ -519,5 +594,18 @@ object CorpusRun {
       foldProbe(s"$whDir/corpus/sig_counts"),
       foldProbe(s"$whDir/corpus/para_fp"),
       compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
+  }
+
+  /** Partition values of an ingest_day-partitioned zone (day- or
+    * month-form), from the directory listing — no file read.
+    */
+  private[pipeline] def listIngestDays(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest_day="))
+      .map(_.stripPrefix("ingest_day="))
   }
 }

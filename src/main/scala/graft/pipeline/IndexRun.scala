@@ -97,6 +97,24 @@ object IndexRun {
   private def versionOf(path: String): Int =
     path.split('/').last.drop(1).toInt
 
+  /** Delete index versions other than the live one. Runs at the START
+    * of each run, never at flip time: a retired version therefore
+    * survives a full run-cycle as a GRACE copy — a daytime reader that
+    * resolved CURRENT just before a retrain's flip can finish its scan
+    * (deleting at flip time would yank files mid-query), and by the next
+    * nightly run every such reader is long done. Also reclaims crashed
+    * retrains' never-flipped builds; the single-writer ledger gate
+    * guarantees nobody is mid-build here.
+    */
+  private def sweepRetired(spark: SparkSession, base: String, live: String): Unit = {
+    val fs = fsFor(spark, base)
+    if (fs.exists(new org.apache.hadoop.fs.Path(base)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.matches("v\\d+") && p.getName.drop(1).toInt != versionOf(live))
+        .foreach(fs.delete(_, true))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(incrementDir, whDir, runTs) = args.take(3)
     val spark = Sessions
@@ -142,6 +160,7 @@ object IndexRun {
               .select("n_vectors").head().getLong(0)
             s"Index day $runDate: BUILT ivf($nCells) v1 from $n vector(s)."
           case Some(live) =>
+            sweepRetired(spark, indexBase, live)
             val st = SimilaritySearch.appendIvfIndexDaily(
               spark, live, increment, idCol, vecCol, runDate, retrainInflation)
             val ratio =
@@ -156,8 +175,8 @@ object IndexRun {
               SimilaritySearch.retrainIvfIndexDaily(
                 spark, live, s"$indexBase/$nextV", nCells)
               writePointer(spark, indexBase, nextV)
-              fsFor(spark, indexBase)
-                .delete(new org.apache.hadoop.fs.Path(live), true)
+              // the retired version is NOT deleted here: it stays one
+              // cycle for in-flight readers and is swept next run
               base + s" RETRAINED: $nextV rebuilt from the full zone, " +
                 "baseline reset, pointer flipped."
             } else base

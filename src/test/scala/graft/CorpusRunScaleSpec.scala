@@ -215,5 +215,32 @@ class CorpusRunScaleSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(aprDocs == Seq(1003L),
       s"dedup against folded month partitions must still hold, published $aprDocs")
+
+    // ── counts-zone repair: a missing sig_counts partition is re-seeded
+    // from the index before the next day's probe (partial counts would
+    // silently blind the hot-bucket defense) ─────────────────────────────
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$wh/corpus/sig_counts/ingest_day=2026-04-16"), true))
+    run("apr2", Seq(doc(1101L)), "2026-04-17 02:00:00")
+    assert(new java.io.File(s"$wh/corpus/sig_counts/ingest_day=2026-04-16").exists(),
+      "the run must re-seed missing counts partitions from the index")
+
+    // ── a day WITHOUT a SUCCESS ledger row never folds: its partitions
+    // stay day-addressable for a retry at any distance in time. At a
+    // 2026-06-15 horizon February is foldable — but with no eligible day
+    // it must stay day-granular; once eligible, it folds ───────────────
+    CorpusRun.compactZones(spark, wh, "2026-06-15",
+      maxFilesPerClosedDay = 1, foldEligible = Set.empty[String])
+    assert(new java.io.File(s"$wh/corpus/fingerprints/ingest_day=2026-02-01").exists(),
+      "ineligible (non-SUCCESS) days must stay day-granular")
+    assert(!new java.io.File(s"$wh/corpus/fingerprints/ingest_day=2026-02").exists(),
+      "no month partition may be created from ineligible days")
+    CorpusRun.compactZones(spark, wh, "2026-06-15",
+      maxFilesPerClosedDay = 1, foldEligible = Set("2026-02-01"))
+    assert(!new java.io.File(s"$wh/corpus/fingerprints/ingest_day=2026-02-01").exists() &&
+      new java.io.File(s"$wh/corpus/fingerprints/ingest_day=2026-02").exists(),
+      "an eligible closed day folds into its month")
   }
 }

@@ -90,7 +90,8 @@ class IndexRunSpec extends SparkSpec {
     val msg3 = lastMessage(wh)
     assert(msg3.contains("RETRAINED"), s"drifted day must trip the retrain policy: $msg3")
     assert(index == s"$base/v2", "retrain must advance the live version and flip the pointer")
-    assert(!new java.io.File(s"$base/v1").exists(), "retired version must be deleted")
+    assert(new java.io.File(s"$base/v1").exists(),
+      "retired version must survive one cycle as the in-flight-reader grace copy")
     val baseline1 = spark.read.parquet(s"$index/meta").head().getAs[Double]("mean_dist2")
     assert(baseline1 != baseline0, "retrain must reset the drift baseline")
     assert(spark.read.parquet(s"$index/assignments").count() == 64 + 32 + 48,
@@ -110,6 +111,8 @@ class IndexRunSpec extends SparkSpec {
     assert(IndexRun.run(spark, in4, wh, "2026-07-04 03:00:00", nCells = 4) == "SUCCESS")
     assert(!lastMessage(wh).contains("RETRAINED"),
       "post-retrain append of the same distribution must not re-trip")
+    assert(!new java.io.File(s"$base/v1").exists(),
+      "the next run must sweep versions older than the grace copy")
 
     // ── retry idempotence: day 4 "crashed" before its SUCCESS row — the
     // rerun replaces its own day partition, total count unchanged ───────

@@ -95,6 +95,16 @@ class ModulesSpec extends SparkSpec {
     assert(m1.timescale == 600L && m1.duration_ticks == 1200L &&
       m1.width == 320 && m1.height == 240,
       s"v1 box offsets: $m1")
+    // an UNDERSIZED tkhd box must yield None, not dims read from the
+    // bytes of whatever sibling box follows it inside the moov
+    val mvhd0 = bx("mvhd", Array[Byte](0, 0, 0, 0) ++ b32(0) ++ b32(0) ++
+      b32(1000) ++ b32(5000) ++ Array.fill[Byte](80)(0))
+    val shortTkhd = bx("tkhd", Array[Byte](0, 0, 0, 7) ++ b32(0)) // 8-byte payload
+    val sibling = bx("free", Array.fill[Byte](96)(0x42))
+    val undersized = bx("ftyp", "isomisom".getBytes("US-ASCII")) ++
+      bx("moov", mvhd0 ++ bx("trak", shortTkhd ++ sibling))
+    assert(HeaderDecoder.decodeMp4(undersized).isEmpty,
+      "undersized leaf boxes must not leak sibling bytes as metadata")
   }
 
   test("multimodal: frame sampling explodes stride-spaced indices") {
@@ -451,6 +461,27 @@ class ModulesSpec extends SparkSpec {
       r.getAs[Long]("applied_floor") == 7L))
     assert(!merge(Seq(("2024-01", 0L, 0.0)).toDF("day", "k", "v"), 3L),
       "replay of a run-interior id must no-op")
+
+    // [3b] a group ABSENT from some batches must not accrete gap extras:
+    // every merge stamps every row (the replay guard is zone-level), so
+    // alternating groups stay run-compact instead of wedging on the cap
+    val zone2 = s"$tmp/stats2"
+    def merge2(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      Profiling.mergeStatsIncrement(spark, df, zone2,
+        epochExpr = "day", groupExpr = "g", valueExpr = "v", keyExpr = "k",
+        batchId = Some(id))
+    (0L until 6L).foreach { i =>
+      val g = if (i % 2 == 0) "even" else "odd" // each group misses half the batches
+      assert(merge2(Seq(("2024-01", g, i, i.toDouble)).toDF("day", "g", "k", "v"), i))
+    }
+    val rows2 = Profiling.readStatsZone(spark, zone2)
+      .select("grp", "applied_base", "applied_floor", "applied").collect()
+    assert(rows2.forall(r => r.getSeq[Long](r.fieldIndex("applied")).isEmpty),
+      "intermittently-absent groups must stay gap-free")
+    assert(rows2.forall(_.getAs[Long]("applied_floor") == 5L),
+      "every row absorbs every batch id up to the latest")
+    assert(!merge2(Seq(("2024-01", "even", 0L, 0.0)).toDF("day", "g", "k", "v"), 3L),
+      "replay of an id from a batch that skipped the group must still no-op")
 
     // [4] legacy hwm-only zone upgrade, pinned: the LATEST legacy id
     // still no-ops (crash redelivery), but an OLDER legacy id re-merges
