@@ -243,4 +243,82 @@ class CorpusRunScaleSpec extends SparkSpec {
       new java.io.File(s"$wh/corpus/fingerprints/ingest_day=2026-02").exists(),
       "an eligible closed day folds into its month")
   }
+
+  test("compaction crash recovery: a completed stage replays, a partial stage discards") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_crash").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def doc(i: Long) =
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h", s"s${i % 3}")
+    def run(tag: String, rows: Seq[(Long, String, String)], ts: String): Unit = {
+      val dir = s"$tmp/in_$tag"
+      rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+      assert(CorpusRun.run(spark, dir, wh, ts) == "SUCCESS")
+    }
+    run("j1", Seq(doc(1), doc(2)), "2026-01-10 02:00:00")
+    run("f1", Seq(doc(21)), "2026-02-10 02:00:00")
+    val fpZone = s"$wh/corpus/fingerprints"
+    val fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+    // fold January normally
+    CorpusRun.compactZones(spark, wh, "2026-04-15", maxFilesPerClosedDay = 1)
+    val monthFps = spark.read.parquet(fpZone)
+      .filter(col("ingest_day") === "2026-01").select("fp")
+      .collect().map(_.getString(0)).toSet
+    assert(monthFps.size == 2)
+
+    // ── CRASH STATE: the overwrite's commit deleted the month dir but
+    // the durable stage survived — exactly the window the review flagged.
+    // Simulate: copy the month partition into .fold_tmp (+_SUCCESS),
+    // then delete the month partition.
+    val stage = new Path(s"$fpZone/.fold_tmp")
+    fs.mkdirs(new Path(s"$stage/ingest_day=2026-01"))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(s"$fpZone/ingest_day=2026-01"), fs, stage,
+      false, true, spark.sessionState.newHadoopConf())
+    fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+    fs.delete(new Path(s"$fpZone/ingest_day=2026-01"), true)
+    spark.catalog.refreshByPath(fpZone)
+    assert(spark.read.parquet(fpZone).filter(col("ingest_day") === "2026-01").count() == 0,
+      "crash state: month partition lost, stage is the only copy")
+    // recovery runs at the head of the next compaction pass
+    CorpusRun.compactZones(spark, wh, "2026-04-15", maxFilesPerClosedDay = 1)
+    val recovered = spark.read.parquet(fpZone)
+      .filter(col("ingest_day") === "2026-01").select("fp")
+      .collect().map(_.getString(0)).toSet
+    assert(recovered == monthFps, "recovery must restore the month content from the stage")
+    assert(!fs.exists(stage), "recovery must clear the stage")
+
+    // ── a PARTIAL stage (no _SUCCESS — crash mid-stage-write) must be
+    // discarded: the old layout is intact, nothing should change
+    fs.mkdirs(new Path(s"$stage/ingest_day=2026-01"))
+    CorpusRun.compactZones(spark, wh, "2026-04-15", maxFilesPerClosedDay = 1)
+    assert(!fs.exists(stage), "partial stage must be discarded")
+    assert(spark.read.parquet(fpZone)
+      .filter(col("ingest_day") === "2026-01").select("fp")
+      .collect().map(_.getString(0)).toSet == monthFps,
+      "a discarded partial stage must leave the zone untouched")
+
+    // ── docs half-swap recovery: staged compacted day present under a
+    // completed stage, target day dir missing (crash between delete and
+    // rename) → recovery renames the staged day in ──────────────────────
+    val docsZone = s"$wh/corpus/docs"
+    val dayDir = new Path(s"$docsZone/ingest_day=2026-01-10")
+    val docsBefore = spark.read.parquet(docsZone)
+      .filter(col("ingest_day") === "2026-01-10")
+      .select("doc_id", "text").collect().map(_.toSeq).toSet
+    val dstage = new Path(s"$docsZone/.compact_tmp")
+    fs.mkdirs(dstage)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, dayDir, fs, dstage, false, true, spark.sessionState.newHadoopConf())
+    fs.create(new Path(s"$dstage/_SUCCESS"), true).close()
+    fs.delete(dayDir, true)
+    spark.catalog.refreshByPath(docsZone)
+    CorpusRun.compactZones(spark, wh, "2026-04-15", maxFilesPerClosedDay = 1)
+    val docsAfter = spark.read.parquet(docsZone)
+      .filter(col("ingest_day") === "2026-01-10")
+      .select("doc_id", "text").collect().map(_.toSeq).toSet
+    assert(docsAfter == docsBefore, "half-swapped docs day must be completed from the stage")
+    assert(!fs.exists(dstage), "docs recovery must clear the stage")
+  }
 }
