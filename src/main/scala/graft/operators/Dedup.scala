@@ -737,7 +737,16 @@ object Dedup {
     val r =
       if (self) l.toDF("id_b", "vb")
       else right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
-    val dim = r.select(size(col("vb"))).head().getInt(0)
+    // one action yields row count AND dimensionality: an EMPTY side is a
+    // routine production input (a day with no embeddings) and must return
+    // an empty pair frame, not crash the dim lookup; the count also
+    // proves small self-joins dormant for free (max bucket ≤ n)
+    val stats = r.agg(count(lit(1)), first(size(col("vb")))).head()
+    val nRight = stats.getLong(0)
+    if (nRight == 0)
+      return l.select("id_a").limit(0).crossJoin(r.select("id_b").limit(0))
+    val dim = stats.getInt(1)
+    val smallSelf = self && nRight <= maxBucket
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
     // cached: each band frame feeds its bucket-count pass AND the join —
     // uncached, the hyperplane signature math (bands × bitsPerBand dot
@@ -754,14 +763,20 @@ object Dedup {
         explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
         .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
         .cache()
-    val lCounts = Some(bucketCounts(lb))
-    val rCounts = if (self) lCounts else Some(bucketCounts(rb))
     // ids-only candidates first; vectors join back once per distinct pair,
     // so the band shuffle moves (long, int, long) rows — not embeddings.
     // Hot-bucket-bounded: near-identical embedding families (boilerplate
-    // pages, stock images) pile behind one sign-bit key otherwise.
-    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxBucket,
-        xCounts = lCounts, yCounts = rCounts)
+    // pages, stock images) pile behind one sign-bit key otherwise. A
+    // self-join of ≤ maxBucket vectors cannot exceed the bound (a bucket
+    // holds at most n rows), so the counting machinery is skipped whole.
+    val cand = (
+      if (smallSelf) lb.join(rb, Seq("band", "key"))
+      else {
+        val lCounts = Some(bucketCounts(lb))
+        val rCounts = if (self) lCounts else Some(bucketCounts(rb))
+        boundedBucketJoin(lb, rb, "id_a", "id_b", maxBucket,
+          xCounts = lCounts, yCounts = rCounts)
+      })
       .select("id_a", "id_b")
       .distinct()
     cand
@@ -818,7 +833,11 @@ object Dedup {
       seed: Long = 42L,
       mode: String = "append"): Unit = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val dim = v.select(size(col("v"))).head().getInt(0)
+    // empty batch → no-op (nothing to index, counts unchanged); the dim
+    // lookup below would otherwise crash on head-of-empty
+    val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
+    if (vstats.getLong(0) == 0) return
+    val dim = vstats.getInt(1)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
     val keyed = v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
       .cache()
@@ -859,7 +878,12 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
     val inc = increment.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val dim = inc.select(size(col("v"))).head().getInt(0)
+    // empty increment (a day with no embeddings) → empty pair frame, not
+    // a crashed dim lookup; one action yields count AND dimensionality
+    val istats = inc.agg(count(lit(1)), first(size(col("v")))).head()
+    if (istats.getLong(0) == 0)
+      return inc.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    val dim = istats.getInt(1)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
     val incSig = inc
       .withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))

@@ -373,4 +373,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = hit.toDouble / exactPairs.count()
     assert(recall >= 0.55, s"random-data recall@10 = $recall (probe baseline 0.5)")
   }
+
+  test("embedding ops: empty inputs return empty results, never crash the dim lookup") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val none = vecs.limit(0)
+    // bipartite join with an empty right side; self-join of an empty frame
+    assert(Dedup.embeddingNearDupJoin(vecs, "id", "v", none, "id", "v", 0.9).count() == 0)
+    assert(Dedup.embeddingNearDupPairsLsh(none, "id", "v", 0.9).count() == 0)
+    // empty increment against a populated index
+    val zone = java.nio.file.Files.createTempDirectory("graft_empty_emb").toFile.getAbsolutePath
+    Dedup.writeEmbeddingSignatureIndex(spark, s"$zone/idx", vecs, "id", "v", mode = "overwrite")
+    assert(Dedup.embeddingNearDupIncremental(
+      Dedup.readEmbeddingSignatureIndex(spark, s"$zone/idx"), none, "id", "v", 0.9).count() == 0)
+    // empty batch into the index writer: no-op, standing zone untouched
+    val before = spark.read.parquet(s"$zone/idx").count()
+    Dedup.writeEmbeddingSignatureIndex(spark, s"$zone/idx", none, "id", "v")
+    assert(spark.read.parquet(s"$zone/idx").count() == before)
+    // a small self-join (n <= maxBucket) takes the skip-counting path and
+    // still confirms the planted near-identical pair
+    val near = Seq((1L, Seq(1.0, 0.001)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairsLsh(near, "id", "v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"small-self fast path must still confirm pairs: $pairs")
+  }
 }
