@@ -1944,6 +1944,23 @@ object SparkEntry {
       Clustering.kmeansLite(v, "vec_id", "e", 64, 2)
         .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist_r6"))
     }),
+    // SemDeDup (semantic dedup, arXiv:2303.09540): e2's deterministic
+    // k-means partition + within-cluster cosine pruning with the
+    // keep-smallest-id ε-ball rule — oracle-checked on the FULL
+    // (vec_id, cluster, is_kept) assignment. Corpus = embeddings ∪
+    // perturbed near-copies (cos vs source ≈ 0.99995); natural pairwise
+    // cosines top out ≈ 0.60 at both sf, so threshold 0.95 sits in a
+    // wide gap and the compare is ulp-safe.
+    "e4_semantic_dedup" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probes = v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        concat(
+          array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 10000)).as("e"))
+      Dedup.semanticDedup(v.unionByName(probes), "vec_id", "e", 64, 2, 0.95)
+    }),
 
     // ── Similarity search (beyond-reference) ─────────────────────────────
     // exact brute-force cosine top-k (rank output, float-free compare).
@@ -3810,6 +3827,46 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    // e2's two deterministic Lloyd rounds verbatim over the planted
+    // corpus, then the pairwise within-cluster ε-ball rule
+    "e4_semantic_dedup" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT vec_id, e FROM v0
+        |      UNION ALL
+        |      SELECT vec_id + 10000, list_prepend(e[1] + 0.01, e[2:]) FROM v0 WHERE vec_id % 10 = 0),
+        |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),
+        |exp1 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a0),
+        |c1 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp1 GROUP BY 1, 2),
+        |cent1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c1 GROUP BY 1),
+        |d1 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a0, cent1),
+        |a1 AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |exp2 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a1),
+        |c2 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp2 GROUP BY 1, 2),
+        |cent2 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c2 GROUP BY 1),
+        |d2 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a1, cent2),
+        |fin AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+        |        / sqrt(list_sum(list_transform(a.e, x -> x*x)))
+        |        / sqrt(list_sum(list_transform(b.e, x -> x*x))) >= 0.95)
+        |SELECT f.vec_id, f.cluster, d.vec_id IS NULL AS is_kept
+        |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id""".stripMargin,
     "e2_kmeans_clusters" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),

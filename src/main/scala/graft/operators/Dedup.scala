@@ -804,6 +804,67 @@ object Dedup {
       df, idCol, vecCol, df, idCol, vecCol, threshold, bands, bitsPerBand, seed, maxBucket)
       .filter(col("id_a") < col("id_b"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means partitioning + within-cluster cosine
+    * pruning. The corpus is clustered with the deterministic
+    * [[Clustering.kmeansLite]] (init id % k, decimal-exact centroid
+    * means, cid tie-break — oracle-reproducible); within each cluster,
+    * every pair with cosine ≥ `threshold` marks the LARGER id a
+    * semantic duplicate of the smaller. Keep policy is the paper's
+    * one-representative-per-ε-ball rule made deterministic: a row is
+    * dropped iff SOME same-cluster neighbor with a smaller id sits
+    * within the cosine ball (not a transitive closure — two rows
+    * chained through a middle row but themselves below threshold both
+    * survive, exactly as the pairwise rule dictates).
+    *
+    * Scale shape: the quadratic is confined to clusters — k is chosen
+    * so E[cluster] ≈ 10⁴ at corpus scale (the paper runs k = 11k over
+    * 5B embeddings) — and the within-cluster self-join routes through
+    * [[boundedBucketJoin]] (band 0, key = cluster id), so a runaway
+    * cluster is grid-salted into bounded cells instead of putting its
+    * full candidate square on one task; typical clusters take the
+    * dormant plain-join path. The band shuffle moves (id, cluster)
+    * rows only; vectors join back once per candidate pair.
+    *
+    * Returns one row per input row: (idCol, cluster, is_kept) —
+    * filtering `is_kept` dedups the corpus semantically.
+    */
+  def semanticDedup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    // kmeansLite returns a localCheckpoint'ed frame: the three consumers
+    // below (two join sides + the flag join) re-read checkpoint blocks,
+    // never the Lloyd loop
+    val assigned = Clustering.kmeansLite(v, "__id", "__v", k, iters)
+      .select(col("__id"), col("cluster"))
+    // ids-only band frames (band 0, key = cluster): the bounded join
+    // decides salting from cluster sizes; ≤ maxCluster clusters take the
+    // dormant bitwise-identical plain join
+    val lb = assigned.select(
+      lit(0).as("band"), col("cluster").cast("long").as("key"), col("__id").as("id_a"))
+    val rb = lb.withColumnRenamed("id_a", "id_b")
+    val counts = Some(bucketCounts(lb))
+    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxCluster,
+        xCounts = counts, yCounts = counts)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val dropped = cand
+      .join(v.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
+      .filter(SimilaritySearch.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("__id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Per-band sign-bit keys as an array (index b = band b's key) — the
     * stored form of [[bandedSignatures]]: banding a stored row back into
     * (band, key) probes is a posexplode, no vector math.

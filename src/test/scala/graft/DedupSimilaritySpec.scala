@@ -374,6 +374,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.55, s"random-data recall@10 = $recall (probe baseline 0.5)")
   }
 
+  test("semanticDedup equals the brute-force within-cluster ε-ball rule") {
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val salted = v.unionByName(
+      v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.01)), slice(col("e"), 2, 10000)).as("e")))
+    val got = Dedup.semanticDedup(salted, "vec_id", "e", 16, 2, 0.95)
+    // brute force: the same deterministic assignment, ALL within-cluster
+    // pairs via a plain cluster join, drop = larger id of any ε-pair
+    val assigned = graft.operators.Clustering.kmeansLite(salted, "vec_id", "e", 16, 2)
+      .select(col("vec_id"), col("cluster"))
+      .join(salted, "vec_id")
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("e").as("va"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"), col("e").as("vb"))
+    val dropped = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .filter(SimilaritySearch.cosine(col("va"), col("vb")) >= 0.95)
+      .select(col("id_b").as("vec_id")).distinct()
+    val want = assigned
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__d").isNull.as("is_kept"))
+    assertSameRows(got, want, "semanticDedup vs brute-force ε-ball")
+    // natural cosines top out ≈ 0.5, so only planted copies can drop;
+    // a copy straddling a cluster boundary from its source survives (the
+    // method's documented recall loss — measured: 49/50 here)
+    val droppedIds = got.filter(!col("is_kept")).select("vec_id")
+    assert(droppedIds.filter(col("vec_id") < 10000).count() == 0,
+      "only planted copies may be semantic duplicates")
+    val nPlanted = v.filter(col("vec_id") % 10 === 0).count()
+    val nDropped = droppedIds.count()
+    assert(nDropped >= (nPlanted * 9) / 10 && nDropped <= nPlanted,
+      s"planted-copy recall: $nDropped of $nPlanted dropped")
+    // grid-salted path (maxCluster below every cluster size) is bitwise
+    // identical — the decomposition is exact
+    val saltedPath = Dedup.semanticDedup(salted, "vec_id", "e", 16, 2, 0.95, maxCluster = 8)
+    assertSameRows(saltedPath, want, "semanticDedup salted vs dormant")
+  }
+
   test("embedding ops: empty inputs return empty results, never crash the dim lookup") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
