@@ -206,8 +206,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson}"""
     // full line first: complete record for anyone reading the whole log
     println(line)
-    // identical JSON at a liftable path — the artifact of record for judges
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    // identical JSON at a liftable path — the artifact of record for judges.
+    // A SPARK_GRAFT_BENCH_ONLY subset run redirects to a side file: the
+    // default artifact doubles as the self-arming drift prior, and a
+    // 3-query map silently replacing the 148-query map would blind the
+    // audit (and mislead any reader of the "full" artifact) on every
+    // later run.
+    val defaultOut =
+      if (only.isEmpty) "bench_results.json" else "bench_results_subset.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     // compact summary LAST so it survives the driver's 2000-byte stdout tail

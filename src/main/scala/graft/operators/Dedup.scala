@@ -737,40 +737,56 @@ object Dedup {
     val r =
       if (self) l.toDF("id_b", "vb")
       else right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
-    // one action yields row count AND dimensionality: an EMPTY side is a
-    // routine production input (a day with no embeddings) and must return
-    // an empty pair frame, not crash the dim lookup; the count also
-    // proves small self-joins dormant for free (max bucket ≤ n)
-    val stats = r.agg(count(lit(1)), first(size(col("vb")))).head()
-    val nRight = stats.getLong(0)
-    if (nRight == 0)
+    // one action yields both sides' row counts AND dimensionality: an
+    // EMPTY side is a routine production input (a day with no embeddings)
+    // and must return an empty pair frame, not crash the dim lookup; the
+    // counts also prove small joins dormant for free — a self-join of
+    // ≤ maxBucket vectors cannot exceed the bound (a bucket holds at most
+    // n rows), and a bipartite join with BOTH sides ≤ maxBucket holds at
+    // most nL×nR ≤ maxBucket² candidates in any task. The bipartite form
+    // pays one count scan of the left (by convention the small probe
+    // side) it didn't before — strictly cheaper than the bucket-count
+    // passes it dodges when the verdict is "small".
+    val stats =
+      (if (self) r.agg(lit(1L).as("__nl"), count(lit(1)).as("__nr"), first(size(col("vb"))).as("__d"))
+       else l.agg(count(lit(1)).as("__nl"), lit(0L).as("__nr"), first(size(col("va"))).as("__d"))
+         .unionByName(
+           r.agg(lit(0L).as("__nl"), count(lit(1)).as("__nr"), first(size(col("vb"))).as("__d"))))
+        .agg(sum(col("__nl")), sum(col("__nr")), max(col("__d"))).head()
+    val nLeft = stats.getLong(0)
+    val nRight = stats.getLong(1)
+    if (nRight == 0 || nLeft == 0)
       return l.select("id_a").limit(0).crossJoin(r.select("id_b").limit(0))
-    val dim = stats.getInt(1)
-    val smallSelf = self && nRight <= maxBucket
+    val dim = stats.getInt(2)
+    val smallBoth = nRight <= maxBucket && (self || nLeft <= maxBucket)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
-    // cached: each band frame feeds its bucket-count pass AND the join —
-    // uncached, the hyperplane signature math (bands × bitsPerBand dot
-    // products per vector, the expensive part) would run twice per side
-    val lb = l.select(
+    // cached only when read twice: the counting path feeds each band
+    // frame to its bucket-count pass AND the join (uncached, the
+    // hyperplane signature math — bands × bitsPerBand dot products per
+    // vector, the expensive part — would run twice per side); the self
+    // path reuses lb as both join sides. A small bipartite join reads
+    // each frame exactly once — caching it would only cost memory writes.
+    val needCache = self || !smallBoth
+    val lb0 = l.select(
       col("id_a"),
       explode(bandedSignatures(col("va"), planes, bands, bitsPerBand)).as("bk"))
       .select(col("id_a"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+    val lb = if (needCache) lb0.cache() else lb0
     val rb =
       if (self) lb.withColumnRenamed("id_a", "id_b")
-      else r.select(
-        col("id_b"),
-        explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
-        .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
-        .cache()
+      else {
+        val rb0 = r.select(
+          col("id_b"),
+          explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
+          .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
+        if (needCache) rb0.cache() else rb0
+      }
     // ids-only candidates first; vectors join back once per distinct pair,
     // so the band shuffle moves (long, int, long) rows — not embeddings.
     // Hot-bucket-bounded: near-identical embedding families (boilerplate
-    // pages, stock images) pile behind one sign-bit key otherwise. A
-    // self-join of ≤ maxBucket vectors cannot exceed the bound (a bucket
-    // holds at most n rows), so the counting machinery is skipped whole.
+    // pages, stock images) pile behind one sign-bit key otherwise.
     val cand = (
-      if (smallSelf) lb.join(rb, Seq("band", "key"))
+      if (smallBoth) lb.join(rb, Seq("band", "key"))
       else {
         val lCounts = Some(bucketCounts(lb))
         val rCounts = if (self) lCounts else Some(bucketCounts(rb))
@@ -944,22 +960,42 @@ object Dedup {
     val istats = inc.agg(count(lit(1)), first(size(col("v")))).head()
     if (istats.getLong(0) == 0)
       return inc.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
+    val nInc = istats.getLong(0)
     val dim = istats.getInt(1)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    // no cache: incSig's one consumer is incBandX, which caches itself
     val incSig = inc
       .withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
-      .cache()
     def bandRows(df: DataFrame, as: String): DataFrame =
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
-    // one bucket-count pass per distinct frame (increment ×3, index ×1)
-    // and one driver probe for both joins' oversized lists
-    val incCounts = bucketCounts(incBandX)
     val idxBand = bandRows(index, "id_y")
-    val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
-    val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
-    val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
-    val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
+    // the stored counts zone carries the index's row count for free
+    // (every row contributes exactly once to each band): increment ≤
+    // maxBucket AND index ≤ maxBucket prove BOTH joins dormant — any
+    // bucket pair holds at most nInc×nIdx ≤ maxBucket² candidates —
+    // without a single counting pass or driver probe. The early daily
+    // steady state (bounded increment, counts zone maintained, young
+    // corpus) takes this path; a grown index or an absent zone falls
+    // through to the counted grid-salted machinery.
+    val smallBoth = nInc <= maxBucket && indexCounts.exists(c =>
+      c.filter(col("band") === 0).agg(coalesce(sum(col("__n")), lit(0L)))
+        .head().getLong(0) <= maxBucket)
+    val (crossDormant, withinDormant, ovCross, ovWithin) =
+      if (smallBoth) {
+        val none = incBandX.select(col("band"), col("key"),
+          lit(1).as("__gx"), lit(1).as("__gy")).limit(0)
+        (true, true, none, none)
+      } else {
+        // one bucket-count pass per distinct frame (increment ×3, index
+        // ×1) and one driver probe for both joins' oversized lists
+        val incCounts = bucketCounts(incBandX)
+        val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
+        val oc = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
+        val ow = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
+        val Seq(cd, wd) = emptiness(Seq(oc, ow))
+        (cd, wd, oc, ow)
+      }
     // both joins hot-bucket-bounded (see [[boundedBucketJoin]]): a stored
     // boilerplate-embedding family shares one sign-bit key per band
     val cross = boundedBucketJoinWith(

@@ -143,6 +143,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.filter(col("id_a") < 1000L).count() >= 10, "cross-batch pairs missing")
     assert(got.filter(col("id_a") === 2000L && col("id_b") === 2001L).count() == 1,
       "within-increment pair missing")
+    // stored counts prove increment+index small → the count-free dormant
+    // path — bitwise identical to the counted path above
+    val viaCounts = Dedup.embeddingNearDupIncremental(
+      Dedup.readEmbeddingSignatureIndex(spark, zone), inc, "id", "v", 0.999,
+      bands = 8, bitsPerBand = 4,
+      indexCounts = Dedup.readBucketCounts(spark, zone))
+    assertSameRows(viaCounts, expected, "count-free small path vs counted path")
   }
 
   test("persisted IVF index returns bit-identical results to build-per-query IVF") {
