@@ -1123,6 +1123,20 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("n12"), col("n1"),
           (col("n12") / col("n1")).as("p_cond"))
     }),
+    // LM-based quality scoring (the CCNet signal): every doc scored under
+    // t11's self-estimated pruned bigram LM — bigram coverage + scaled
+    // INTEGER mean conditional probability (⌊n12·10^10/n1⌋ per bigram),
+    // so the per-doc aggregation has no float accumulation and the gate
+    // compares exactly; the lone double is one division of exact longs.
+    "t13_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScoreDocs(t(s, dir, "documents"), "doc_id", "text", 3L)
+    }),
+    // token-window chunking with overlap (width 32, stride 8): the
+    // context-window preprocessing for embedding pipelines. Pure integer
+    // and string derivation — chunk spans and bodies compare exactly.
+    "t14_chunk_documents" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 32, 8)
+    }),
 
     // ── Dedup (training-data ops; beyond-reference) ──────────────────────
     // exact dedup over a corpus salted with literal copies.
@@ -3708,6 +3722,39 @@ object SparkEntry {
         |uni AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
         |SELECT b.w1, b.w2, b.n12, u.n1, CAST(b.n12 AS DOUBLE) / u.n1 AS p_cond
         |FROM big b JOIN uni u USING (w1)""".stripMargin,
+    // t11's LM re-estimated, every doc's bigrams scored with integer
+    // arithmetic only (sum of ⌊n12·10^10/n1⌋ — order-independent, exact)
+    "t13_lm_score" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM tokd, UNNEST(range(1, len(tk))) AS t(i)),
+        |big AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |uni AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  COUNT(b.n12) AS n_known,
+        |  CAST(COUNT(b.n12) AS DOUBLE) / COUNT(*) AS coverage,
+        |  CAST(COALESCE(SUM((b.n12 * 10000000000) // u.n1), 0) AS BIGINT) AS score_scaled,
+        |  CASE WHEN COUNT(b.n12) > 0
+        |    THEN CAST(COALESCE(SUM((b.n12 * 10000000000) // u.n1), 0) AS BIGINT) // COUNT(b.n12)
+        |  END AS mean_p10
+        |FROM bg g JOIN uni u USING (w1)
+        |LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+        |GROUP BY g.doc_id""".stripMargin,
+    "t14_chunk_documents" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |nz AS (SELECT doc_id, tk, len(tk) AS n FROM tokd WHERE len(tk) > 0)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 8 AS INT) AS chunk_idx,
+        |  CAST(s AS INT) AS tok_start,
+        |  CAST(least(32, n - s + 1) AS INT) AS n_tok,
+        |  array_to_string(tk[s:s+31], ' ') AS chunk_text
+        |FROM nz, UNNEST(range(1, n + 1, 8)) AS t(s)""".stripMargin,
     "g2_pagerank" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |nn AS (SELECT COUNT(*) AS n FROM d),

@@ -365,4 +365,104 @@ object TextAnalysis {
               (s.getField("span_end") - s.getField("span_start")).cast("int"))),
           "\n\n").as("text_kept"))
   }
+
+  /** Token-window document chunking with overlap — the context-window
+    * preprocessing shape for embedding / retrieval pipelines: each
+    * document becomes chunks of up to `width` tokens starting every
+    * `stride` tokens (stride < width ⇒ overlapping windows, stride =
+    * width ⇒ exact partition of the token stream). Chunk starts run
+    * 1, 1+stride, 1+2·stride, … while ≤ n_tokens, so the final chunk
+    * may be short; documents with no tokens emit no chunks.
+    *
+    * Output: (idCol, chunk_idx, tok_start, n_tok, chunk_text) — 0-based
+    * chunk index, 1-based token start, chunk length in tokens, and the
+    * space-joined chunk body.
+    *
+    * Scale shape: a pure narrow map-side explode (tokenize → sequence →
+    * posexplode → slice), no shuffle at any corpus size; output row
+    * count is ~n_tokens/stride per document.
+    */
+  def chunkDocuments(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(
+        col(idCol),
+        col("__tk"),
+        posexplode(sequence(lit(1), size(col("__tk")), lit(stride)))
+          .as(Seq("chunk_idx", "tok_start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("tok_start"),
+        least(lit(width), size(col("__tk")) - col("tok_start") + 1).as("n_tok"),
+        concat_ws(" ", slice(col("__tk"), col("tok_start"), lit(width))).as("chunk_text"))
+  }
+
+  /** LM-based document quality scoring (the CCNet signal shape, made
+    * engine-exact): a bigram LM is estimated on the corpus itself —
+    * conditional counts n12/n1, bigrams pruned below `minCount` — and
+    * every document with at least one bigram is scored by
+    *  - `coverage`: the fraction of its bigrams the pruned LM knows
+    *    (the out-of-vocabulary signal), and
+    *  - `score_scaled` / `mean_p10`: the sum / mean of the known
+    *    bigrams' conditional probabilities, scaled by 10^10 and
+    *    truncated to INTEGERS — ⌊n12·10^10 / n1⌋ per bigram — so the
+    *    per-document aggregation is order-independent and bit-identical
+    *    across engines (no float accumulation anywhere; the only double
+    *    emitted, `coverage`, is one correctly-rounded division of two
+    *    exact longs).
+    *
+    * Low coverage + low mean probability flags boilerplate-free but
+    * incoherent text (the docs an n-gram LM finds surprising) — the
+    * complement of the rule-based `qualityScore`.
+    *
+    * Scale shape: two count aggregations build the LM (bigram and
+    * unigram conditionals, both mergeable map-side); scoring is one
+    * broadcast-or-shuffle join per table keyed on the bigram, then one
+    * hash aggregation per document. Nothing is quadratic; the pruned LM
+    * is the only state.
+    */
+  def lmScoreDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val tk = tokens(col(textCol))
+    val bg = docs
+      .select(col(idCol), tk.as("__tk"))
+      .select(
+        col(idCol),
+        explode(zip_with(
+          slice(col("__tk"), lit(1), greatest(size(col("__tk")) - 1, lit(0))),
+          slice(col("__tk"), lit(2), greatest(size(col("__tk")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bg
+      .join(uni, "w1") // never drops a row: every bigram's w1 is a unigram
+      .join(big, Seq("w1", "w2"), "left")
+      .withColumn("__p10", expr("(n12 * 10000000000) div n1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("n12")).as("n_known"),
+        coalesce(sum(col("__p10")), lit(0L)).as("score_scaled"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("n_known"),
+        (col("n_known").cast("double") / col("n_bigrams")).as("coverage"),
+        col("score_scaled"),
+        when(col("n_known") > 0, expr("score_scaled div n_known")).as("mean_p10"))
+  }
 }

@@ -289,6 +289,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: spans tile the token stream; overlap windows carry full width") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g"),          // 7 tokens
+      (2L, "x y"),                    // 2 tokens
+      (3L, " , ;"),                   // 0 tokens → no chunks
+      (4L, (1 to 10).map(i => s"w$i").mkString(" "))) // 10 tokens
+      .toDF("doc_id", "text")
+    // stride = width: exact partition — reassembly equals the token stream
+    val part = graft.operators.TextAnalysis.chunkDocuments(docs, "doc_id", "text", 3, 3)
+    val rejoined = part.groupBy("doc_id")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rejoined(1L) == "a b c d e f g")
+    assert(rejoined(2L) == "x y")
+    assert(!rejoined.contains(3L), "empty doc must emit no chunks")
+    // overlapping windows: starts 1,3,5,7,9 on 10 tokens at width 4
+    val over = graft.operators.TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 2)
+      .filter(col("doc_id") === 4L)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).sortBy(_._1)
+    assert(over.map(_._2).toSeq == Seq(1, 3, 5, 7, 9), "starts stride by 2 while ≤ n")
+    assert(over.map(_._3).toSeq == Seq(4, 4, 4, 4, 2), "full width until the short tail")
+    assert(over.head._4 == "w1 w2 w3 w4" && over.last._4 == "w9 w10")
+    // n_tok always equals the chunk body's own token count
+    val mism = graft.operators.TextAnalysis.chunkDocuments(docs, "doc_id", "text", 5, 2)
+      .filter(size(split(col("chunk_text"), " ")) =!= col("n_tok")).count()
+    assert(mism == 0)
+  }
+
+  test("lmScoreDocs: hand-computed coverage and integer-scaled probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams: (a,b) (b,c)
+      (3L, "z"))       // no bigrams → no score row
+      .toDF("doc_id", "text")
+    // corpus: n12(a,b)=3 (kept at minCount=2); (b,a)=(b,c)=1 pruned;
+    // n1(a)=3, n1(b)=2 → p(b|a) = 3/3 = 1 → p10 = 10^10
+    val out = graft.operators.TextAnalysis.lmScoreDocs(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "only docs with bigrams are scored")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 3 && d1.getAs[Long]("n_known") == 2)
+    assert(d1.getAs[Double]("coverage") == 2.0 / 3)
+    assert(d1.getAs[Long]("score_scaled") == 2L * 10000000000L)
+    assert(d1.getAs[Long]("mean_p10") == 10000000000L)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_bigrams") == 2 && d2.getAs[Long]("n_known") == 1)
+    assert(d2.getAs[Double]("coverage") == 0.5)
+    assert(d2.getAs[Long]("score_scaled") == 10000000000L)
+    // a doc of ONLY pruned bigrams scores 0 with a null mean
+    val lone = Seq((9L, "q r s")).toDF("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") =!= 9L))
+    val d9 = graft.operators.TextAnalysis.lmScoreDocs(lone, "doc_id", "text", minCount = 2L)
+      .filter(col("doc_id") === 9L).collect()(0)
+    assert(d9.getAs[Long]("n_known") == 0 && d9.getAs[Long]("score_scaled") == 0L)
+    assert(d9.isNullAt(d9.fieldIndex("mean_p10")))
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
