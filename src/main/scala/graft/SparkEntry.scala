@@ -1137,6 +1137,13 @@ object SparkEntry {
     "t14_chunk_documents" -> ((s, dir) => {
       TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 32, 8)
     }),
+    // BPE vocabulary training on the corpus (Sennrich 2016): 10 merge
+    // rounds on the word-frequency table, deterministic (integer pair
+    // counts, lexicographic tie-break) — the merge table compares
+    // exactly against a DuckDB replay of every round.
+    "t15_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 10)
+    }),
 
     // ── Dedup (training-data ops; beyond-reference) ──────────────────────
     // exact dedup over a corpus salted with literal copies.
@@ -3744,6 +3751,7 @@ object SparkEntry {
         |FROM bg g JOIN uni u USING (w1)
         |LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
         |GROUP BY g.doc_id""".stripMargin,
+    "t15_bpe_merges" -> bpeOracleSql(10),
     "t14_chunk_documents" ->
       """WITH tokd AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
@@ -4139,6 +4147,47 @@ object SparkEntry {
   /** Shared oracle for d2/d3: brute-force 3-gram Jaccard ≥ 0.6 over the
     * near-dup corpus (d3's LSH must find exactly these pairs when recall=1).
     */
+  /** DuckDB replay of [[graft.operators.TextAnalysis.bpeTrain]]: a
+    * chained CTE block per merge round — pair counts from the previous
+    * round's vocabulary, the (n DESC, a, b) argmax, and the greedy
+    * bracket-encoded replace — generated for `nMerges` rounds so the
+    * oracle is mechanically in lockstep with the Spark loop (both stop
+    * producing rows once no pair reaches count 2).
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      val prev = s"w${i - 1}"
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+      // reference, and each round references its predecessor several
+      // times — inlined, the chain duplicates the base scan
+      // exponentially (observed: fd exhaustion at 10 rounds)
+      s"""t$i AS MATERIALIZED (
+         |  SELECT a, b, n FROM (
+         |    SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |    FROM (SELECT string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><') AS s, cnt FROM $prev),
+         |         UNNEST(range(1, len(s))) AS t(i)
+         |    GROUP BY 1, 2)
+         |  WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT COUNT(*) FROM t$i) = 1
+         |    THEN replace(enc,
+         |      '<' || (SELECT a FROM t$i) || '><' || (SELECT b FROM t$i) || '>',
+         |      '<' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '>')
+         |    ELSE enc END AS enc, cnt FROM $prev)""".stripMargin
+    }
+    val union = (1 to nMerges)
+      .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, n AS pair_count FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tokd AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(tk) AS w FROM tokd) GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |$union""".stripMargin
+  }
+
   private val ngramJaccardOracle: String =
     s"""WITH $ngramPairCtes
       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) AS jaccard

@@ -406,6 +406,71 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__tk"), col("tok_start"), lit(width))).as("chunk_text"))
   }
 
+  /** BPE vocabulary training on the corpus (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the learn-a-tokenizer-from-the-data shape):
+    * words start as character sequences; each round counts adjacent
+    * symbol pairs weighted by word frequency, merges the most frequent
+    * pair (ties broken lexicographically on (lhs, rhs) — fully
+    * deterministic), and rewrites the vocabulary with greedy
+    * left-to-right non-overlapping replacement. Training stops at
+    * `nMerges` rounds or when no pair reaches `minPairCount`.
+    *
+    * Returns the merge table — (merge_rank, lhs, rhs, merged,
+    * pair_count) — the artifact a tokenizer consumes.
+    *
+    * Scale shape: the corpus is scanned ONCE (word-frequency build);
+    * every merge round then runs on the WORD table — vocabulary-sized,
+    * independent of corpus size — as one pair aggregation + one
+    * single-row argmax collect + one rewrite, checkpointed per round so
+    * plans stay flat. Symbol sequences are encoded as `<sym>` runs
+    * (tokens are [a-z0-9]+, so the brackets can't collide), which makes
+    * the merge a plain string replace whose scan-resume semantics equal
+    * reference BPE's non-overlapping greedy merge.
+    */
+  def bpeTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minPairCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("enc"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val syms = split(regexp_replace(col("enc"), "^<|>$", ""), "><")
+      val top = vocab
+        .select(col("cnt"), syms.as("s"))
+        .select(col("cnt"), explode(zip_with(
+          slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= minPairCount)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, n))
+        // symbols are alphanumeric, so the literals need no escaping
+        vocab = vocab
+          .withColumn("enc", expr(s"replace(enc, '<$a><$b>', '<$a$b>')"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** LM-based document quality scoring (the CCNet signal shape, made
     * engine-exact): a bigram LM is estimated on the corpus itself —
     * conditional counts n12/n1, bigrams pruned below `minCount` — and

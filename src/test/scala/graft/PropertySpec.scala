@@ -349,6 +349,25 @@ class PropertySpec extends SparkSpec {
     assert(d9.isNullAt(d9.fieldIndex("mean_p10")))
   }
 
+  test("bpeTrain: hand-computed merge sequence with greedy non-overlap and early stop") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab"), // "aaab" ×3
+      (2L, "ab cd"))          // "ab" ×1, "cd" ×1
+      .toDF("doc_id", "text")
+    // r1: (a,a)=6 [two positions in aaab ×3] beats (a,b)=4 → merge aa;
+    //     greedy left-to-right: aaab → [aa,a,b] (NOT [a,aa,b])
+    // r2: (a,b)=4 [aaab×3 + ab×1] beats (aa,a)=3 → merge ab
+    // r3: (aa,ab)=3 → merge aaab
+    // r4: only (c,d)=1 < minPairCount → stop at 3 merges
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 4L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
