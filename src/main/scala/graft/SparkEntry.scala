@@ -1144,6 +1144,14 @@ object SparkEntry {
     "t15_bpe_merges" -> ((s, dir) => {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 10)
     }),
+    // the trained merges APPLIED (tokenize): 6 rounds, then every doc
+    // rewritten to its subword stream — train + apply in one gate, the
+    // whole tokenizer lifecycle oracle-checked on exact strings/counts.
+    "t16_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeApply(docs, "doc_id", "text",
+        TextAnalysis.bpeTrain(docs, "text", 6))
+    }),
 
     // ── Dedup (training-data ops; beyond-reference) ──────────────────────
     // exact dedup over a corpus salted with literal copies.
@@ -3752,6 +3760,7 @@ object SparkEntry {
         |LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
         |GROUP BY g.doc_id""".stripMargin,
     "t15_bpe_merges" -> bpeOracleSql(10),
+    "t16_bpe_tokenize" -> bpeApplyOracleSql(6),
     "t14_chunk_documents" ->
       """WITH tokd AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
@@ -4154,7 +4163,7 @@ object SparkEntry {
     * oracle is mechanically in lockstep with the Spark loop (both stop
     * producing rows once no pair reaches count 2).
     */
-  private def bpeOracleSql(nMerges: Int): String = {
+  private def bpeChainSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       val prev = s"w${i - 1}"
       // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
@@ -4169,24 +4178,47 @@ object SparkEntry {
          |    GROUP BY 1, 2)
          |  WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT CASE WHEN (SELECT COUNT(*) FROM t$i) = 1
+         |  SELECT w, CASE WHEN (SELECT COUNT(*) FROM t$i) = 1
          |    THEN replace(enc,
          |      '<' || (SELECT a FROM t$i) || '><' || (SELECT b FROM t$i) || '>',
          |      '<' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || '>')
          |    ELSE enc END AS enc, cnt FROM $prev)""".stripMargin
     }
+    s"""WITH tokd AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(tk) AS w FROM tokd) GROUP BY 1, 2),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
     val union = (1 to nMerges)
       .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, n AS pair_count FROM t$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH tokd AS (
-       |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
-       |  FROM documents),
-       |w0 AS MATERIALIZED (
-       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, COUNT(*) AS cnt
-       |  FROM (SELECT unnest(tk) AS w FROM tokd) GROUP BY 1),
-       |${rounds.mkString(",\n")}
+    s"""${bpeChainSql(nMerges)}
        |$union""".stripMargin
   }
+
+  /** [[bpeChainSql]]'s trained vocabulary applied back to the corpus:
+    * per-word subword splits from the final round's encoding, joined to
+    * the position-exploded token stream and re-assembled per document.
+    */
+  private def bpeApplyOracleSql(nMerges: Int): String =
+    s"""${bpeChainSql(nMerges)},
+       |sub AS (
+       |  SELECT w, string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><') AS subs
+       |  FROM w$nMerges),
+       |tok AS (
+       |  SELECT doc_id, i, tk[i] AS w
+       |  FROM tokd, UNNEST(range(1, len(tk) + 1)) AS t(i))
+       |SELECT doc_id,
+       |  COUNT(*) AS n_tokens,
+       |  CAST(SUM(len(subs)) AS BIGINT) AS n_subwords,
+       |  string_agg(array_to_string(subs, ' '), ' ' ORDER BY i) AS subword_text
+       |FROM tok JOIN sub USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   private val ngramJaccardOracle: String =
     s"""WITH $ngramPairCtes

@@ -471,6 +471,47 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]'s output) to the
+    * corpus — the tokenize step: every document's words are rewritten
+    * into subwords by replaying the merges in rank order. Output one row
+    * per document with at least one token: (idCol, n_tokens,
+    * n_subwords, subword_text) — the space-joined subword stream in
+    * document order.
+    *
+    * Scale shape: the merge table is collected once (driver-side, ≤
+    * merge-count rows) and compiled into ONE chained-replace projection;
+    * that projection runs over the DISTINCT-WORD table (vocabulary-
+    * sized), and documents join their words back by key — the corpus is
+    * scanned once for words and once for the join, never per merge
+    * round.
+    */
+  def bpeApply(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ms = merges.select("merge_rank", "lhs", "rhs").orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val encoded = ms.foldLeft(regexp_replace(col("w"), "(.)", "<$1>")) {
+      case (c, (a, b)) => replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    val wordSubs = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"),
+        split(regexp_replace(encoded, "^<|>$", ""), "><").as("__subs"))
+    docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "w")))
+      .join(wordSubs, "w")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(size(col("__subs"))).as("n_subwords"),
+        concat_ws(" ", flatten(
+          array_sort(collect_list(struct(col("__pos"), col("__subs"))))
+            .getField("__subs"))).as("subword_text"))
+  }
+
   /** LM-based document quality scoring (the CCNet signal shape, made
     * engine-exact): a bigram LM is estimated on the corpus itself —
     * conditional counts n12/n1, bigrams pruned below `minCount` — and

@@ -368,6 +368,34 @@ class PropertySpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpeApply: trained merges tokenize exactly; subwords conserve characters") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "aaab aaab aaab"),
+      (2L, "ab cd"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", 10)
+    val out = graft.operators.TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "aaab" fully merges (ranks aa, ab, aaab); "cd" never reached count 2
+    assert(out(1L).getAs[Long]("n_tokens") == 3 && out(1L).getAs[Long]("n_subwords") == 3)
+    assert(out(1L).getAs[String]("subword_text") == "aaab aaab aaab")
+    assert(out(2L).getAs[Long]("n_tokens") == 2 && out(2L).getAs[Long]("n_subwords") == 3)
+    assert(out(2L).getAs[String]("subword_text") == "ab c d")
+    // character conservation on real data: removing spaces from the
+    // subword stream must reproduce the concatenated token stream
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val applied = graft.operators.TextAnalysis.bpeApply(real, "doc_id", "text",
+      graft.operators.TextAnalysis.bpeTrain(real, "text", 4))
+    val tokStream = real.select(col("doc_id"),
+      concat_ws("", graft.operators.TextAnalysis.tokens(col("text"))).as("chars"))
+    val broken = applied
+      .select(col("doc_id"), regexp_replace(col("subword_text"), " ", "").as("re"))
+      .join(tokStream, "doc_id")
+      .filter(col("re") =!= col("chars")).count()
+    assert(broken == 0, "subword streams must conserve every character")
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
