@@ -3752,9 +3752,9 @@ object SparkEntry {
         |  COUNT(*) AS n_bigrams,
         |  COUNT(b.n12) AS n_known,
         |  CAST(COUNT(b.n12) AS DOUBLE) / COUNT(*) AS coverage,
-        |  CAST(COALESCE(SUM((b.n12 * 10000000000) // u.n1), 0) AS BIGINT) AS score_scaled,
+        |  CAST(COALESCE(SUM((CAST(b.n12 AS HUGEINT) * 10000000000) // u.n1), 0) AS BIGINT) AS score_scaled,
         |  CASE WHEN COUNT(b.n12) > 0
-        |    THEN CAST(COALESCE(SUM((b.n12 * 10000000000) // u.n1), 0) AS BIGINT) // COUNT(b.n12)
+        |    THEN CAST(COALESCE(SUM((CAST(b.n12 AS HUGEINT) * 10000000000) // u.n1), 0) AS BIGINT) // COUNT(b.n12)
         |  END AS mean_p10
         |FROM bg g JOIN uni u USING (w1)
         |LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2

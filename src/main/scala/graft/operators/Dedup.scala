@@ -737,28 +737,23 @@ object Dedup {
     val r =
       if (self) l.toDF("id_b", "vb")
       else right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
-    // one action yields both sides' row counts AND dimensionality: an
-    // EMPTY side is a routine production input (a day with no embeddings)
-    // and must return an empty pair frame, not crash the dim lookup; the
-    // counts also prove small joins dormant for free — a self-join of
-    // ≤ maxBucket vectors cannot exceed the bound (a bucket holds at most
-    // n rows), and a bipartite join with BOTH sides ≤ maxBucket holds at
-    // most nL×nR ≤ maxBucket² candidates in any task. The bipartite form
-    // pays one count scan of the left (by convention the small probe
-    // side) it didn't before — strictly cheaper than the bucket-count
-    // passes it dodges when the verdict is "small".
-    val stats =
-      (if (self) r.agg(lit(1L).as("__nl"), count(lit(1)).as("__nr"), first(size(col("vb"))).as("__d"))
-       else l.agg(count(lit(1)).as("__nl"), lit(0L).as("__nr"), first(size(col("va"))).as("__d"))
-         .unionByName(
-           r.agg(lit(0L).as("__nl"), count(lit(1)).as("__nr"), first(size(col("vb"))).as("__d"))))
-        .agg(sum(col("__nl")), sum(col("__nr")), max(col("__d"))).head()
-    val nLeft = stats.getLong(0)
-    val nRight = stats.getLong(1)
-    if (nRight == 0 || nLeft == 0)
+    // one action yields row count AND dimensionality: an EMPTY side is a
+    // routine production input (a day with no embeddings) and must return
+    // an empty pair frame, not crash the dim lookup; the count also
+    // proves small joins dormant for free — a self-join of ≤ maxBucket
+    // vectors cannot exceed the bound (a bucket holds at most n rows),
+    // and a bipartite join with BOTH sides ≤ maxBucket holds at most
+    // nL×nR ≤ maxBucket² candidates in any task. The left side is sized
+    // with a BOUNDED limit-probe (reads ≤ maxBucket+1 rows, stops there)
+    // and only when the right is already small — a large bipartite join
+    // pays nothing new.
+    val stats = r.agg(count(lit(1)), first(size(col("vb")))).head()
+    val nRight = stats.getLong(0)
+    if (nRight == 0)
       return l.select("id_a").limit(0).crossJoin(r.select("id_b").limit(0))
-    val dim = stats.getInt(2)
-    val smallBoth = nRight <= maxBucket && (self || nLeft <= maxBucket)
+    val dim = stats.getInt(1)
+    val smallBoth = nRight <= maxBucket &&
+      (self || l.select(lit(1)).limit(maxBucket + 1).count() <= maxBucket)
     val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
     // cached only when read twice: the counting path feeds each band
     // frame to its bucket-count pass AND the join (uncached, the
@@ -854,6 +849,12 @@ object Dedup {
       threshold: Double,
       maxCluster: Int = DefaultMaxBucket): DataFrame = {
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    // empty corpus (a day with no embeddings) → empty assignment, not a
+    // crashed dim lookup inside the Lloyd loop — the same contract as
+    // every other embedding operator here
+    if (v.isEmpty)
+      return v.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
+        .limit(0)
     // kmeansLite returns a localCheckpoint'ed frame: the three consumers
     // below (two join sides + the flag join) re-read checkpoint blocks,
     // never the Lloyd loop
@@ -970,17 +971,19 @@ object Dedup {
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
     val idxBand = bandRows(index, "id_y")
-    // the stored counts zone carries the index's row count for free
-    // (every row contributes exactly once to each band): increment ≤
-    // maxBucket AND index ≤ maxBucket prove BOTH joins dormant — any
-    // bucket pair holds at most nInc×nIdx ≤ maxBucket² candidates —
-    // without a single counting pass or driver probe. The early daily
-    // steady state (bounded increment, counts zone maintained, young
-    // corpus) takes this path; a grown index or an absent zone falls
-    // through to the counted grid-salted machinery.
-    val smallBoth = nInc <= maxBucket && indexCounts.exists(c =>
-      c.filter(col("band") === 0).agg(coalesce(sum(col("__n")), lit(0L)))
-        .head().getLong(0) <= maxBucket)
+    // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
+    // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
+    // candidates — without a counting pass or driver probe. The index
+    // side is sized with a BOUNDED limit-probe against the index ITSELF
+    // (reads ≤ maxBucket+1 rows then stops — cheap at any corpus size),
+    // NOT the stored counts zone: the zone is an efficiency artifact
+    // that may legitimately lag the index (crash between index append
+    // and counts merge), and an undercounting zone must never disengage
+    // the defense. The early daily steady state (bounded increment,
+    // young corpus) takes this path; a grown index falls through to the
+    // counted grid-salted machinery.
+    val smallBoth = nInc <= maxBucket &&
+      index.select(lit(1)).limit(maxBucket + 1).count() <= maxBucket
     val (crossDormant, withinDormant, ovCross, ovWithin) =
       if (smallBoth) {
         val none = incBandX.select(col("band"), col("key"),

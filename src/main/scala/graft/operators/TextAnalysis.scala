@@ -369,8 +369,12 @@ object TextAnalysis {
   /** Token-window document chunking with overlap — the context-window
     * preprocessing shape for embedding / retrieval pipelines: each
     * document becomes chunks of up to `width` tokens starting every
-    * `stride` tokens (stride < width ⇒ overlapping windows, stride =
-    * width ⇒ exact partition of the token stream). Chunk starts run
+    * `stride` tokens. Three regimes, chosen by the pair:
+    * stride < width ⇒ overlapping windows; stride = width ⇒ exact
+    * partition of the token stream; stride > width ⇒ SAMPLED disjoint
+    * windows — the stride−width tokens between windows are deliberately
+    * skipped (a corpus-quality spot-check shape), so double-check the
+    * argument order if full coverage is intended. Chunk starts run
     * 1, 1+stride, 1+2·stride, … while ≤ n_tokens, so the final chunk
     * may be short; documents with no tokens emit no chunks.
     *
@@ -557,7 +561,11 @@ object TextAnalysis {
     bg
       .join(uni, "w1") // never drops a row: every bigram's w1 is a unigram
       .join(big, Seq("w1", "w2"), "left")
-      .withColumn("__p10", expr("(n12 * 10000000000) div n1"))
+      // decimal intermediate: a corpus-scale stopword bigram can pass
+      // 10^9 occurrences, where n12 × 10^10 silently wraps a long; the
+      // 38-digit product cannot overflow and `div` lands back in long
+      // (the quotient is ≤ 10^10 since n12 ≤ n1)
+      .withColumn("__p10", expr("(CAST(n12 AS DECIMAL(38,0)) * 10000000000) div n1"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -426,6 +426,8 @@ class DedupSimilaritySpec extends SparkSpec {
     // bipartite join with an empty right side; self-join of an empty frame
     assert(Dedup.embeddingNearDupJoin(vecs, "id", "v", none, "id", "v", 0.9).count() == 0)
     assert(Dedup.embeddingNearDupPairsLsh(none, "id", "v", 0.9).count() == 0)
+    // semantic dedup of an empty corpus: empty assignment, no Lloyd crash
+    assert(Dedup.semanticDedup(none, "id", "v", 4, 2, 0.9).count() == 0)
     // empty increment against a populated index
     val zone = java.nio.file.Files.createTempDirectory("graft_empty_emb").toFile.getAbsolutePath
     Dedup.writeEmbeddingSignatureIndex(spark, s"$zone/idx", vecs, "id", "v", mode = "overwrite")
