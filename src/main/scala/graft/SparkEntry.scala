@@ -1990,6 +1990,27 @@ object SparkEntry {
           slice(col("e"), 2, 10000)).as("e"))
       Dedup.semanticDedup(v.unionByName(probes), "vec_id", "e", 64, 2, 0.95)
     }),
+    // e4's DAILY shape (the e3/d9 pattern for the semantic family): the
+    // day-1 corpus is clustered once into an assignment index; the
+    // increment re-derives the decimal-exact centroids from the STORED
+    // assignment, assigns itself, and runs the ε-ball rule
+    // increment×index + increment×increment — day 1 is never
+    // re-clustered. Oracle = a DuckDB replay of the full derivation
+    // (two Lloyd rounds, third centroid recompute, probe argmin, both
+    // drop rules) — bitwise.
+    "e5_semantic_dedup_incremental" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probes = v.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        concat(
+          array(element_at(col("e"), 1) + lit(0.01)),
+          slice(col("e"), 2, 10000)).as("e"))
+      val index = Dedup.semanticDedup(v, "vec_id", "e", 64, 2, 0.95)
+        .select(col("vec_id").as("id"), col("cluster"))
+        .join(v.select(col("vec_id").as("id"), col("e").as("v")), "id")
+      Dedup.semanticDedupIncremental(index, probes, "vec_id", "e", 0.95)
+    }),
 
     // ── Similarity search (beyond-reference) ─────────────────────────────
     // exact brute-force cosine top-k (rank output, float-free compare).
@@ -3891,6 +3912,64 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
         |      / sqrt(list_sum(list_transform(pe, x -> x*x)))
         |      / sqrt(list_sum(list_transform(e, x -> x*x))) >= 0.99""".stripMargin,
+    // e4's incremental form: day-1 Lloyd rounds verbatim, a THIRD
+    // centroid recompute from the final assignment (what the stored
+    // zone replays), probe argmin against it, then both drop rules
+    "e5_semantic_dedup_incremental" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),
+        |exp1 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a0),
+        |c1 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp1 GROUP BY 1, 2),
+        |cent1 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c1 GROUP BY 1),
+        |d1 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a0, cent1),
+        |a1 AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |exp2 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a1),
+        |c2 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp2 GROUP BY 1, 2),
+        |cent2 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c2 GROUP BY 1),
+        |d2 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM a1, cent2),
+        |fin AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |exp3 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM fin),
+        |c3 AS (SELECT cluster AS cid, pos,
+        |         CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+        |       FROM exp3 GROUP BY 1, 2),
+        |cent3 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c3 GROUP BY 1),
+        |probes AS (
+        |  SELECT vec_id + 10000 AS vec_id, list_prepend(e[1] + 0.01, e[2:]) AS e
+        |  FROM v WHERE vec_id % 10 = 0),
+        |d3 AS (SELECT vec_id, e, cid,
+        |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
+        |       FROM probes, cent3),
+        |pd AS (SELECT vec_id, e, cluster FROM (
+        |         SELECT vec_id, e, cid AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |         FROM d3) WHERE rn = 1),
+        |crossd AS (
+        |  SELECT DISTINCT p.vec_id FROM pd p JOIN fin f ON p.cluster = f.cluster
+        |  WHERE list_sum(list_transform(list_zip(p.e, f.e), x -> x[1]*x[2]))
+        |        / sqrt(list_sum(list_transform(p.e, x -> x*x)))
+        |        / sqrt(list_sum(list_transform(f.e, x -> x*x))) >= 0.95),
+        |withind AS (
+        |  SELECT DISTINCT b.vec_id FROM pd a JOIN pd b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+        |        / sqrt(list_sum(list_transform(a.e, x -> x*x)))
+        |        / sqrt(list_sum(list_transform(b.e, x -> x*x))) >= 0.95),
+        |dropped AS (SELECT vec_id FROM crossd UNION SELECT vec_id FROM withind)
+        |SELECT p.vec_id, p.cluster, d.vec_id IS NULL AS is_kept
+        |FROM pd p LEFT JOIN dropped d ON p.vec_id = d.vec_id""".stripMargin,
     // e2's two deterministic Lloyd rounds verbatim over the planted
     // corpus, then the pairwise within-cluster ε-ball rule
     "e4_semantic_dedup" ->

@@ -882,6 +882,71 @@ object Dedup {
       .select(col("__id").as(idCol), col("cluster"), col("__dup").isNull.as("is_kept"))
   }
 
+  /** Daily companion of [[semanticDedup]] — the e3/d9 shape for the
+    * semantic family: yesterday's published assignment (one row per
+    * corpus vector: `(id, cluster, v)`, the zone [[semanticDedup]]'s
+    * output joins to its vectors) serves as the standing index, and
+    * only the INCREMENT is embedded into it. Centroids are rebuilt
+    * decimal-exactly from the stored assignment (order-independent, so
+    * any engine replays them), the increment assigns to its nearest
+    * centroid with the same fused argmin the batch path uses, and the
+    * ε-ball rule runs increment×index (a new doc matching ANY published
+    * doc drops — the corpus is already committed) plus
+    * increment×increment (keep-smallest-id, the batch rule). Returns
+    * the increment's `(idCol, cluster, is_kept)` only.
+    *
+    * Scale shape: O(increment × k) assignment + cluster-keyed joins
+    * bounded by [[boundedBucketJoin]]'s grid salting — the index is
+    * never re-clustered and never self-joined. The index must be
+    * non-empty (day 1 builds it via [[semanticDedup]]); an empty
+    * increment returns an empty frame.
+    */
+  def semanticDedupIncremental(
+      index: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    val inc = increment.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    if (inc.isEmpty)
+      return inc.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
+        .limit(0)
+    val idx = index.select(col("id"), col("cluster"), col("v").cast("array<double>").as("v"))
+    val dimRow = idx.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "semanticDedupIncremental needs a non-empty index — build day 1 with semanticDedup")
+    val cents = Clustering.centroids(idx, "v", "cluster", dimRow(0).getInt(0))
+    val incA = Clustering.assignFused(inc, "__id", "__v", cents)
+      .select(col("__id"), col("cluster"))
+    // cluster-keyed candidate joins, hot-cluster bounded (band 0 = the
+    // single implicit band); increment counts shared across both joins
+    val ib = incA.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
+      col("__id").as("id_x"))
+    val iCounts = Some(bucketCounts(ib))
+    val zb = idx.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
+      col("id").as("id_y"))
+    val crossDropped = boundedBucketJoin(ib, zb, "id_x", "id_y", maxCluster, xCounts = iCounts)
+      .select("id_x", "id_y")
+      .join(inc.select(col("__id").as("id_x"), col("__v").as("vx")), "id_x")
+      .join(idx.select(col("id").as("id_y"), col("v").as("vy")), "id_y")
+      .filter(SimilaritySearch.cosine(col("vx"), col("vy")) >= threshold)
+      .select(col("id_x").as("__id"))
+    val withinDropped = boundedBucketJoin(
+        ib, ib.withColumnRenamed("id_x", "id_y"), "id_x", "id_y", maxCluster,
+        xCounts = iCounts, yCounts = iCounts)
+      .filter(col("id_x") < col("id_y"))
+      .select("id_x", "id_y")
+      .join(inc.select(col("__id").as("id_x"), col("__v").as("vx")), "id_x")
+      .join(inc.select(col("__id").as("id_y"), col("__v").as("vy")), "id_y")
+      .filter(SimilaritySearch.cosine(col("vx"), col("vy")) >= threshold)
+      .select(col("id_y").as("__id"))
+    val dropped = crossDropped.unionByName(withinDropped).distinct()
+    incA
+      .join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Per-band sign-bit keys as an array (index b = band b's key) — the
     * stored form of [[bandedSignatures]]: banding a stored row back into
     * (band, key) probes is a posexplode, no vector math.

@@ -419,6 +419,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assertSameRows(saltedPath, want, "semanticDedup salted vs dormant")
   }
 
+  test("semanticDedupIncremental: probes vs a persisted assignment zone equal the plain replay") {
+    val v = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val probes = v.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      concat(array(element_at(col("e"), 1) + lit(0.01)), slice(col("e"), 2, 10000)).as("e"))
+    val index = Dedup.semanticDedup(v, "vec_id", "e", 16, 2, 0.95)
+      .select(col("vec_id").as("id"), col("cluster"))
+      .join(v.select(col("vec_id").as("id"), col("e").as("v")), "id")
+    // the zone the daily pipeline would store: parquet roundtrip must be
+    // byte-equivalent input (doubles survive parquet exactly)
+    val zone = java.nio.file.Files.createTempDirectory("e5_zone").toFile.getAbsolutePath
+    index.write.parquet(s"$zone/assign")
+    val got = Dedup.semanticDedupIncremental(
+      spark.read.parquet(s"$zone/assign"), probes, "vec_id", "e", 0.95)
+    // plain replay: same centroids from the stored assignment, same
+    // fused argmin, both drop rules through unbounded cluster joins
+    val cents = graft.operators.Clustering.centroids(index, "v", "cluster",
+      index.select(size(col("v"))).head().getInt(0))
+    val pd = graft.operators.Clustering.assignFused(probes, "vec_id", "e", cents)
+      .select(col("vec_id"), col("cluster"))
+      .join(probes, "vec_id")
+    val crossD = pd.select(col("cluster"), col("vec_id"), col("e"))
+      .join(index.select(col("cluster"), col("v")), "cluster")
+      .filter(SimilaritySearch.cosine(col("e"), col("v")) >= 0.95)
+      .select("vec_id")
+    val withinD = pd.select(col("cluster"), col("vec_id").as("ia"), col("e").as("ea"))
+      .join(pd.select(col("cluster"), col("vec_id").as("ib"), col("e").as("eb")), "cluster")
+      .filter(col("ia") < col("ib"))
+      .filter(SimilaritySearch.cosine(col("ea"), col("eb")) >= 0.95)
+      .select(col("ib").as("vec_id"))
+    val want = pd.select(col("vec_id"), col("cluster"))
+      .join(crossD.unionByName(withinD).distinct().withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__d").isNull.as("is_kept"))
+    assertSameRows(got, want, "incremental semantic dedup vs plain replay")
+    // the planted copies drop (cluster-boundary misses aside), day-1 ids
+    // never appear (the increment is the only thing scored)
+    assert(got.count() == probes.count())
+    assert(got.filter(!col("is_kept")).count() >= (probes.count() * 9) / 10)
+    // empty increment → empty frame, no centroid work
+    assert(Dedup.semanticDedupIncremental(index, probes.limit(0), "vec_id", "e", 0.95).count() == 0)
+  }
+
   test("embedding ops: empty inputs return empty results, never crash the dim lookup") {
     import spark.implicits._
     val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
