@@ -376,7 +376,9 @@ object Dedup {
       mergeBucketCountsZone(
         spark, path,
         bucketCounts(bandedFromSigs(toWrite, numHashes, bands)),
-        replace = mode == "overwrite")
+        replace = mode == "overwrite",
+        recountAll = () =>
+          bucketCounts(bandedFromSigs(readSignatureIndex(spark, path), numHashes, bands)))
       toWrite.unpersist()
       ()
     }
@@ -391,16 +393,27 @@ object Dedup {
     * — the grid decomposition is exact for any split factors — so the
     * side-zone is a pure efficiency artifact: absent → operators count
     * in-plan; stale → the defense is merely mis-tuned, never wrong.
+    *
+    * Self-healing: in append mode, a MISSING counts zone (a crash inside
+    * a previous swap's delete-then-rename window is the one way to lose
+    * it) rebuilds from the FULL index via `recountAll` — seeding from
+    * just this batch would silently discard the whole history's counts,
+    * and an UNDERcounting zone is the one staleness direction that
+    * matters (historical mega-buckets would drop off the oversized
+    * list). The index was written before this call, so the recount
+    * already includes the fresh batch.
     */
   private def mergeBucketCountsZone(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       fresh: DataFrame,
-      replace: Boolean): Unit = {
+      replace: Boolean,
+      recountAll: () => DataFrame): Unit = {
     import graft.sources.Zones
     val target = s"$path/_counts"
     val merged =
-      if (replace || !Zones.exists(spark, s"$target/_SUCCESS")) fresh
+      if (replace) fresh
+      else if (!Zones.exists(spark, s"$target/_SUCCESS")) recountAll()
       else
         Zones.read(spark, target).unionByName(fresh)
           .groupBy("band", "key").agg(sum("__n").as("__n"))
@@ -456,6 +469,10 @@ object Dedup {
     * recompute shingles or hashes.
     */
   private def bandedFromSigs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    // same contract as every pair operator — a non-dividing bands value
+    // would silently truncate r and publish counts keyed on band keys no
+    // reader produces (the defense would never engage, with no error)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     docs.select(
       col("id"),
@@ -991,7 +1008,9 @@ object Dedup {
       spark, path,
       bucketCounts(
         keyed.select(posexplode(col("bkeys")).as(Seq("band", "key")))),
-      replace = mode == "overwrite")
+      replace = mode == "overwrite",
+      recountAll = () => bucketCounts(readEmbeddingSignatureIndex(spark, path)
+        .select(posexplode(col("bkeys")).as(Seq("band", "key")))))
     keyed.unpersist()
     ()
   }

@@ -155,14 +155,26 @@ object Profiling {
     * zone-level (any row containing b no-ops b), so a row's set means
     * "batches applied to the zone while this row existed", and a group
     * absent from some batches accretes no gap-extras. An in-order
-    * feed — the production shape, daily batches or minutes-scale
-    * foreachBatch micro-batches alike — therefore keeps the extras
-    * array EMPTY forever regardless of batches-per-epoch; only ids that
-    * arrive non-contiguously (interleaved backfills) are retained
-    * individually, and more than [[MaxAppliedExtras]] of them per
-    * (epoch, grp) row raises a named error (the feed is then not a
-    * replayable increment stream but a shuffle of history — re-feed in
-    * order, or coarsen `epochExpr`). The set semantics are EXACT: an
+    * GAPLESS feed — the production shape: foreachBatch ids are
+    * checkpoint-monotonic with no holes, daily ids skip nothing —
+    * therefore keeps the extras array EMPTY forever regardless of
+    * batches-per-epoch; only ids that arrive non-contiguously
+    * (interleaved backfills) are retained individually, and more than
+    * [[MaxAppliedExtras]] of them per (epoch, grp) row raises a named
+    * error (the feed is then not a replayable increment stream but a
+    * shuffle of history — re-feed in order, or coarsen `epochExpr`).
+    * CAVEAT — a PERMANENT id gap (an id skipped and never backfilled,
+    * e.g. a day-id feed that missed a calendar day): the single-run
+    * representation cannot bridge it without claiming the missing id
+    * applied (which would silently no-op its late backfill), so rows
+    * spanning the gap retain every post-gap id as an extra — bounded by
+    * the row's remaining batches-per-epoch and stopped by the same
+    * named cap, never silent. If a feed legitimately has permanent gaps
+    * at a scale where one epoch sees > [[MaxAppliedExtras]] post-gap
+    * batches, coarsen the ids or close the gap with an empty-batch
+    * merge carrying the missing id; a multi-run representation would
+    * lift the limit and is the structural upgrade path. The set
+    * semantics are EXACT: an
     * id is applied iff it is in the run or in the extras.
     *
     * LEGACY-ZONE REPLAY CAVEAT: a zone written before the applied-set

@@ -199,6 +199,24 @@ object CorpusRun {
     val paraFpPath = s"$whDir/corpus/para_fp"
     val statsPath = s"$whDir/corpus/stats"
 
+    // A day whose MONTH has already been folded cannot be (re)run: its
+    // prior-days probe filter (`ingest_day < runDate`) would admit the
+    // whole month partition — including sibling days AFTER this date —
+    // so the retry would see future state and drop docs/paragraphs the
+    // pre-fold semantics would have published. Day-level identity is
+    // gone from a folded partition, so this is unrecoverable — fail
+    // loudly instead of silently changing the retry's output. Forward
+    // operation never hits this (folding waits RetentionKeepDays);
+    // only a months-late retry/backfill can.
+    val runMonth = runDate.substring(0, 7)
+    Seq(fpPath, sigPath, paraFpPath).foreach { p =>
+      require(!listIngestDays(spark, p).contains(runMonth),
+        s"corpus day $runDate cannot be (re)run: month $runMonth is already " +
+          s"folded in $p — day-level prior-days semantics are unrecoverable " +
+          "after the fold (re-run before compaction's retention horizon, or " +
+          "rebuild the zone day-granular first)")
+    }
+
     // [1] increment + quality suite. Corrupt files quarantine, not kill
     // (the DailyRun policy); the loss is surfaced in the ledger message.
     // Each doc is attributed to its FIRST matching drop rule (one
@@ -487,11 +505,6 @@ object CorpusRun {
       listIngestDays(spark, path)
         .filter(v => v.length == 10 && v.substring(0, 7) < cutoffMonth && foldEligible(v))
 
-    def dynamicOverwrite(df: DataFrame, path: String): Unit =
-      df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_day").parquet(path)
-
     // probe zones: fold closed months' day partitions into month partitions
     def foldProbe(path: String): Option[String] = {
       val fs = fsFor(path)
@@ -503,7 +516,22 @@ object CorpusRun {
       // and the next regular fold re-converges). A partial stage
       // (no _SUCCESS) is discarded — the old layout is still intact.
       if (Zones.exists(spark, s"$tmp/_SUCCESS")) {
-        dynamicOverwrite(spark.read.parquet(tmp), path)
+        dayOverwrite(spark.read.parquet(tmp), path)
+        // finish the crashed pass's step [3] too: the stage holds its
+        // months' FULL content, so the fold-eligible day dirs of those
+        // months are exactly what the crashed pass was about to delete.
+        // Leaving them would make the NEXT fold read every such row
+        // twice (day copy ∪ month copy) and bake the duplicates into
+        // the month permanently — distinct'ing instead would corrupt
+        // the summed sig_counts zone, so completing the delete is the
+        // only sound convergence.
+        val stagedMonths = fs.listStatus(tmpPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("ingest_day="))
+          .map(_.stripPrefix("ingest_day=")).toSet
+        foldableDays(path)
+          .filter(d => stagedMonths.contains(d.substring(0, 7)))
+          .foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
         fs.delete(tmpPath, true)
         spark.catalog.refreshByPath(path)
       } else if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
@@ -520,7 +548,7 @@ object CorpusRun {
         // [1] durable stage (source files untouched while it writes)
         folded.write.mode("overwrite").partitionBy("ingest_day").parquet(tmp)
         // [2] month partitions overwritten FROM the staged files
-        dynamicOverwrite(spark.read.parquet(tmp), path)
+        dayOverwrite(spark.read.parquet(tmp), path)
         // [3] folded day dirs die; [4] stage cleared
         days.foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))

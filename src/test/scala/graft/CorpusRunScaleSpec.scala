@@ -321,4 +321,86 @@ class CorpusRunScaleSpec extends SparkSpec {
     assert(docsAfter == docsBefore, "half-swapped docs day must be completed from the stage")
     assert(!fs.exists(dstage), "docs recovery must clear the stage")
   }
+
+  test("compaction crash BETWEEN month overwrite and day deletes: recovery finishes the deletes, no doubling") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_crash2").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def doc(i: Long) =
+      (i, s"x${i}a x${i}b x${i}c x${i}d x${i}e x${i}f x${i}g x${i}h", s"s${i % 3}")
+    def run(tag: String, rows: Seq[(Long, String, String)], ts: String): Unit = {
+      val dir = s"$tmp/in_$tag"
+      rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+      assert(CorpusRun.run(spark, dir, wh, ts) == "SUCCESS")
+    }
+    run("a", Seq(doc(1), doc(2)), "2026-01-10 02:00:00")
+    run("b", Seq(doc(3)), "2026-01-11 02:00:00")
+    val fpZone = s"$wh/corpus/fingerprints"
+    val countsZone = s"$wh/corpus/sig_counts"
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(wh).getFileSystem(hconf)
+    // snapshot the day dirs so the crash window can be reconstructed
+    val snap = new Path(s"$tmp/snap")
+    fs.mkdirs(snap)
+    Seq(fpZone, countsZone).foreach { z =>
+      val zs = new Path(snap, z.split('/').last); fs.mkdirs(zs)
+      fs.listStatus(new Path(z)).map(_.getPath)
+        .filter(_.getName.startsWith("ingest_day="))
+        .foreach(d => FileUtil.copy(fs, d, fs, zs, false, true, hconf))
+    }
+    def fpMultiset() = spark.read.parquet(fpZone)
+      .select("fp").collect().map(_.getString(0)).toSeq.sorted
+    def countsTotal() = spark.read.parquet(countsZone)
+      .agg(sum(col("__n"))).head().getLong(0)
+    val wantFps = fpMultiset()
+    val wantTotal = countsTotal()
+    CorpusRun.compactZones(spark, wh, "2026-04-15")
+    // reconstruct the window: month partitions committed ([2] done), day
+    // dirs still present ([3] not yet run), completed stage on disk
+    Seq(fpZone, countsZone).foreach { z =>
+      val month = new Path(s"$z/ingest_day=2026-01")
+      val stage = new Path(s"$z/.fold_tmp")
+      fs.mkdirs(stage)
+      FileUtil.copy(fs, month, fs, stage, false, true, hconf)
+      fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+      fs.listStatus(new Path(s"$snap/${z.split('/').last}")).map(_.getPath)
+        .foreach(d => FileUtil.copy(fs, d, fs, new Path(z), false, true, hconf))
+      spark.catalog.refreshByPath(z)
+    }
+    // recovery must replay the overwrite AND finish the day deletes; a
+    // recovery that keeps the day dirs makes the NEXT fold read every
+    // row twice and bake the duplicates into the month permanently
+    CorpusRun.compactZones(spark, wh, "2026-04-15")
+    assert(fpMultiset() == wantFps, "fp multiset must survive crash recovery undoubled")
+    assert(countsTotal() == wantTotal, "summed sig_counts must survive crash recovery undoubled")
+    Seq(fpZone, countsZone).foreach { z =>
+      val days = fs.listStatus(new Path(z)).map(_.getPath.getName)
+        .filter(_.startsWith("ingest_day=")).map(_.stripPrefix("ingest_day=")).toSeq
+      assert(days.forall(_.length == 7), s"day dirs must be gone after recovery in $z: $days")
+    }
+    // and the state is a fixed point: another pass changes nothing
+    CorpusRun.compactZones(spark, wh, "2026-04-15")
+    assert(fpMultiset() == wantFps && countsTotal() == wantTotal,
+      "recovered layout must be a compaction fixed point")
+  }
+
+  test("a day whose month has been folded refuses to (re)run") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_folded_retry").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val dir = s"$tmp/in"
+    Seq((1L, "y1a y1b y1c y1d y1e y1f y1g y1h", "s0"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+    assert(CorpusRun.run(spark, dir, wh, "2026-01-10 02:00:00") == "SUCCESS")
+    CorpusRun.compactZones(spark, wh, "2026-04-15")
+    // a retry of ANY January day would probe the folded month partition
+    // as "prior days" and see siblings AFTER its own date — unrecoverable
+    // day-level semantics, so the run must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusRun.run(spark, dir, wh, "2026-01-20 02:00:00")
+    }
+    assert(e.getMessage.contains("already") && e.getMessage.contains("folded"),
+      s"error must name the folded month: ${e.getMessage}")
+  }
 }

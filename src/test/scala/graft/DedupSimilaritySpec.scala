@@ -381,6 +381,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.55, s"random-data recall@10 = $recall (probe baseline 0.5)")
   }
 
+  test("counts side-zone self-heals from the index after a crash-lost _counts dir") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("graft_counts_heal")
+      .toFile.getAbsolutePath + "/idx"
+    val rnd = new scala.util.Random(13)
+    def vecs(from: Long, n: Int) =
+      (from until from + n).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, vecs(0L, 30), "id", "v",
+      bands = 4, bitsPerBand = 4, mode = "overwrite")
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, vecs(100L, 30), "id", "v",
+      bands = 4, bitsPerBand = 4)
+    // crash inside the counts swap's delete-then-rename window: the
+    // side-zone is gone, the index survives
+    val fs = new org.apache.hadoop.fs.Path(zone)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$zone/_counts"), true)
+    assert(Dedup.readBucketCounts(spark, zone).isEmpty)
+    // the next append must rebuild the FULL history's counts from the
+    // index itself — seeding from just its own batch would leave
+    // historical mega-buckets off the oversized list silently
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, vecs(200L, 30), "id", "v",
+      bands = 4, bitsPerBand = 4)
+    val healed = Dedup.readBucketCounts(spark, zone).get
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth = Dedup.readEmbeddingSignatureIndex(spark, zone)
+      .select(posexplode(col("bkeys")).as(Seq("band", "key")))
+      .groupBy("band", "key").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(healed == truth, "healed counts must equal a full recount of the index")
+  }
+
   test("semanticDedup equals the brute-force within-cluster ε-ball rule") {
     val v = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

@@ -503,6 +503,37 @@ class ModulesSpec extends SparkSpec {
       "older legacy id re-merges after upgrade — the documented caveat")
   }
 
+  test("stats zone: a permanent batch-id gap retains post-gap extras exactly; a late backfill closes it") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val tmp = java.nio.file.Files.createTempDirectory("graft_statsgap").toFile.getAbsolutePath
+    val zone = s"$tmp/stats"
+    def batch(k0: Long) = Seq(("2024-01", k0, 1.0)).toDF("day", "k", "v")
+    def merge(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      Profiling.mergeStatsIncrement(spark, df, zone,
+        epochExpr = "day", groupExpr = "'g'", valueExpr = "v", keyExpr = "k",
+        batchId = Some(id))
+    Seq(0L, 1L, 2L).foreach(i => assert(merge(batch(i), i)))
+    // id 3 skipped — the documented single-run caveat: post-gap ids are
+    // retained individually (exact, bounded by the cap, never silent)
+    Seq(4L, 5L, 6L).foreach(i => assert(merge(batch(i), i)))
+    def guard() = spark.read.parquet(zone)
+      .select("applied_base", "applied_floor", "applied").head()
+    val g1 = guard()
+    assert(g1.getLong(1) == 2L, s"dense run must stop at the gap: $g1")
+    assert(g1.getSeq[Long](2) == Seq(4L, 5L, 6L), s"post-gap ids retained as extras: $g1")
+    // replay guard stays exact across the gap
+    assert(!merge(batch(4L), 4L), "post-gap replay must no-op")
+    // the late backfill of the MISSING id merges (a run spanning the gap
+    // would have claimed it applied and silently dropped this) …
+    assert(merge(batch(3L), 3L), "the gap id itself must still merge")
+    // … and compaction then absorbs the whole chain back into one run
+    val g2 = guard()
+    assert(g2.getLong(0) == 0L && g2.getLong(1) == 6L && g2.getSeq[Long](2).isEmpty,
+      s"closed gap must re-compact to a single dense run: $g2")
+    assert(!merge(batch(3L), 3L), "replayed backfill must no-op after compaction")
+  }
+
   test("streaming: gap sessionization closes sessions after inactivity") {
     import spark.implicits._
     val rows = Seq(
