@@ -357,4 +357,49 @@ class PlanAuditSpec extends SparkSpec {
     }.size).sum
     assert(literalCount < 1000, s"plan carries $literalCount literals — matrix leaked into tree")
   }
+
+  test("e5: incremental semantic dedup scans the assignment zone; every join is an equi-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val zone = java.nio.file.Files.createTempDirectory("e5_audit")
+      .toFile.getAbsolutePath + "/assign"
+    val rnd = new scala.util.Random(5)
+    val day1 = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "e")
+    graft.operators.Dedup.semanticDedup(day1, "vec_id", "e", 8, 2, 0.95)
+      .select(col("vec_id").as("id"), col("cluster"))
+      .join(day1.select(col("vec_id").as("id"), col("e").as("v")), "id")
+      .write.parquet(zone)
+    val inc = (100L until 110L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "e")
+    val out = graft.operators.Dedup.semanticDedupIncremental(
+      spark.read.parquet(zone), inc, "vec_id", "e", 0.95)
+    val p = out.queryExecution.executedPlan.toString
+    // in-memory increment → the only legitimate FILE scan is the zone:
+    // the daily path must never re-read (let alone re-cluster) the corpus
+    // from anywhere else
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("e5_audit")),
+      s"plan scans files beyond the assignment zone:\n${scans.mkString("\n")}")
+    // cluster-keyed candidate joins + vector join-backs are equi-joins;
+    // an inequality fallback would put the quadratic on one task
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental semantic dedup fell back to an all-pairs join:\n$p")
+    assert(out.count() == 10)
+  }
+
+  test("e4/t16: semantic dedup and BPE tokenize plans stay equi-join only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val vecs = (0L until 80L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "e")
+    val e4 = graft.operators.Dedup.semanticDedup(vecs, "vec_id", "e", 8, 2, 0.95)
+    val pe4 = e4.queryExecution.executedPlan.toString
+    assert(!pe4.contains("CartesianProduct") && !pe4.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup fell back to an all-pairs join:\n$pe4")
+    val docs = Seq((1L, "a b c a b c d e"), (2L, "a b d e f g")).toDF("doc_id", "text")
+    val t16 = graft.operators.TextAnalysis.bpeApply(docs, "doc_id", "text",
+      graft.operators.TextAnalysis.bpeTrain(docs, "text", 4))
+    val pt16 = t16.queryExecution.executedPlan.toString
+    assert(!pt16.contains("CartesianProduct") && !pt16.contains("BroadcastNestedLoopJoin"),
+      s"bpeApply fell back to an all-pairs join:\n$pt16")
+    assert(t16.count() == 2)
+  }
 }
