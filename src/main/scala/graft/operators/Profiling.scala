@@ -163,17 +163,14 @@ object Profiling {
     * [[MaxAppliedExtras]] of them per (epoch, grp) row raises a named
     * error (the feed is then not a replayable increment stream but a
     * shuffle of history — re-feed in order, or coarsen `epochExpr`).
-    * CAVEAT — a PERMANENT id gap (an id skipped and never backfilled,
-    * e.g. a day-id feed that missed a calendar day): the single-run
-    * representation cannot bridge it without claiming the missing id
-    * applied (which would silently no-op its late backfill), so rows
-    * spanning the gap retain every post-gap id as an extra — bounded by
-    * the row's remaining batches-per-epoch and stopped by the same
-    * named cap, never silent. If a feed legitimately has permanent gaps
-    * at a scale where one epoch sees > [[MaxAppliedExtras]] post-gap
-    * batches, coarsen the ids or close the gap with an empty-batch
-    * merge carrying the missing id; a multi-run representation would
-    * lift the limit and is the structural upgrade path. The set
+    * A PERMANENT id gap (an id skipped and never backfilled, e.g. a
+    * day-id feed that missed a calendar day) cannot be bridged without
+    * claiming the missing id applied (which would silently no-op its
+    * late backfill) — instead the contiguous post-gap ids compact into
+    * a STORED RUN of their own (`applied_runs`, up to
+    * [[MaxAppliedRuns]] beyond the dense run): per-row cost is one
+    * struct per unfilled gap, forever, regardless of batches-per-epoch;
+    * backfilling the gap id merges the runs back into one. The set
     * semantics are EXACT: an
     * id is applied iff it is in the run or in the extras.
     *
@@ -199,45 +196,64 @@ object Profiling {
     * tmp dir ([[graft.sources.Zones.overwriteSwap]]'s contract), so
     * the zone stays readable throughout.
     */
-  /** Out-of-order ids retained per row before the merge refuses with a
-    * named error. In-order feeds never retain any (they ride the dense
-    * run); this only bounds adversarial/shuffled feeds.
+  /** Out-of-order SINGLETON ids retained per row before the merge
+    * refuses with a named error. In-order feeds never retain any (they
+    * ride the dense run); contiguous out-of-order segments compact into
+    * [[MaxAppliedRuns]] stored runs first, so this only bounds
+    * adversarial/shuffled feeds.
     */
   val MaxAppliedExtras = 4096
 
-  /** Is `b` in the row's applied set: inside the dense run OR among the
-    * extras. The exact replay predicate.
+  /** Disjoint multi-id runs stored per row BEYOND the widest (dense)
+    * run — one per permanent id gap, so a feed with `k` unfilled gaps
+    * costs `k` structs per row forever instead of one extra per
+    * post-gap batch. More than this many gaps is a shuffled feed, and
+    * the narrowest runs spill toward the extras cap.
+    */
+  val MaxAppliedRuns = 64
+
+  /** Is `b` in the row's applied set: inside the dense run, inside a
+    * stored gap run, OR among the extras. The exact replay predicate.
     */
   private def appliedContains(b: Column): Column =
     (col("applied_floor") >= col("applied_base") &&
       b.between(col("applied_base"), col("applied_floor"))) ||
+      exists(col("applied_runs"),
+        r => b >= r.getField("base") && b <= r.getField("floor")) ||
       array_contains(col("applied"), b)
 
   /** Range-compact the applied sets collected per (epoch, grp) during a
-    * merge: input columns `__rngs` (array of {base, floor} dense runs)
-    * and `__exs` (flattened extras), output columns `applied_base` /
-    * `applied_floor` / `applied`. Pure column expressions — three
-    * bounded array folds, no shuffle beyond the enclosing aggregation:
-    *   [1] sort runs by base, fold overlapping/adjacent ones into
-    *       disjoint runs, keep the WIDEST as the dense run (a mature
-    *       zone's multi-year run is never truncated by a backfill);
-    *       the rest — singletons in the single-writer protocol — spill
-    *       to the extras;
-    *   [2] extras adjacent above the run absorb into the floor, those
-    *       adjacent below absorb into the base (an empty run seeds from
-    *       the smallest candidate first);
-    *   [3] what remains are genuinely out-of-order ids — capped at
+    * merge: input columns `__rngs` (array of {base, floor} runs) and
+    * `__exs` (flattened extras), output columns `applied_base` /
+    * `applied_floor` / `applied_runs` / `applied`. Pure column
+    * expressions — two bounded array folds, no shuffle beyond the
+    * enclosing aggregation:
+    *   [1] runs AND extras (as degenerate runs) sort by base and fold
+    *       into disjoint runs — absorption is uniform: an id adjacent
+    *       to any run joins it, a contiguous chain coalesces;
+    *   [2] the WIDEST run is the dense run, the next
+    *       [[MaxAppliedRuns]] multi-id runs store as `applied_runs`
+    *       (one struct per permanent id gap), singleton runs go to the
+    *       extras;
+    *   [3] beyond-cap runs spill id-by-id into the extras — capped at
     *       [[MaxAppliedExtras]] with a named raise_error.
     * Exposed private[graft] so the spec can drive thousands of ids
     * through the production fold in one select.
     */
   private[graft] def compactApplied(grouped: DataFrame): DataFrame = {
     val cap = MaxAppliedExtras
+    val runCap = MaxAppliedRuns
     grouped
-      // [1a] sorted runs fold into DISJOINT runs (adjacent/overlapping merge)
+      // [1] runs ∪ extras-as-degenerate-runs, sorted by base, fold into
+      // DISJOINT runs (adjacent/overlapping merge). Feeding the extras
+      // through the same fold is what makes absorption uniform: an extra
+      // adjacent to any run joins it here, and a contiguous post-gap
+      // chain coalesces into ONE run instead of one extra per id
       .withColumn("__runs", expr(
         """aggregate(
-          |  array_sort(filter(__rngs, r -> r.floor >= r.base)),
+          |  array_sort(concat(
+          |    filter(__rngs, r -> r.floor >= r.base),
+          |    transform(array_distinct(__exs), e -> named_struct('base', e, 'floor', e)))),
           |  cast(array() as array<struct<base: bigint, floor: bigint>>),
           |  (acc, r) -> case
           |    when size(acc) = 0 then array(r)
@@ -248,60 +264,38 @@ object Profiling {
           |               'floor', greatest(element_at(acc, -1).floor, r.floor))))
           |    else concat(acc, array(r))
           |  end)""".stripMargin))
-      // [1b] the WIDEST run survives as the dense run (never truncated —
-      // a mature zone's multi-year run must not spill for one backfill);
-      // the others, singletons in the single-writer protocol, spill
-      .withColumn("__bi", expr(
-        """aggregate(__runs,
-          |  named_struct('bi', 0, 'bw', cast(-1 as bigint), 'i', 0),
-          |  (acc, r) -> if(r.floor - r.base > acc.bw,
-          |    named_struct('bi', acc.i, 'bw', r.floor - r.base, 'i', acc.i + 1),
-          |    named_struct('bi', acc.bi, 'bw', acc.bw, 'i', acc.i + 1))).bi""".stripMargin))
-      .withColumn("__rest", expr("filter(__runs, (r, i) -> i != __bi)"))
-      .withColumn("__rf", expr(
-        s"""named_struct(
-           |  'base', coalesce(element_at(__runs, __bi + 1).base, cast(0 as bigint)),
-           |  'floor', coalesce(element_at(__runs, __bi + 1).floor, cast(-1 as bigint)),
-           |  'spill', flatten(transform(__rest,
-           |    r -> sequence(r.base, least(r.floor, r.base + $cap)))),
-           |  'ovf', exists(__rest, r -> r.floor > r.base + $cap))""".stripMargin))
-      .withColumn("__cand", expr(
-        """filter(
-          |  array_sort(array_distinct(concat(__exs, __rf.spill))),
-          |  e -> __rf.floor < __rf.base or e < __rf.base or e > __rf.floor)""".stripMargin))
-      // empty run seeds from the first (smallest) candidate
-      .withColumn("__base0", expr(
-        "if(__rf.floor < __rf.base and size(__cand) > 0, __cand[0], __rf.base)"))
-      .withColumn("__floor0", expr(
-        "if(__rf.floor < __rf.base and size(__cand) > 0, __cand[0], __rf.floor)"))
-      .withColumn("__cand0", expr(
-        "if(__rf.floor < __rf.base and size(__cand) > 0, slice(__cand, 2, size(__cand)), __cand)"))
-      .withColumn("__up", expr(
-        """aggregate(
-          |  filter(__cand0, e -> e > __floor0),
-          |  named_struct('floor', __floor0, 'kept', cast(array() as array<bigint>)),
-          |  (acc, e) -> if(e = acc.floor + 1,
-          |    named_struct('floor', e, 'kept', acc.kept),
-          |    named_struct('floor', acc.floor, 'kept', concat(acc.kept, array(e)))))""".stripMargin))
-      .withColumn("__down", expr(
-        """aggregate(
-          |  reverse(filter(__cand0, e -> e < __base0)),
-          |  named_struct('base', __base0, 'kept', cast(array() as array<bigint>)),
-          |  (acc, e) -> if(e = acc.base - 1,
-          |    named_struct('base', e, 'kept', acc.kept),
-          |    named_struct('base', acc.base, 'kept', concat(acc.kept, array(e)))))""".stripMargin))
-      .withColumn("applied_base", col("__down.base"))
-      .withColumn("applied_floor", col("__up.floor"))
+      // [2] order by width desc (tie: base asc — lexicographic on
+      // (base - floor, base)): the WIDEST run survives as the dense run
+      // (a mature zone's multi-year run is never truncated by a
+      // backfill), the next runCap MULTI-id runs are stored as runs
+      // (one per permanent gap), singletons go to the extras, and
+      // beyond-cap runs spill id-by-id
+      .withColumn("__byw", expr(
+        "array_sort(transform(__runs, r -> named_struct('w', r.base - r.floor, 'base', r.base, 'floor', r.floor)))"))
+      .withColumn("applied_base", expr("coalesce(element_at(__byw, 1).base, cast(0 as bigint))"))
+      .withColumn("applied_floor", expr("coalesce(element_at(__byw, 1).floor, cast(-1 as bigint))"))
+      .withColumn("__tail", expr("slice(__byw, 2, greatest(size(__byw) - 1, 0))"))
+      .withColumn("__multi", expr("filter(__tail, r -> r.floor > r.base)"))
+      .withColumn("__single", expr("transform(filter(__tail, r -> r.floor = r.base), r -> r.base)"))
+      .withColumn("applied_runs", expr(
+        s"array_sort(transform(slice(__multi, 1, $runCap), r -> named_struct('base', r.base, 'floor', r.floor)))"))
+      .withColumn("__over", expr(
+        s"slice(__multi, ${runCap + 1}, greatest(size(__multi) - $runCap, 0))"))
+      // [3] what remains are genuinely out-of-order ids — capped at
+      // [[MaxAppliedExtras]] with a named raise_error
+      .withColumn("__spill", expr(
+        s"flatten(transform(__over, r -> sequence(r.base, least(r.floor, r.base + $cap))))"))
+      .withColumn("__ovf", expr(s"exists(__over, r -> r.floor > r.base + $cap)"))
       .withColumn("applied", expr(
-        s"""case when __rf.ovf or size(__down.kept) + size(__up.kept) > $cap then
+        s"""case when __ovf or size(__single) + size(__spill) > $cap then
            |  cast(raise_error(concat(
            |    'stats zone applied-id overflow for epoch=', epoch, ' grp=', grp,
            |    ': more than $cap out-of-order batch ids retained after range ',
            |    'compaction — the feed is a shuffle of history, not an increment ',
            |    'stream; re-feed in id order or coarsen epochExpr')) as array<bigint>)
-           |else array_sort(concat(__down.kept, __up.kept)) end""".stripMargin))
-      .drop("__rngs", "__exs", "__runs", "__bi", "__rest", "__rf", "__cand",
-        "__base0", "__floor0", "__cand0", "__up", "__down")
+           |else array_sort(concat(__single, __spill)) end""".stripMargin))
+      .drop("__rngs", "__exs", "__runs", "__byw", "__tail", "__multi",
+        "__single", "__over", "__spill", "__ovf")
   }
 
   /** Upgrade any stored zone layout to the current guard schema:
@@ -317,10 +311,14 @@ object Profiling {
       else withHwm.withColumn("applied",
         when(col("hwm") >= 0, array(col("hwm")))
           .otherwise(expr("cast(array() as array<bigint>)")))
-    if (withApplied.columns.contains("applied_base")) withApplied
-    else withApplied
-      .withColumn("applied_base", lit(0L))
-      .withColumn("applied_floor", lit(-1L))
+    val withRun =
+      if (withApplied.columns.contains("applied_base")) withApplied
+      else withApplied
+        .withColumn("applied_base", lit(0L))
+        .withColumn("applied_floor", lit(-1L))
+    if (withRun.columns.contains("applied_runs")) withRun
+    else withRun.withColumn("applied_runs",
+      expr("cast(array() as array<struct<base: bigint, floor: bigint>>)"))
   }
 
   def mergeStatsIncrement(
@@ -349,6 +347,8 @@ object Profiling {
       val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
         .withColumn("hwm", lit(hwm))
         .withColumn("applied", expr("cast(array() as array<bigint>)"))
+        .withColumn("applied_runs",
+          expr("cast(array() as array<struct<base: bigint, floor: bigint>>)"))
         .withColumn("applied_base", lit(hwm))
         .withColumn("applied_floor", lit(hwm))
       val merged = cur match {
@@ -362,8 +362,9 @@ object Profiling {
                 expr("kll_merge_agg(value_kll)").as("value_kll"),
                 expr("hll_union_agg(key_hll)").as("key_hll"),
                 max("hwm").as("hwm"),
-                expr("collect_list(named_struct('base', applied_base, 'floor', applied_floor))")
-                  .as("__rngs"),
+                expr("""flatten(collect_list(concat(
+                  array(named_struct('base', applied_base, 'floor', applied_floor)),
+                  applied_runs)))""").as("__rngs"),
                 flatten(collect_list("applied")).as("__exs"))
               // EVERY row absorbs this batch's id, not only rows the
               // increment touched: the replay guard is zone-level (any

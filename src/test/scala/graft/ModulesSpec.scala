@@ -503,7 +503,7 @@ class ModulesSpec extends SparkSpec {
       "older legacy id re-merges after upgrade — the documented caveat")
   }
 
-  test("stats zone: a permanent batch-id gap retains post-gap extras exactly; a late backfill closes it") {
+  test("stats zone: a permanent batch-id gap stores one extra run; a late backfill closes it") {
     import spark.implicits._
     import graft.operators.Profiling
     val tmp = java.nio.file.Files.createTempDirectory("graft_statsgap").toFile.getAbsolutePath
@@ -514,14 +514,18 @@ class ModulesSpec extends SparkSpec {
         epochExpr = "day", groupExpr = "'g'", valueExpr = "v", keyExpr = "k",
         batchId = Some(id))
     Seq(0L, 1L, 2L).foreach(i => assert(merge(batch(i), i)))
-    // id 3 skipped — the documented single-run caveat: post-gap ids are
-    // retained individually (exact, bounded by the cap, never silent)
+    // id 3 skipped — the post-gap chain compacts into a STORED RUN of
+    // its own: per-row cost is one struct per permanent gap, forever,
+    // not one extra per post-gap batch
     Seq(4L, 5L, 6L).foreach(i => assert(merge(batch(i), i)))
     def guard() = spark.read.parquet(zone)
-      .select("applied_base", "applied_floor", "applied").head()
+      .select("applied_base", "applied_floor", "applied", "applied_runs").head()
+    def runs(r: org.apache.spark.sql.Row): Seq[(Long, Long)] =
+      r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getLong(0), x.getLong(1)))
     val g1 = guard()
     assert(g1.getLong(1) == 2L, s"dense run must stop at the gap: $g1")
-    assert(g1.getSeq[Long](2) == Seq(4L, 5L, 6L), s"post-gap ids retained as extras: $g1")
+    assert(runs(g1) == Seq((4L, 6L)), s"post-gap chain must store as ONE run: $g1")
+    assert(g1.getSeq[Long](2).isEmpty, s"no per-batch extras growth across the gap: $g1")
     // replay guard stays exact across the gap
     assert(!merge(batch(4L), 4L), "post-gap replay must no-op")
     // the late backfill of the MISSING id merges (a run spanning the gap
@@ -529,7 +533,8 @@ class ModulesSpec extends SparkSpec {
     assert(merge(batch(3L), 3L), "the gap id itself must still merge")
     // … and compaction then absorbs the whole chain back into one run
     val g2 = guard()
-    assert(g2.getLong(0) == 0L && g2.getLong(1) == 6L && g2.getSeq[Long](2).isEmpty,
+    assert(g2.getLong(0) == 0L && g2.getLong(1) == 6L &&
+      g2.getSeq[Long](2).isEmpty && runs(g2).isEmpty,
       s"closed gap must re-compact to a single dense run: $g2")
     assert(!merge(batch(3L), 3L), "replayed backfill must no-op after compaction")
   }
