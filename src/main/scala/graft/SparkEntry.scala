@@ -324,6 +324,13 @@ object SparkEntry {
         col("p_retailprice"))
       Profiling.profile(src, Seq("p_brand", "p_size", "p_retailprice"))
     }),
+    // join-key skew report: the pre-join hot-key sweep that decides
+    // whether a shuffle key needs sk1's salting — exact counts, ties on
+    // the smallest key string, ratios as correctly-rounded divisions of
+    // exact longs.
+    "a22_skew_report" -> ((s, dir) => {
+      Profiling.skewReport(t(s, dir, "events"), "user_id")
+    }),
     // snapshot-diff CDC: the insert/update/delete delta between two full
     // snapshots (the same mutations the SCD2 gates replay), from ONE
     // full-outer hash join — the standalone form of what the reference's
@@ -2765,6 +2772,18 @@ object SparkEntry {
     "k5_knn_ivf_incremental" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
         |  TRUE AS recall_ge_090""".stripMargin,
+    "a22_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10),
+        |o AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM c),
+        |t1 AS (SELECT key AS max_key, n AS max_key_n FROM t ORDER BY n DESC, key LIMIT 1),
+        |ts AS (SELECT CAST(SUM(n) AS BIGINT) AS top10_n FROM t)
+        |SELECT n_rows, n_keys, max_key, max_key_n, top10_n,
+        |  max_key_n / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio,
+        |  CAST(top10_n AS DOUBLE) / n_rows AS top10_share
+        |FROM o, t1, ts""".stripMargin,
     "a16_column_profile" ->
       """WITH src AS (
         |  SELECT p_brand,

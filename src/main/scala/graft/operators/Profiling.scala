@@ -118,6 +118,46 @@ object Profiling {
     df.withColumn("bin", bin)
   }
 
+  /** Join-key skew report — the pre-join planning sweep that decides
+    * whether a shuffle key needs [[graft.operators.SkewJoin]]'s salting:
+    * one row of EXACT hot-key statistics for `keyExpr` —
+    * (n_rows, n_keys, max_key, max_key_n, top10_n, skew_ratio,
+    * top10_share), where skew_ratio = max key count over the mean
+    * (uniform ≈ 1; a ratio of r means the hottest reducer gets r× the
+    * average partition) and ties break on the smallest key string so
+    * the report is deterministic.
+    *
+    * Scale shape: ONE hash aggregation builds the per-key counts
+    * (partial map-side), cached for exactly two bounded follow-ups — a
+    * 1-row total and a TakeOrdered top-10 — then released; the report
+    * itself is driver-built from those ≤11 rows. Integer arithmetic
+    * end-to-end; the two ratios are correctly-rounded divisions of
+    * exact longs, identical in any engine.
+    */
+  def skewReport(df: DataFrame, keyExpr: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .groupBy(expr(keyExpr).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val top10 = counts.orderBy(col("n").desc, col("key")).limit(10).collect()
+    val overall = counts.agg(sum("n"), count(lit(1))).head()
+    counts.unpersist()
+    if (top10.isEmpty)
+      return Seq.empty[(Long, Long, String, Long, Long, Double, Double)]
+        .toDF("n_rows", "n_keys", "max_key", "max_key_n", "top10_n",
+          "skew_ratio", "top10_share")
+    val nRows = overall.getLong(0)
+    val nKeys = overall.getLong(1)
+    val top10N = top10.map(_.getLong(1)).sum
+    Seq((nRows, nKeys, top10.head.getString(0), top10.head.getLong(1), top10N,
+        top10.head.getLong(1) / (nRows.toDouble / nKeys),
+        top10N.toDouble / nRows))
+      .toDF("n_rows", "n_keys", "max_key", "max_key_n", "top10_n",
+        "skew_ratio", "top10_share")
+  }
+
   /** The zone's replay high-water mark: max over the `hwm` column, or
     * -1 for an absent zone / one built by [[writeStatsZone]] (which
     * carries no mark).

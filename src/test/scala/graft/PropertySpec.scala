@@ -396,6 +396,22 @@ class PropertySpec extends SparkSpec {
     assert(broken == 0, "subword streams must conserve every character")
   }
 
+  test("skewReport: exact hot-key stats on a planted frame; empty input is empty") {
+    // key "a" ×6, "b" ×3, "c" ×1 → 10 rows, 3 keys, mean 10/3,
+    // skew_ratio = 6/(10/3) = 1.8, top10 covers everything
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val r = graft.operators.Profiling.skewReport(df, "k").head()
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[String]("max_key") == "a" && r.getAs[Long]("max_key_n") == 6L)
+    assert(r.getAs[Long]("top10_n") == 10L && r.getAs[Double]("top10_share") == 1.0)
+    assert(r.getAs[Double]("skew_ratio") == 6.0 / (10.0 / 3))
+    // deterministic tie: equal counts resolve to the smallest key string
+    val tied = Seq("b", "a", "a", "b").toDF("k")
+    assert(graft.operators.Profiling.skewReport(tied, "k").head()
+      .getAs[String]("max_key") == "a")
+    assert(graft.operators.Profiling.skewReport(df.limit(0), "k").count() == 0)
+  }
+
   test("profile: null/distinct accounting is exact on a known frame") {
     val df = Seq(
       (Some(1), "a"), (None, "b"), (Some(3), "b"), (None, "a"), (Some(1), "c"))
