@@ -289,7 +289,7 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val r = numHashes / bands
     val docs = shingled(df, idCol, textCol, n)
       .withColumn("sig", minhashSignature(col("hgrams"), numHashes))
@@ -436,7 +436,7 @@ object Dedup {
     */
   def signatureBucketCountsBy(
       index: DataFrame, numHashes: Int, bands: Int, carryCols: String*): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val r = numHashes / bands
     val banded = index.select(
       carryCols.map(col) :+
@@ -472,7 +472,7 @@ object Dedup {
     // same contract as every pair operator — a non-dividing bands value
     // would silently truncate r and publish counts keyed on band keys no
     // reader produces (the defense would never engage, with no error)
-    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val r = numHashes / bands
     docs.select(
       col("id"),
@@ -511,7 +511,7 @@ object Dedup {
       bands: Int,
       threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val banded = bandedFromSigs(index, numHashes, bands).cache()
     val counts = Some(bucketCounts(banded)) // one count pass for both self-join sides
     val cand = boundedBucketJoin(
@@ -572,7 +572,7 @@ object Dedup {
       threshold: Double,
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val inc = incrementIndex.cache()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
     // ONE bucket-count pass per distinct frame, shared by the three join

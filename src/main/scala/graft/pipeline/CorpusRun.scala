@@ -433,9 +433,12 @@ object CorpusRun {
     // and the scan is task-scheduling-bound. Amortized monthly: no-op on
     // most days, folds/compacts exactly once when a month closes. Only
     // SUCCESS days fold: a failed attempt's partitions stay day-granular
-    // so its retry — however much later — still owns and replaces them
-    // instead of anti-joining against its own failed fingerprints
-    // hidden inside a month partition.
+    // so its retry still owns and replaces them instead of anti-joining
+    // against its own failed fingerprints hidden inside a month
+    // partition. The retry window is bounded, not open-ended: once ANY
+    // sibling SUCCESS day of the failed day's month folds, the
+    // folded-month guard in runStages refuses the retry loudly (a
+    // post-fold retry would admit future siblings as prior days).
     val successDays: Set[String] = Zones.read(spark, ledgerPath)
       .filter(col("process_name") === ProcessName && col("status") === "SUCCESS")
       .select(substring(col("start_time").cast("string"), 1, 10).as("d"))
@@ -510,28 +513,34 @@ object CorpusRun {
       val fs = fsFor(path)
       val tmp = s"$path/.fold_tmp" // dot-hidden: invisible to the main read
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val manifestPath = new org.apache.hadoop.fs.Path(s"$tmp/_DAYS")
       // RECOVERY: a COMPLETED stage from a crashed pass is the only
       // durable copy of its months' previously-folded rows — replay the
-      // overwrite from it; delete no day dirs (duplicates are tolerated
-      // and the next regular fold re-converges). A partial stage
-      // (no _SUCCESS) is discarded — the old layout is still intact.
-      if (Zones.exists(spark, s"$tmp/_SUCCESS")) {
+      // overwrite from it. A stage is complete only when BOTH the parquet
+      // commit marker AND the day manifest exist; anything less is
+      // discarded (the old layout is still intact — deletes only happen
+      // after both are durable).
+      if (Zones.exists(spark, s"$tmp/_SUCCESS") && fs.exists(manifestPath)) {
         dayOverwrite(spark.read.parquet(tmp), path)
-        // finish the crashed pass's step [3] too: the stage holds its
-        // months' FULL content, so the fold-eligible day dirs of those
-        // months are exactly what the crashed pass was about to delete.
-        // Leaving them would make the NEXT fold read every such row
-        // twice (day copy ∪ month copy) and bake the duplicates into
-        // the month permanently — distinct'ing instead would corrupt
-        // the summed sig_counts zone, so completing the delete is the
-        // only sound convergence.
-        val stagedMonths = fs.listStatus(tmpPath).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("ingest_day="))
-          .map(_.stripPrefix("ingest_day=")).toSet
-        foldableDays(path)
-          .filter(d => stagedMonths.contains(d.substring(0, 7)))
-          .foreach(d =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
+        // finish the crashed pass's step [3] too — deleting EXACTLY the
+        // day dirs the crashed pass staged, read back from its _DAYS
+        // manifest. Recomputing foldableDays here instead would be a
+        // silent data-loss bug: a day that became fold-eligible AFTER
+        // the stage committed (e.g. a FAILED day whose retry succeeded
+        // in the crash window) has no rows in the stage, and deleting
+        // it would destroy its only copy. Leaving the staged days would
+        // make the NEXT fold read every such row twice (day copy ∪
+        // month copy) and bake duplicates into the month permanently —
+        // distinct'ing instead would corrupt the summed sig_counts
+        // zone — so completing the manifest's delete is the only sound
+        // convergence.
+        val stagedDays = {
+          val in = fs.open(manifestPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+        stagedDays.filter(_.nonEmpty).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
         fs.delete(tmpPath, true)
         spark.catalog.refreshByPath(path)
       } else if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
@@ -545,11 +554,16 @@ object CorpusRun {
           .withColumn("ingest_day",
             when(length(col("ingest_day")) === 10, substring(col("ingest_day"), 1, 7))
               .otherwise(col("ingest_day")))
-        // [1] durable stage (source files untouched while it writes)
+        // [1] durable stage (source files untouched while it writes),
+        // then the exact staged-day manifest — the stage is not
+        // recovery-eligible until the manifest is durable, so a crash
+        // between the two leaves the old layout authoritative
         folded.write.mode("overwrite").partitionBy("ingest_day").parquet(tmp)
+        val out = fs.create(manifestPath, true)
+        try out.write(days.mkString("\n").getBytes("UTF-8")) finally out.close()
         // [2] month partitions overwritten FROM the staged files
         dayOverwrite(spark.read.parquet(tmp), path)
-        // [3] folded day dirs die; [4] stage cleared
+        // [3] exactly the staged day dirs die; [4] stage cleared
         days.foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
         fs.delete(tmpPath, true)

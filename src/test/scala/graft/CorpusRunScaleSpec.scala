@@ -277,6 +277,9 @@ class CorpusRunScaleSpec extends SparkSpec {
       fs, new Path(s"$fpZone/ingest_day=2026-01"), fs, stage,
       false, true, spark.sessionState.newHadoopConf())
     fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+    // the crashed pass folded no NEW days (its sources were already
+    // month-form) — its manifest is empty
+    fs.create(new Path(s"$stage/_DAYS"), true).close()
     fs.delete(new Path(s"$fpZone/ingest_day=2026-01"), true)
     spark.catalog.refreshByPath(fpZone)
     assert(spark.read.parquet(fpZone).filter(col("ingest_day") === "2026-01").count() == 0,
@@ -364,6 +367,9 @@ class CorpusRunScaleSpec extends SparkSpec {
       fs.mkdirs(stage)
       FileUtil.copy(fs, month, fs, stage, false, true, hconf)
       fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+      // the crashed pass's exact staged-day set, as foldProbe writes it
+      val out = fs.create(new Path(s"$stage/_DAYS"), true)
+      try out.write("2026-01-10\n2026-01-11".getBytes("UTF-8")) finally out.close()
       fs.listStatus(new Path(s"$snap/${z.split('/').last}")).map(_.getPath)
         .foreach(d => FileUtil.copy(fs, d, fs, new Path(z), false, true, hconf))
       spark.catalog.refreshByPath(z)
@@ -383,6 +389,53 @@ class CorpusRunScaleSpec extends SparkSpec {
     CorpusRun.compactZones(spark, wh, "2026-04-15")
     assert(fpMultiset() == wantFps && countsTotal() == wantTotal,
       "recovered layout must be a compaction fixed point")
+  }
+
+  test("fold recovery deletes ONLY the crashed pass's manifest days — a day folded-eligible after the stage survives") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold_manifest").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val dir = s"$tmp/in"
+    Seq((1L, "z1a z1b z1c z1d z1e z1f z1g z1h", "s0"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+    assert(CorpusRun.run(spark, dir, wh, "2026-01-10 02:00:00") == "SUCCESS")
+    val fpZone = s"$wh/corpus/fingerprints"
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(wh).getFileSystem(hconf)
+    // reconstruct the ADVICE crash window: the pass staged ONLY
+    // 2026-01-10 (its manifest says so) and crashed after the month
+    // overwrite, before the day deletes — and IN that window a sibling
+    // day (2026-01-20, e.g. a FAILED day whose retry succeeded) became
+    // fold-eligible with rows that exist NOWHERE in the stage
+    val day10 = new Path(s"$fpZone/ingest_day=2026-01-10")
+    val stage = new Path(s"$fpZone/.fold_tmp")
+    val stagedMonth = new Path(s"$stage/ingest_day=2026-01")
+    fs.mkdirs(stage)
+    FileUtil.copy(fs, day10, fs, stagedMonth, false, true, hconf)
+    fs.create(new Path(s"$stage/_SUCCESS"), true).close()
+    val out = fs.create(new Path(s"$stage/_DAYS"), true)
+    try out.write("2026-01-10".getBytes("UTF-8")) finally out.close()
+    // month partition committed (step [2] done for the staged content)
+    FileUtil.copy(fs, day10, fs, new Path(s"$fpZone/ingest_day=2026-01"),
+      false, true, hconf)
+    // the late-arriving sibling day — its fp rows are its ONLY copy
+    Seq("late_fp_only_copy").toDF("fp")
+      .write.parquet(s"$fpZone/ingest_day=2026-01-20")
+    spark.catalog.refreshByPath(fpZone)
+    // recovery + fresh fold in one pass, BOTH days fold-eligible: a
+    // recovery that recomputes foldableDays would delete 2026-01-20's
+    // dir with zero staged rows — permanent silent loss
+    CorpusRun.compactZones(spark, wh, "2026-04-15")
+    val fps = spark.read.parquet(fpZone).select("fp")
+      .collect().map(_.getString(0)).toSet
+    assert(fps.contains("late_fp_only_copy"),
+      "recovery deleted a day it never staged — its only copy is gone")
+    // and the layout converged: everything is month-form, no stage left
+    val parts = fs.listStatus(new Path(fpZone)).map(_.getPath.getName)
+      .filter(_.startsWith("ingest_day=")).map(_.stripPrefix("ingest_day=")).toSeq
+    assert(parts.forall(_.length == 7), s"all partitions must be month-form: $parts")
+    assert(!fs.exists(stage), "stage must be cleared")
   }
 
   test("a day whose month has been folded refuses to (re)run") {
