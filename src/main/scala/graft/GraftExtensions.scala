@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DecimalVectorMean, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCells, SortedIntersectCount}
+import graft.functions.{BpeEncode, CosineSimilarity, DecimalVectorMean, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCellDist, NearestCells, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -143,6 +143,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           centroids,
           children(2).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cell_dist"),
+      new ExpressionInfo(classOf[NearestCellDist].getName, "nearest_cell_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "nearest_cell_dist(v, centroids) takes array<double> and a literal " +
+            "array<array<double>> centroid matrix")
+        val m = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        NearestCellDist(
+          children.head,
+          Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray()))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable && children(2).foldable,
+          "bpe_encode(word, lhs, rhs) takes a string word and two literal " +
+            "array<string> merge columns aligned by rank")
+        def strings(e: Expression): Array[String] = {
+          val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+        }
+        BpeEncode(children.head, strings(children(1)), strings(children(2)))
       }))
   }
 }

@@ -1159,6 +1159,15 @@ object SparkEntry {
       TextAnalysis.bpeApply(docs, "doc_id", "text",
         TextAnalysis.bpeTrain(docs, "text", 6))
     }),
+    // BATCHED BPE training (the 32k-vocabulary scale shape): pair counts
+    // are snapshotted once per batch of 5 merges, the batch's merges
+    // chosen top-5 by (count desc, lhs, rhs) from the stale snapshot and
+    // applied sequentially — 10 merges in 2 corpus-independent word-table
+    // scans instead of 10. Deterministic (the documented stale-counts
+    // rule), oracle-replayed batch by batch in DuckDB.
+    "t17_bpe_merges_batched" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 10, batchRounds = 5)
+    }),
 
     // ── Dedup (training-data ops; beyond-reference) ──────────────────────
     // exact dedup over a corpus salted with literal copies.
@@ -3821,6 +3830,7 @@ object SparkEntry {
         |LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
         |GROUP BY g.doc_id""".stripMargin,
     "t15_bpe_merges" -> bpeOracleSql(10),
+    "t17_bpe_merges_batched" -> bpeBatchedOracleSql(10, 5),
     "t16_bpe_tokenize" -> bpeApplyOracleSql(6),
     "t14_chunk_documents" ->
       """WITH tokd AS (
@@ -4317,6 +4327,52 @@ object SparkEntry {
       .map(i => s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, n AS pair_count FROM t$i")
       .mkString("\nUNION ALL\n")
     s"""${bpeChainSql(nMerges)}
+       |$union""".stripMargin
+  }
+
+  /** The BATCHED-training replay (t17): per batch, ONE pair-count
+    * snapshot ranked (n desc, a, b) and limited to the batch size; the
+    * batch's replaces are applied sequentially in rank order (an absent
+    * rank no-ops via a chr(1) sentinel pattern that cannot occur in the
+    * bracket encoding). Batch-2+ merge ranks offset by the cumulative
+    * count of earlier batches, mirroring the engine's contiguous
+    * numbering when a batch comes up short.
+    */
+  private def bpeBatchedOracleSql(nMerges: Int, m: Int): String = {
+    val nBatches = (nMerges + m - 1) / m
+    val rounds = (1 to nBatches).map { i =>
+      val prev = s"w${i - 1}"
+      val lim = math.min(m, nMerges - (i - 1) * m)
+      val applied = (1 to lim).foldLeft("enc") { (c, j) =>
+        val pat = s"COALESCE((SELECT '<' || a || '><' || b || '>' FROM t$i WHERE rn = $j), chr(1))"
+        val rep = s"COALESCE((SELECT '<' || a || b || '>' FROM t$i WHERE rn = $j), chr(1))"
+        s"replace($c,\n      $pat,\n      $rep)"
+      }
+      s"""t$i AS MATERIALIZED (
+         |  SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn FROM (
+         |    SELECT s[i] AS a, s[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+         |    FROM (SELECT string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><') AS s, cnt FROM $prev),
+         |         UNNEST(range(1, len(s))) AS t(i)
+         |    GROUP BY 1, 2)
+         |  WHERE n >= 2 ORDER BY n DESC, a, b LIMIT $lim),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, $applied AS enc, cnt FROM $prev)""".stripMargin
+    }
+    val offsets = (1 to nBatches).map { i =>
+      if (i == 1) "0"
+      else (1 until i).map(j => s"(SELECT COUNT(*) FROM t$j)").mkString(" + ")
+    }
+    val union = (1 to nBatches).map { i =>
+      s"SELECT CAST(${offsets(i - 1)} + rn AS INT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, n AS pair_count FROM t$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tokd AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS enc, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(tk) AS w FROM tokd) GROUP BY 1, 2),
+       |${rounds.mkString(",\n")}
        |$union""".stripMargin
   }
 

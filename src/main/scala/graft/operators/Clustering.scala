@@ -92,38 +92,81 @@ object Clustering {
       .select(col(idCol), col(vecCol), col("m.cid").as("cluster"), col("m.dist").as("dist"))
   }
 
+  /** Centroid-matrix shard bound of [[assignFused]]: chunks above this
+    * many centroids per kernel call. k×dim doubles per chunk stays
+    * single-digit MBs at dim ≲ 256 — the serialized-task and plan-size
+    * sweet spot — while SemDeDup-scale k ≈ 10⁵ would otherwise inline a
+    * 0.5–1 GB flat matrix into ONE expression (a plan-size and task-
+    * broadcast bomb).
+    */
+  val MaxKernelK = 4096
+
   /** Fused nearest-centroid assignment for large k: the centroid matrix
-    * is collected once (k×dim doubles — single-digit MBs even at k=4096)
-    * and rides into one [[graft.functions.NearestCells]] codegen kernel,
-    * so the corpus is scanned ONCE with a fused O(k·dim) loop per row
-    * instead of materializing the k-row broadcast join amplification
-    * `assign` pays per vector. The winning centroid joins back as a
-    * broadcast k-row frame keyed on cid (hash join, no amplification)
-    * solely to recompute the reported distance with the exact fold order
-    * the broadcast path uses — so both paths are bit-identical.
+    * is collected once and rides into [[graft.functions.NearestCells]] /
+    * [[graft.functions.NearestCellDist]] codegen kernels, so the corpus
+    * is scanned ONCE with a fused O(k·dim) loop per row instead of
+    * materializing the k-row broadcast join amplification `assign` pays
+    * per vector. Past `maxKernelK` centroids the matrix is SHARDED:
+    * each ≤maxKernelK chunk evaluates its own argmin-with-distance
+    * kernel and the global winner is `least()` over the per-chunk
+    * (dist, cid) structs — still one corpus scan, same total O(k·dim)
+    * per row, but no single plan object exceeds the chunk bound
+    * (ClusteringSpec pins bit-identity across the shard seam and a
+    * k=16384 run). The winning centroid joins back as a broadcast k-row
+    * frame keyed on cid (hash join, no amplification) solely to
+    * recompute the reported distance with the exact fold order the
+    * broadcast path uses — so all paths are bit-identical.
     *
     * Empty clusters (possible after a Lloyd round) make kernel index ≠
     * cid; the sorted cid array maps indices back, and because the map is
     * order-preserving the kernel's ties-to-lower-index rule still equals
-    * `assign`'s ties-to-lower-cid min-struct.
+    * `assign`'s ties-to-lower-cid min-struct — and across shards the
+    * struct ordering (dist first, then cid) reproduces the same rule.
     */
-  def assignFused(vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
-    assignFusedKeep(vecs, idCol, vecCol, cents).select(col(idCol), col("cluster"), col("dist"))
+  def assignFused(
+      vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      maxKernelK: Int = MaxKernelK): DataFrame =
+    assignFusedKeep(vecs, idCol, vecCol, cents, maxKernelK)
+      .select(col(idCol), col("cluster"), col("dist"))
 
-  private def assignFusedKeep(
-      vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+  private[graft] def assignFusedKeep(
+      vecs: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+      maxKernelK: Int = MaxKernelK): DataFrame = {
+    require(maxKernelK > 0, "maxKernelK must be positive")
     // cids stay in cid's Long domain so both assignment paths agree on
     // the output schema (init is id % k — a bigint)
     val ordered = cents.select(col("cid").cast("long"), col("c")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    val cids = ordered.map(_._1).toSeq
-    val matrix = ordered.map(_._2)
+    // sharding needs the struct-returning kernel; a session without the
+    // graft extensions (registration off) stays on the single-kernel
+    // path, whose own composable fallback covers toy k
+    val canShard = org.apache.spark.sql.SparkSession.active
+      .catalog.functionExists("nearest_cell_dist")
+    val cluster =
+      if (ordered.length <= maxKernelK || !canShard) {
+        val cids = ordered.map(_._1).toSeq
+        val matrix = ordered.map(_._2)
+        element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1)
+      } else {
+        // sharded: per-chunk struct(dist, cid), global winner by least()
+        // — struct ordering is (dist, then cid), and cids are ascending
+        // within AND across chunks, so ties resolve to the lowest cid
+        // exactly as the single-kernel path does
+        val chunks = ordered.grouped(maxKernelK).toSeq.map { chunk =>
+          val cids = chunk.map(_._1).toSeq
+          val matrix = chunk.map(_._2).map(_.toSeq).toSeq
+          val cd = call_function("nearest_cell_dist", col(vecCol), typedlit(matrix))
+          struct(
+            cd.getField("dist").as("dist"),
+            element_at(typedlit(cids), cd.getField("idx") + 1).as("cid"))
+        }
+        least(chunks: _*).getField("cid")
+      }
     val dist = aggregate(
       zip_with(col(vecCol), col("c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
     vecs
-      .withColumn("cluster",
-        element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1))
+      .withColumn("cluster", cluster)
       .join(broadcast(cents.select(col("cid").as("cluster"), col("c"))), "cluster")
       .withColumn("dist", dist)
       .select(col(idCol), col(vecCol), col("cluster"), col("dist"))

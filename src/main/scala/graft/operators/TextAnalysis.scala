@@ -435,8 +435,10 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       textCol: String,
       nMerges: Int,
-      minPairCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+      minPairCount: Long = 2L,
+      batchRounds: Int = 1): org.apache.spark.sql.DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(batchRounds > 0, s"batchRounds must be positive, got $batchRounds")
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("w"))
@@ -447,8 +449,18 @@ object TextAnalysis {
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
+      // one pair-count snapshot per BATCH: with batchRounds = m the
+      // corpus-independent word table is scanned nMerges/m times, not
+      // nMerges times — the standard stale-counts batching that makes a
+      // 32k-merge vocabulary ~32k/m Spark jobs instead of 32k. The
+      // batch's merges are chosen from the snapshot in (count desc,
+      // lhs, rhs) order and APPLIED SEQUENTIALLY in that rank order, so
+      // a later in-batch pair destroyed by an earlier merge simply
+      // no-ops its replace — fully deterministic, engine-replayable
+      // (the t17 oracle replays the same rule), and ≡ the m=1 form
+      // whenever the top-m pairs don't interact.
       val syms = split(regexp_replace(col("enc"), "^<|>$", ""), "><")
-      val top = vocab
+      val batch = vocab
         .select(col("cnt"), syms.as("s"))
         .select(col("cnt"), explode(zip_with(
           slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
@@ -458,17 +470,18 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("n"))
         .filter(col("n") >= minPairCount)
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(math.min(batchRounds, nMerges - rank + 1))
         .collect()
-      if (top.isEmpty) exhausted = true
+      if (batch.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, a + b, n))
-        // symbols are alphanumeric, so the literals need no escaping
-        vocab = vocab
-          .withColumn("enc", expr(s"replace(enc, '<$a><$b>', '<$a$b>')"))
-          .localCheckpoint(true)
-        rank += 1
+        val enc = batch.foldLeft(col("enc")) { (c, row) =>
+          val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, a, b, a + b, n))
+          rank += 1
+          // symbols are alphanumeric, so the literals need no escaping
+          replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        vocab = vocab.withColumn("enc", enc).localCheckpoint(true)
       }
     }
     import spark.implicits._
@@ -496,14 +509,10 @@ object TextAnalysis {
       merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ms = merges.select("merge_rank", "lhs", "rhs").orderBy("merge_rank")
       .collect().map(r => (r.getString(1), r.getString(2)))
-    val encoded = ms.foldLeft(regexp_replace(col("w"), "(.)", "<$1>")) {
-      case (c, (a, b)) => replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
-    }
     val wordSubs = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .distinct()
-      .select(col("w"),
-        split(regexp_replace(encoded, "^<|>$", ""), "><").as("__subs"))
+      .select(col("w"), bpeSubwords(col("w"), ms.toIndexedSeq).as("__subs"))
     docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "w")))
       .join(wordSubs, "w")
@@ -514,6 +523,39 @@ object TextAnalysis {
         concat_ws(" ", flatten(
           array_sort(collect_list(struct(col("__pos"), col("__subs"))))
             .getField("__subs"))).as("subword_text"))
+  }
+
+  /** Word → subword array under a trained merge table. Dispatches to the
+    * fused [[graft.functions.BpeEncode]] automaton when the session
+    * registers it (all [[graft.Sessions]] sessions): the merge table
+    * rides as ONE driver-compiled hash map inside the expression, per-
+    * word cost is independent of the merge count, and the plan stays
+    * flat at any vocabulary size. The composable fallback replays the
+    * merges as a chained `replace` projection over the `<sym>` encoding
+    * — bit-identical (ModulesSpec pins parity), but its expression
+    * depth grows with the merge count, so it is viable only at toy
+    * vocabularies (Catalyst analysis/codegen fail well before a real
+    * 32k-merge table).
+    */
+  private[graft] def bpeSubwords(
+      w: org.apache.spark.sql.Column, ms: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (spark.catalog.functionExists("bpe_encode"))
+      call_function("bpe_encode", w,
+        typedlit(ms.map(_._1)), typedlit(ms.map(_._2)))
+    else bpeSubwordsChained(w, ms)
+  }
+
+  /** The chained-replace fallback/parity form: rank-ordered full-word
+    * replaces over the bracket encoding (`abc` → `<a><b><c>`), split
+    * back into symbols at the end.
+    */
+  private[graft] def bpeSubwordsChained(
+      w: org.apache.spark.sql.Column, ms: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val encoded = ms.foldLeft(regexp_replace(w, "(.)", "<$1>")) {
+      case (c, (a, b)) => replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    split(regexp_replace(encoded, "^<|>$", ""), "><")
   }
 
   /** LM-based document quality scoring (the CCNet signal shape, made

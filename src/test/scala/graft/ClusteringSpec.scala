@@ -68,6 +68,48 @@ class ClusteringSpec extends SparkSpec {
     assert(diff == 0, s"$diff clusters differ between kernel and composed means")
   }
 
+  test("sharded assignFused (multi-chunk least-of-structs) ≡ single-kernel, bit-exact") {
+    // k=10 centroids forced into 4 chunks of ≤3: the global winner must
+    // come out of the cross-chunk (dist, cid) struct combine exactly as
+    // the one-kernel argmin — including the dropped-centroid cid remap
+    val cents = Clustering.centroids(
+      vecs.withColumn("cluster", col("vec_id") % 11), "e", "cluster")
+      .filter(col("cid") =!= 4)
+    val single = Clustering.assignFused(vecs, "vec_id", "e", cents)
+    val sharded = Clustering.assignFused(vecs, "vec_id", "e", cents, maxKernelK = 3)
+    assert(single.schema.map(f => (f.name, f.dataType)) ==
+      sharded.schema.map(f => (f.name, f.dataType)))
+    assert(single.exceptAll(sharded).isEmpty && sharded.exceptAll(single).isEmpty,
+      "sharded kernel assignment diverges from the single-kernel path")
+  }
+
+  test("assignFused at k=16384: sharded chunks keep the plan flat, assignment total and exact") {
+    import spark.implicits._
+    // synthetic 16384×8 centroid frame (deterministic coordinates) and a
+    // small vector frame of the same dimension — the point is the KERNEL
+    // shape at SemDeDup-scale k, not the data
+    val k = 16384
+    val dim = 8
+    val cents = spark.range(k.toLong).select(
+      col("id").as("cid"),
+      array((0 until dim).map(i =>
+        (pmod(col("id") * 31 + i, lit(997)).cast("double") / 997.0)): _*).as("c"))
+    val pts = spark.range(64).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        (pmod(col("id") * 13 + i * 7, lit(997)).cast("double") / 997.0)): _*).as("e"))
+    val sharded = Clustering.assignFused(pts, "vec_id", "e", cents) // default 4096 → 4 chunks
+    val single = Clustering.assignFused(pts, "vec_id", "e", cents, maxKernelK = k)
+    assert(sharded.count() == 64)
+    assert(sharded.exceptAll(single).isEmpty && single.exceptAll(sharded).isEmpty,
+      "k=16384 sharded assignment diverges from the one-matrix kernel")
+    // the sharded plan must reference NO flat matrix above the chunk
+    // bound: 4 NearestCellDist chunks of ≤4096×8 doubles, not one
+    // 16384×8 NearestCells literal
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_cell_dist"), s"sharded path not engaged:\n${plan.take(500)}")
+  }
+
   test("Lloyd rounds never increase the total within-cluster SSE") {
     def sse(iters: Int): Double =
       Clustering.kmeansLite(vecs, "vec_id", "e", 8, iters)

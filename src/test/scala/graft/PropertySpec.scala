@@ -396,6 +396,109 @@ class PropertySpec extends SparkSpec {
     assert(broken == 0, "subword streams must conserve every character")
   }
 
+  test("bpe_encode automaton ≡ chained-replace projection, bit-exact on trained tables") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    assert(spark.catalog.functionExists("bpe_encode"))
+    // real corpus, real trained merges — the exact table t15/t16 exercise
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ms = TextAnalysis.bpeTrain(real, "text", 10)
+      .select("merge_rank", "lhs", "rhs").orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(ms.nonEmpty)
+    val words = real.select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+    val diff = words
+      .select(
+        col("w"),
+        TextAnalysis.bpeSubwords(col("w"), ms).as("kernel"),
+        TextAnalysis.bpeSubwordsChained(col("w"), ms).as("chained"))
+      .filter(col("kernel") =!= col("chained"))
+    assert(diff.isEmpty, s"automaton diverges from chained replay: ${diff.head(3).toSeq}")
+    // adversarial overlap/recreation shapes the corpus may not contain:
+    // self-pairs (aaa), rank interleaving (ab then abc), dead ranks
+    // (no empty word: tokens() never emits one, and the two forms
+    // legitimately differ there — split("","><") is [""], the automaton [])
+    val tricky = Seq("aaa", "aaaa", "aaab", "abc", "abcabc", "cab", "x")
+      .toDF("w")
+    val ms2 = IndexedSeq(("a", "a"), ("a", "b"), ("ab", "c"), ("aa", "ab"), ("z", "q"))
+    val diff2 = tricky
+      .select(
+        TextAnalysis.bpeSubwords(col("w"), ms2).as("kernel"),
+        TextAnalysis.bpeSubwordsChained(col("w"), ms2).as("chained"))
+      .filter(col("kernel") =!= col("chained"))
+    assert(diff2.isEmpty, s"automaton diverges on overlap shapes: ${diff2.head(3).toSeq}")
+  }
+
+  test("bpe_encode applies a 20k-merge table flat — no plan blowup, merges honored") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // 4 live merges + ~20k dead ranks (symbols never created): the
+    // automaton's cost is per-word O(len²) lookups, rank-count-free —
+    // the chained-replace form at this vocabulary would nest 20k
+    // replaces and die in Catalyst analysis, so only the kernel runs
+    val live = IndexedSeq(("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o"))
+    val dead = (0 until 20000).map(i => (s"q${i}x", s"q${i}y"))
+    val ms = live ++ dead
+    val out = Seq("hello", "hell", "ohel", "lll")
+      .toDF("w")
+      .select(col("w"), concat_ws("|", TextAnalysis.bpeSubwords(col("w"), ms)).as("subs"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("hello") == "hello") // he+ll → hell+o at ranks 3,4
+    assert(out("hell") == "hell")
+    assert(out("ohel") == "o|he|l")
+    assert(out("lll") == "ll|l") // leftmost-first non-overlap
+  }
+
+  test("bpeTrain batched rounds reproduce the stale-counts batching rule exactly") {
+    import graft.operators.TextAnalysis
+    // driver-side reference replay of the documented rule: per batch, one
+    // pair-count snapshot; top-m by (count desc, lhs, rhs); replaces
+    // applied SEQUENTIALLY in rank order (a pair destroyed by an earlier
+    // in-batch merge no-ops)
+    def reference(wordCounts: Map[String, Long], nMerges: Int, minN: Long, m: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var vocab: Map[List[String], Long] =
+        wordCounts.map { case (w, c) => w.toList.map(_.toString) -> c }
+      def mergeWord(s: List[String], a: String, b: String): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: mergeWord(rest, a, b)
+        case x :: rest => x :: mergeWord(rest, a, b)
+        case Nil => Nil
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      var rank = 1
+      var go = true
+      while (rank <= nMerges && go) {
+        val counts = vocab.toSeq.flatMap { case (s, c) =>
+          s.zip(s.drop(1)).map(p => p -> c)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+          .filter(_._2 >= minN)
+        val batch = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }
+          .take(math.min(m, nMerges - rank + 1))
+        if (batch.isEmpty) go = false
+        else batch.foreach { case ((a, b), n) =>
+          out += ((rank, a, b, a + b, n))
+          rank += 1
+          vocab = vocab.toSeq.map { case (s, c) => mergeWord(s, a, b) -> c }
+            .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab cd cd"),
+      (2L, "xyxy xyxy zzz")).toDF("doc_id", "text")
+    val wc = Map("aaab" -> 3L, "ab" -> 1L, "cd" -> 2L, "xyxy" -> 2L, "zzz" -> 1L)
+    for (m <- Seq(1, 3, 10)) {
+      val got = TextAnalysis.bpeTrain(docs, "text", 8, batchRounds = m)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(got == reference(wc, 8, 2L, m),
+        s"batchRounds=$m diverged from the reference replay:\n$got\nvs\n${reference(wc, 8, 2L, m)}")
+    }
+  }
+
   test("skewReport: exact hot-key stats on a planted frame; empty input is empty") {
     // key "a" ×6, "b" ×3, "c" ×1 → 10 rows, 3 keys, mean 10/3,
     // skew_ratio = 6/(10/3) = 1.8, top10 covers everything
