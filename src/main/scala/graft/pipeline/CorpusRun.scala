@@ -116,6 +116,34 @@ object CorpusRun {
   val Bands = 16
   val JaccardThreshold = 0.6
 
+  /** Optional SEMANTIC dedup stage config (SemDeDup, arXiv:2303.09540 —
+    * the e4/e5 operators run as a maintained daily stage): documents that
+    * survive the near-dup keep policy and have a row in `embeddingsDir`
+    * (parquet `(doc_id, <vecCol>)`) are judged against the standing
+    * cluster-assignment zone; a doc within cosine `threshold` of any
+    * PUBLISHED doc (or of a smaller-id doc in today's increment) drops.
+    * Day 1 clusters the day's vectors with the deterministic k-means
+    * batch form and seeds the zone; later days re-derive centroids from
+    * the STORED assignment and embed only the increment (O(increment×k)
+    * + cluster-keyed bounded joins — the corpus is never re-clustered).
+    * Docs with no embedding row pass through unjudged.
+    */
+  final case class SemanticStage(
+      embeddingsDir: String,
+      vecCol: String = "embedding",
+      k: Int = SemK,
+      iters: Int = SemIters,
+      threshold: Double = SemThreshold)
+
+  /** SemDeDup defaults: k sized so E[cluster] stays ~10⁴ at corpus scale
+    * (scale k with the corpus, as the paper does); 2 Lloyd rounds —
+    * SemDeDup is robust to coarse clustering, the rounds only confine
+    * the quadratic; 0.95 cosine ≈ the paper's aggressive-but-safe ε.
+    */
+  val SemK = 64
+  val SemIters = 2
+  val SemThreshold = 0.95
+
   /** Retention: day partitions stay day-granular this long; once a whole
     * MONTH falls beyond the horizon it is folded (probe zones) or
     * file-compacted (docs). Two months keeps any retry/backfill window
@@ -131,11 +159,14 @@ object CorpusRun {
 
   def main(args: Array[String]): Unit = {
     val Array(incrementDir, whDir, runTs) = args.take(3)
+    // optional 4th arg: the day's embeddings parquet (doc_id, embedding)
+    // — enables the semantic dedup stage with the default geometry
+    val semantic = args.lift(3).map(SemanticStage(_))
     val spark = Sessions
       .builder("graft-corpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outcome = run(spark, incrementDir, whDir, runTs)
+    val outcome = run(spark, incrementDir, whDir, runTs, semantic = semantic)
     println(s"""{"pipeline":"$ProcessName","outcome":"$outcome"}""")
     spark.stop()
   }
@@ -149,7 +180,8 @@ object CorpusRun {
       incrementDir: String,
       whDir: String,
       runTs: String,
-      qualityRules: Seq[QualityRule] = defaultQualityRules): String = {
+      qualityRules: Seq[QualityRule] = defaultQualityRules,
+      semantic: Option[SemanticStage] = None): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/corpus_log"
     val ledger0 =
@@ -159,7 +191,7 @@ object CorpusRun {
         RunLedger.anyRunning(ledger0, ProcessName, runTs, StaleRunningHours)) return "SKIPPED"
     val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
     Zones.overwriteSwap(ledger1, ledgerPath)
-    try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId, qualityRules)
+    try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId, qualityRules, semantic)
     catch {
       case scala.util.control.NonFatal(e) =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
@@ -191,7 +223,8 @@ object CorpusRun {
       runDate: String,
       ledgerPath: String,
       runId: Long,
-      qualityRules: Seq[QualityRule]): String = {
+      qualityRules: Seq[QualityRule],
+      semantic: Option[SemanticStage]): String = {
     val docsPath = s"$whDir/corpus/docs"
     val fpPath = s"$whDir/corpus/fingerprints"
     val sigPath = s"$whDir/corpus/sig_index"
@@ -209,7 +242,7 @@ object CorpusRun {
     // operation never hits this (folding waits RetentionKeepDays);
     // only a months-late retry/backfill can.
     val runMonth = runDate.substring(0, 7)
-    Seq(fpPath, sigPath, paraFpPath).foreach { p =>
+    Seq(fpPath, sigPath, paraFpPath, s"$whDir/corpus/sem_assign").foreach { p =>
       require(!listIngestDays(spark, p).contains(runMonth),
         s"corpus day $runDate cannot be (re)run: month $runMonth is already " +
           s"folded in $p — day-level prior-days semantics are unrecoverable " +
@@ -350,6 +383,56 @@ object CorpusRun {
       .localCheckpoint()
     val nKept = kept.count()
 
+    // [5s] SEMANTIC dedup stage (optional; SemDeDup as a maintained
+    // daily stage — the e4/e5 operators in production): near-dup
+    // survivors with an embedding are judged against the standing
+    // assignment zone. Day 1 (or an empty prior view — a day-1 retry)
+    // BUILDS the zone with the batch form; later days rebuild centroids
+    // decimal-exactly from the STORED prior-days assignment and embed
+    // only the increment. Only KEPT rows enter the zone: the index IS
+    // the published corpus, so a new doc is never dropped for matching
+    // an already-dropped duplicate (its kept representative is in the
+    // zone, within 2ε by the ball rule — the e5 contract). The zone is
+    // day-partitioned under the same prior-days/retry discipline as
+    // every probe zone, and folds monthly with them.
+    val semPath = s"$whDir/corpus/sem_assign"
+    val (semKept, nSemKept, semNote) = semantic match {
+      case None => (kept, nKept, "")
+      case Some(cfg) =>
+        // checkpoint: read by the assignment AND the zone-publish join,
+        // and must not re-execute against mutated zones
+        val vecs = spark.read.parquet(cfg.embeddingsDir)
+          .select(col("doc_id"), col(cfg.vecCol).cast("array<double>").as("v"))
+          .join(kept.select("doc_id"), Seq("doc_id"))
+          .localCheckpoint()
+        val prior =
+          if (Zones.exists(spark, semPath))
+            Zones.read(spark, semPath)
+              .filter(col("ingest_day") < lit(runDate))
+              .select("id", "cluster", "v")
+          else vecs.select(col("doc_id").as("id"), lit(0L).as("cluster"), col("v")).limit(0)
+        val assignment =
+          (if (prior.isEmpty)
+            Dedup.semanticDedup(vecs, "doc_id", "v", cfg.k, cfg.iters, cfg.threshold)
+          else
+            Dedup.semanticDedupIncremental(prior, vecs, "doc_id", "v", cfg.threshold))
+            .localCheckpoint() // sever lineage before the zone write below
+        if (!assignment.isEmpty)
+          dayOverwrite(
+            assignment.filter(col("is_kept"))
+              .select(col("doc_id").as("id"), col("cluster"))
+              .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
+              .withColumn("ingest_day", lit(runDate)),
+            semPath)
+        val sk = kept
+          .join(
+            assignment.filter(!col("is_kept")).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val n = sk.count()
+        (sk, n, s"sem-dup-dropped ${nKept - n}, ")
+    }
+
     // [5b] cross-day paragraph excision: a paragraph already seen on any
     // PRIOR day (boilerplate — nav chrome, license footers, newsletter
     // banners) or earlier today is cut IN PLACE by span offsets; the doc
@@ -361,8 +444,8 @@ object CorpusRun {
     val priorPfp =
       if (Zones.exists(spark, paraFpPath))
         Zones.read(spark, paraFpPath).filter(col("ingest_day") < lit(runDate)).select("pfp")
-      else kept.select(md5(col("text")).as("pfp")).limit(0)
-    val spans = TextAnalysis.paragraphDedupSpansIncremental(kept, "doc_id", "text", priorPfp)
+      else semKept.select(md5(col("text")).as("pfp")).limit(0)
+    val spans = TextAnalysis.paragraphDedupSpansIncremental(semKept, "doc_id", "text", priorPfp)
       .localCheckpoint()
     val (nParas, nParasKept) = {
       val r = spans.agg(
@@ -373,9 +456,9 @@ object CorpusRun {
     // published text = the span-excised reassembly (exciseParagraphs cuts
     // by offsets, never re-splits); localCheckpoint severs lineage before
     // the zone writes below, same reason as `kept`
-    val published = kept
+    val published = semKept
       .join(
-        TextAnalysis.exciseParagraphs(kept, "doc_id", "text", spans)
+        TextAnalysis.exciseParagraphs(semKept, "doc_id", "text", spans)
           .filter(col("n_kept") > 0).select(col("doc_id"), col("text_kept")),
         Seq("doc_id"))
       .withColumn("text", col("text_kept")).drop("text_kept")
@@ -419,8 +502,9 @@ object CorpusRun {
     val message =
       s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}$ruleBreakdown, " +
         s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
+        semNote +
         s"para-excised ${nParas - nParasKept} of $nParas paragraph(s), " +
-        s"fully-excised-docs ${nKept - nPublished}, published $nPublished." +
+        s"fully-excised-docs ${nSemKept - nPublished}, published $nPublished." +
         (if (statsMerged) "" else " STATS merge no-op (day already applied — retry).") + (
         if (quarantined.isEmpty) ""
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
@@ -635,6 +719,7 @@ object CorpusRun {
       foldProbe(s"$whDir/corpus/sig_index"),
       foldProbe(s"$whDir/corpus/sig_counts"),
       foldProbe(s"$whDir/corpus/para_fp"),
+      foldProbe(s"$whDir/corpus/sem_assign"),
       compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
   }
 

@@ -181,6 +181,103 @@ class CorpusRunSpec extends SparkSpec {
     }
   }
 
+  test("semantic stage: 3 days maintained ≡ from-scratch SemDeDup on the union, retry idempotent") {
+    import spark.implicits._
+    import graft.pipeline.CorpusRun.SemanticStage
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_sem").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, d: Seq[(Long, String, String)], e: Seq[(Long, Seq[Double])])
+        : (String, SemanticStage) = {
+      val dDir = s"$tmp/in_$day"
+      val eDir = s"$tmp/emb_$day"
+      docs(d).write.mode("overwrite").parquet(dDir)
+      e.toDF("doc_id", "embedding").write.mode("overwrite").parquet(eDir)
+      // k=1 single cluster + 1 round: the keep rule degenerates to the
+      // pure ε-ball keep-smallest-id policy, for which incremental
+      // maintenance over well-separated families is EXACTLY the batch
+      // rule — so the maintained-≡-scratch check below is bitwise
+      (dDir, SemanticStage(eDir, k = 1, iters = 1, threshold = 0.95))
+    }
+    def t(i: Long, tag: String) =
+      (i, s"${tag}one ${tag}two ${tag}three ${tag}four ${tag}five ${tag}six", "web")
+    // orthogonal unit "families"; within-family cosine ≈ 0.99995
+    val famA = Seq(1.0, 0.0, 0.0, 0.0)
+    val famAeps = Seq(0.999, 0.01, 0.0, 0.0)
+    val famB = Seq(0.0, 1.0, 0.0, 0.0)
+    val famBeps = Seq(0.01, 0.999, 0.0, 0.0)
+    val famC = Seq(0.0, 0.0, 1.0, 0.0)
+    val famCeps = Seq(0.0, 0.01, 0.999, 0.0)
+    val famD = Seq(0.0, 0.0, 0.0, 1.0)
+
+    // day 1: 2 is a semantic copy of 1 (drops); 4 has NO embedding row
+    // (passes unjudged); zone seeds {1, 3}
+    val (in1, sem1) = drop("s1",
+      Seq(t(1, "aa"), t(2, "bb"), t(3, "cc"), t(4, "dd")),
+      Seq((1L, famA), (2L, famAeps), (3L, famB)))
+    assert(CorpusRun.run(spark, in1, wh, "2026-03-01 02:00:00", semantic = Some(sem1)) == "SUCCESS")
+    val day1 = spark.read.parquet(s"$wh/corpus/docs")
+    assert(day1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L),
+      "day 1 must publish 1, 3 and the unjudged 4; semantic copy 2 drops")
+    val msg1 = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg1.contains("sem-dup-dropped 1"), s"unexpected ledger message: $msg1")
+
+    // day 2: 11 matches PUBLISHED 1 (cross-batch drop via the stored
+    // zone — day-1 vectors are never re-clustered), 13 matches published
+    // 3, 12 opens family C
+    val (in2, sem2) = drop("s2",
+      Seq(t(11, "ee"), t(12, "ff"), t(13, "gg")),
+      Seq((11L, famAeps.map(_ * 0.98)), (12L, famC), (13L, famBeps)))
+    assert(CorpusRun.run(spark, in2, wh, "2026-03-02 02:00:00", semantic = Some(sem2)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 12L),
+      "day 2 must add only 12")
+
+    // day 3: 21 matches day-2's published 12; 22 opens family D
+    val (in3, sem3) = drop("s3",
+      Seq(t(21, "hh"), t(22, "ii")),
+      Seq((21L, famCeps), (22L, famD)))
+    assert(CorpusRun.run(spark, in3, wh, "2026-03-03 02:00:00", semantic = Some(sem3)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 12L, 22L))
+
+    // ── the maintained zone ≡ from-scratch semanticDedup over the UNION
+    // of every day's stage-input vectors: same kept ids, same clusters ──
+    val union = Seq(
+      (1L, famA), (2L, famAeps), (3L, famB),
+      (11L, famAeps.map(_ * 0.98)), (12L, famC), (13L, famBeps),
+      (21L, famCeps), (22L, famD)).toDF("doc_id", "embedding")
+    val scratch = graft.operators.Dedup
+      .semanticDedup(union, "doc_id", "embedding", 1, 1, 0.95)
+      .filter(col("is_kept"))
+      .select(col("doc_id").as("id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def zoneState() = spark.read.parquet(s"$wh/corpus/sem_assign")
+      .select("id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zoneState() == scratch,
+      s"maintained assignment ${zoneState()} diverged from from-scratch $scratch")
+
+    // ── day-3 retry after a mangled-ledger crash: same published set,
+    // the day re-owns its zone partition, assignment unchanged ──────────
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-03-03").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(CorpusRun.run(spark, in3, wh, "2026-03-03 04:00:00", semantic = Some(sem3)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 12L, 22L),
+      "retried day must converge to the same published corpus")
+    assert(zoneState() == scratch, "retry changed the semantic assignment zone")
+    assert(spark.read.parquet(s"$wh/corpus/sem_assign")
+      .filter(col("ingest_day") === "2026-03-03")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(22L),
+      "retried day must own exactly its zone partition")
+  }
+
   test("cross-day paragraph excision: boilerplate cut in place, ≡ batch d10 on the union") {
     import graft.operators.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_para").toFile.getAbsolutePath
