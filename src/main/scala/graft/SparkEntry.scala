@@ -931,6 +931,24 @@ object SparkEntry {
       Scd2.apply(h1, snap2, Seq("pname"), Seq("pname"), Seq("price"), ts2, sentinel,
         keyNorm = Scd2.mysqlCiNorm)
     }),
+    // measurement-driven skew join — the CONSUMER of a22's report
+    // (SkewJoin.autoJoin): the big side's key is counted once, and the
+    // measured skew_ratio picks plain vs salted. Planted hot key: 3/4 of
+    // lineitem collapses onto nation 0 (ratio ≈ 19 ≫ threshold 4) so the
+    // salted plan ENGAGES here (PlanAuditSpec pins that, and that a
+    // uniform key stays plain) — and the salted join is result-identical
+    // to the plain join, which is exactly what the oracle replays.
+    "j13_auto_skew_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 25).as("n_nationkey"),
+        col("l_quantity"))
+      val small = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"))
+      SkewJoin.autoJoin(big, small, Seq("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_quantity"), 18, 2).as("hot_qty"), count(lit(1)).as("n_lines"))
+    }),
     // A2/SP2: the SCD2 SP's scalar OUT params (p_rows_input /
     // p_rows_inserted / p_rows_expired — db_control_sql.sql:213-216) as a
     // one-row frame from applyWithStats over the shared two-round scenario.
@@ -3159,6 +3177,18 @@ object SparkEntry {
         |    TIMESTAMP '9999-12-31 00:00:00'
         |  FROM snap2 s WHERE lower(s.pname) IN (SELECT ck FROM ek))
         |SELECT * FROM h1m UNION ALL SELECT * FROM new2 UNION ALL SELECT * FROM reins""".stripMargin,
+    // the salted auto-join is result-identical to the plain join — the
+    // oracle replays the PLAIN join
+    "j13_auto_skew_join" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS hot_qty,
+        |  COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey % 25 END AS n_nationkey,
+        |         l_quantity
+        |  FROM lineitem) b
+        |JOIN nation USING (n_nationkey)
+        |GROUP BY n_name""".stripMargin,
     "a2_scd_out_params" ->
       """WITH snap1 AS (SELECT p_partkey AS id, p_retailprice AS price, p_size AS psize FROM part),
         |snap2 AS (

@@ -45,6 +45,48 @@ object SkewJoin {
       .drop("__salt")
   }
 
+  /** Measurement-driven inner equi-join — the consumer of
+    * [[Profiling.skewReport]]: the big side's join key is measured (one
+    * partial-aggregated counting pass, or a precomputed report row is
+    * handed in from a profiling sweep) and the plan is CHOSEN by the
+    * measured `skew_ratio` — the plain shuffle join below
+    * `ratioThreshold`, [[saltedInnerJoin]] at or above it, with the salt
+    * fan-out sized from the measurement itself (≈ the ratio, capped at
+    * [[MaxAutoSalts]] — more salts than the hot key's excess spreads
+    * nothing extra and multiplies the small side for free). Output is
+    * result-identical to `big.join(small, keys)` on EITHER path (the
+    * salted join's contract), so the choice is pure plan tuning: measure,
+    * don't guess, and let a nightly profile row drive the day's joins.
+    */
+  def autoJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      ratioThreshold: Double = 4.0,
+      report: Option[org.apache.spark.sql.Row] = None,
+      salts: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "autoJoin needs at least one join key")
+    require(ratioThreshold > 1.0, "ratioThreshold must exceed 1 (uniform)")
+    val keyExpr =
+      if (keys.length == 1) keys.head
+      else s"concat_ws(char(1), ${keys.mkString(", ")})"
+    val r = report
+      .orElse(Profiling.skewReport(big, keyExpr).collect().headOption)
+    val ratio = r.map(_.getAs[Double]("skew_ratio")).getOrElse(0.0)
+    if (ratio < ratioThreshold) big.join(small, keys)
+    else {
+      val n = if (salts > 0) salts
+        else math.min(MaxAutoSalts, math.max(2, math.ceil(ratio).toInt))
+      saltedInnerJoin(big, small, keys, n)
+    }
+  }
+
+  /** Auto-sized salt cap: past this the hot key is already spread over
+    * enough reducers that scheduling variance dominates, and every salt
+    * replicates the small side once more.
+    */
+  val MaxAutoSalts = 32
+
   /** Skewed-aggregate two-phase rollup: partial aggregate on (keys, salt)
     * then final on keys — the map-side-combine pattern made explicit for
     * aggregates Spark can't partially aggregate (e.g. collect-like).

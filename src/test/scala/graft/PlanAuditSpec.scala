@@ -402,4 +402,37 @@ class PlanAuditSpec extends SparkSpec {
       s"bpeApply fell back to an all-pairs join:\n$pt16")
     assert(t16.count() == 2)
   }
+
+  test("j13: autoJoin salts only the MEASURED hot key — plain plan on uniform keys, identical results") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SkewJoin
+    import spark.implicits._
+    val small = spark.range(25).select(col("id").as("k"), (col("id") + 100).as("v"))
+    // skewed: 3/4 of the big side collapses onto key 0 (ratio ≈ 19)
+    val big = spark.range(4000).select(
+      when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id") % 25).as("k"),
+      col("id").as("payload"))
+    val salted = SkewJoin.autoJoin(big, small, Seq("k"))
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "measured ratio 19 must engage the salted plan")
+    val plain = big.join(small, Seq("k"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted auto-join must be result-identical to the plain join")
+    // uniform key: ratio ≈ 1 → the plain 1-shuffle join, no salt column
+    val uni = spark.range(4000).select((col("id") % 25).as("k"), col("id").as("payload"))
+    assert(!SkewJoin.autoJoin(uni, small, Seq("k"))
+      .queryExecution.optimizedPlan.toString.contains("__salt"),
+      "uniform key must stay on the plain join")
+    // precomputed report row (the nightly-profile shape): consumed as-is,
+    // no counting job on the big side
+    val rpt = graft.operators.Profiling.skewReport(big, "k").head()
+    val fromReport = SkewJoin.autoJoin(big, small, Seq("k"), report = Some(rpt))
+    assert(fromReport.queryExecution.optimizedPlan.toString.contains("__salt"))
+    // multi-key form routes through the concat key
+    val big2 = big.withColumn("k2", lit(1L))
+    val small2 = small.withColumn("k2", lit(1L))
+    val multi = SkewJoin.autoJoin(big2, small2, Seq("k", "k2"))
+    val plain2 = big2.join(small2, Seq("k", "k2"))
+    assert(multi.exceptAll(plain2).isEmpty && plain2.exceptAll(multi).isEmpty)
+  }
 }
