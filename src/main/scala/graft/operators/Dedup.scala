@@ -974,6 +974,28 @@ object Dedup {
       SimilaritySearch.signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
     }: _*)
 
+  /** The computation leg of [[writeEmbeddingSignatureIndex]]: a batch's
+    * (id, v, bkeys) rows, for writers that manage their own zone layout
+    * (day partitions, versioned rebuilds — [[graft.pipeline.IndexRun]]'s
+    * signature stage). An empty batch returns an empty, correctly-typed
+    * frame instead of crashing the dimension lookup.
+    */
+  def embeddingSignatureRows(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 8,
+      bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
+    if (vstats.getLong(0) == 0)
+      return v.withColumn("bkeys", typedlit(Seq.empty[Long])).limit(0)
+    val planes = SimilaritySearch.hyperplanes(
+      vstats.getInt(1), bands * bitsPerBand, seed)
+    v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+  }
+
   /** Persist an embedding signature index: one row per vector —
     * (id, v, bkeys) where `bkeys(b)` is band b's sign-bit key. The
     * embedding analog of [[writeSignatureIndex]]: at corpus scale the

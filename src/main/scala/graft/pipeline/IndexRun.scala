@@ -42,6 +42,27 @@ object IndexRun {
   val NCells = 16
   val RetrainInflation = 1.5
 
+  /** Sign-bit signature index stage (the embedding-LSH analog of the IVF
+    * stage): geometry shared with the e1/e3 operators; the drift signal
+    * is BUCKET CONCENTRATION — C = Σ_{band,key} n·(n−1) / (bands·N·(N−1)),
+    * the probability two random corpus vectors share a band bucket.
+    * Concentration is the recall/cost proxy for a data-independent LSH:
+    * the hyperplanes never move, so what decays is bucket balance — a
+    * growing near-duplicate family (or a distribution collapse) piles
+    * vectors behind few keys, the candidate joins go quadratic in the
+    * pile, and the hot-bucket defense engages ever harder. The retrain
+    * trips when C exceeds `SigRetrainInflation ×` the REFERENCE
+    * concentration — max(build-time baseline, the 2^-bitsPerBand
+    * random-hash floor, below which differences are noise) — and
+    * rebuilds the zone under a RE-SEEDED plane set (seed+1) into the
+    * next version with an atomic pointer flip, exactly the IVF protocol.
+    * C is computed from the kilobyte counts zone — never an index scan.
+    */
+  val SigBands = 8
+  val SigBitsPerBand = 8
+  val SigSeed = 42L
+  val SigRetrainInflation = 4.0
+
   /** The live index version — `<base>/CURRENT` names a `v<N>` subdir.
     * Retrain builds `v<N+1>` completely (the old version keeps serving),
     * then flips this pointer in one rename: there is no state in which
@@ -58,24 +79,34 @@ object IndexRun {
     * assignments completed, so a crash after a version build but before
     * or during the pointer flip self-heals.
     */
-  def currentIndexPath(spark: SparkSession, base: String): Option[String] = {
+  def currentIndexPath(spark: SparkSession, base: String): Option[String] =
+    resolveCurrent(spark, base, "assignments/_SUCCESS")
+
+  /** The live SIGNATURE index version under `<whDir>/index/sig` — meta is
+    * written last, so its marker is the version-complete signal.
+    */
+  def currentSigIndexPath(spark: SparkSession, base: String): Option[String] =
+    resolveCurrent(spark, base, "meta/_SUCCESS")
+
+  private def resolveCurrent(
+      spark: SparkSession, base: String, completeMarker: String): Option[String] = {
     val fs = fsFor(spark, base)
+    def complete(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/$completeMarker"))
     val fromPointer =
       if (!fs.exists(pointer(base))) None
       else {
         val in = fs.open(pointer(base))
         val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        Some(s"$base/$v").filter(p =>
-          fs.exists(new org.apache.hadoop.fs.Path(s"$p/assignments/_SUCCESS")))
+        Some(s"$base/$v").filter(complete)
       }
     fromPointer.orElse {
       if (!fs.exists(new org.apache.hadoop.fs.Path(base))) None
       else fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
         .map(_.getPath.getName)
         .filter(_.matches("v\\d+"))
-        .filter(v => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$base/$v/assignments/_SUCCESS")))
+        .filter(v => complete(s"$base/$v"))
         .sortBy(_.drop(1).toInt)
         .lastOption
         .map(s"$base/" + _)
@@ -115,6 +146,119 @@ object IndexRun {
         .foreach(fs.delete(_, true))
   }
 
+  /** Day-scoped dynamic partition overwrite on ingest_day — the same
+    * idempotent publish primitive the corpus pipeline uses: closed days
+    * untouched, a retried day replaces its own leftovers.
+    */
+  private def dayOverwrite(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_day")
+      .parquet(path)
+
+  /** (N, C): corpus size and bucket concentration, derived ENTIRELY from
+    * the day-partitioned counts zone (Σ over bands of bucket sizes is
+    * bands·N, so no index scan even for the denominator).
+    */
+  private def sigConcentration(spark: SparkSession, versionPath: String): (Long, Double) = {
+    val totals = spark.read.parquet(s"$versionPath/counts")
+      .groupBy("band", "key").agg(sum("__n").as("n"))
+    val row = totals.agg(
+      sum(expr("n * (n - 1)")), sum(col("n"))).head()
+    if (row.isNullAt(1)) return (0L, 0.0)
+    val mass = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val n = row.getLong(1) / SigBands
+    (n, if (n < 2) 0.0 else mass.toDouble / (SigBands.toDouble * n * (n - 1)))
+  }
+
+  /** Build one signature-index version from (id, v, ingest_day) rows —
+    * day partitions preserved (so a later day retry still owns exactly
+    * its partition inside the rebuilt version) and meta written LAST as
+    * the completeness marker.
+    */
+  private def buildSigVersion(
+      spark: SparkSession, vPath: String,
+      rows: org.apache.spark.sql.DataFrame, seed: Long): (Long, Double) = {
+    import graft.operators.Dedup
+    val keyed = Dedup.embeddingSignatureRows(
+        rows, "id", "v", SigBands, SigBitsPerBand, seed)
+      .join(rows.select(col("id"), col("ingest_day")), Seq("id"))
+      .localCheckpoint()
+    dayOverwrite(keyed, s"$vPath/index")
+    dayOverwrite(
+      keyed.select(col("ingest_day"), posexplode(col("bkeys")).as(Seq("band", "key")))
+        .groupBy("ingest_day", "band", "key").agg(count(lit(1)).as("__n")),
+      s"$vPath/counts")
+    val (n, c) = sigConcentration(spark, vPath)
+    import spark.implicits._
+    Seq((n, seed, SigBands, SigBitsPerBand, c))
+      .toDF("n_vectors", "seed", "bands", "bits_per_band", "baseline_concentration")
+      .write.mode("overwrite").parquet(s"$vPath/meta")
+    (n, c)
+  }
+
+  /** The signature-index leg of the nightly run: build day 1, day-scoped
+    * signature append after, concentration drift measured per day and
+    * re-seed + rebuild + pointer flip when it trips. Returns the ledger
+    * message fragment.
+    */
+  private[pipeline] def sigStage(
+      spark: SparkSession,
+      base: String,
+      increment: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      runDate: String,
+      retrainInflation: Double): String = {
+    import graft.operators.Dedup
+    val v = increment
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("ingest_day", lit(runDate))
+    currentSigIndexPath(spark, base) match {
+      case None =>
+        if (v.isEmpty) return "SIG: empty increment, nothing to build."
+        val (n, c) = buildSigVersion(spark, s"$base/v1", v, SigSeed)
+        writePointer(spark, base, "v1")
+        f"SIG: BUILT lsh(${SigBands}x$SigBitsPerBand) v1 from $n vector(s), " +
+          f"concentration $c%.5f."
+      case Some(live) =>
+        sweepRetired(spark, base, live)
+        val meta = spark.read.parquet(s"$live/meta").head()
+        val seed = meta.getAs[Long]("seed")
+        val c0 = meta.getAs[Double]("baseline_concentration")
+        val keyed = Dedup.embeddingSignatureRows(
+            v, "id", "v", SigBands, SigBitsPerBand, seed)
+          .withColumn("ingest_day", lit(runDate))
+          .localCheckpoint()
+        val nApp = keyed.count()
+        if (nApp > 0) {
+          dayOverwrite(keyed, s"$live/index")
+          dayOverwrite(
+            keyed.select(col("ingest_day"), posexplode(col("bkeys")).as(Seq("band", "key")))
+              .groupBy("ingest_day", "band", "key").agg(count(lit(1)).as("__n")),
+            s"$live/counts")
+        }
+        val (n, c) = sigConcentration(spark, live)
+        // reference = max(baseline, random-hash floor): below 2^-r the
+        // buckets are balanced by construction and differences are noise
+        val floor = math.pow(2.0, -SigBitsPerBand)
+        val ref = math.max(c0, floor)
+        val ratio = if (ref > 0) c / ref else 1.0
+        val head = f"SIG: appended $nApp vector(s), concentration $c%.5f " +
+          f"(ratio $ratio%.2f vs ref $ref%.5f, retrain at $retrainInflation%.1fx)."
+        if (ratio > retrainInflation) {
+          val nextV = s"v${versionOf(live) + 1}"
+          val all = spark.read.parquet(s"$live/index")
+            .select(col("id"), col("v"), col("ingest_day").cast("string").as("ingest_day"))
+          val (nR, cR) = buildSigVersion(spark, s"$base/$nextV", all, seed + 1)
+          writePointer(spark, base, nextV)
+          head + f" RETRAINED: $nextV rebuilt ($nR vector(s)) under re-seeded planes " +
+            f"(seed ${seed + 1}), baseline reset to $cR%.5f, pointer flipped."
+        } else head
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(incrementDir, whDir, runTs) = args.take(3)
     val spark = Sessions
@@ -137,7 +281,8 @@ object IndexRun {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nCells: Int = NCells,
-      retrainInflation: Double = RetrainInflation): String = {
+      retrainInflation: Double = RetrainInflation,
+      sigRetrainInflation: Double = SigRetrainInflation): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/index_log"
     val ledger0 =
@@ -150,7 +295,7 @@ object IndexRun {
     try {
       val indexBase = s"$whDir/index/ivf"
       val increment = spark.read.parquet(incrementDir)
-      val message =
+      val ivfMessage =
         currentIndexPath(spark, indexBase) match {
           case None =>
             SimilaritySearch.buildIvfIndexDaily(
@@ -181,6 +326,11 @@ object IndexRun {
                 "baseline reset, pointer flipped."
             } else base
         }
+      // the LSH signature index rides the same nightly increment — its
+      // own version lineage, drift signal, and pointer under index/sig
+      val message = ivfMessage + " " + sigStage(
+        spark, s"$whDir/index/sig", increment, idCol, vecCol, runDate,
+        sigRetrainInflation)
       val done = RunLedger.finishRun(
         Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
         messageOverride = Some(message))

@@ -132,4 +132,95 @@ class IndexRunSpec extends SparkSpec {
     assert(IndexRun.currentIndexPath(spark, base).contains(s"$base/v2"),
       "a missing pointer must recover to the highest complete version")
   }
+
+  test("signature index: build, concentration-logged append, re-seed retrain trip, post-retrain calm") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigrun").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val base = s"$wh/index/sig"
+    def sig: String = IndexRun.currentSigIndexPath(spark, base)
+      .getOrElse(fail("no live signature index version"))
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // spread directions: deterministic pseudo-random coordinates →
+    // near-balanced sign-bit buckets (concentration ≈ the 2^-8 floor)
+    def spread(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, (0 until 6).map(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+    // one tight near-duplicate family — every member lands behind the
+    // same 8 band keys, so concentration goes quadratic in the family
+    def family(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, Seq(3.0, 2.0 + (i % 5) * 1e-4, 1.0, -1.0, 2.0, -2.0)))
+
+    // ── day 1: build v1, baseline recorded ──────────────────────────────
+    val in1 = drop("s1", vecs(spread(0 until 64)))
+    assert(IndexRun.run(spark, in1, wh, "2026-07-01 03:00:00", nCells = 4) == "SUCCESS")
+    val msg1 = lastMessage(wh)
+    assert(msg1.contains("SIG: BUILT lsh(8x8) v1 from 64 vector(s)"), s"unexpected: $msg1")
+    assert(sig == s"$base/v1")
+    val meta1 = spark.read.parquet(s"$sig/meta").head()
+    assert(meta1.getAs[Long]("seed") == IndexRun.SigSeed)
+
+    // ── day 2: spread append — concentration logged, no retrain, day-1
+    // index files untouched ─────────────────────────────────────────────
+    val day1Census = census(s"$sig/index")
+    val in2 = drop("s2", vecs(spread(100 until 132)))
+    assert(IndexRun.run(spark, in2, wh, "2026-07-02 03:00:00", nCells = 4) == "SUCCESS")
+    val msg2 = lastMessage(wh)
+    assert(msg2.contains("SIG: appended 32 vector(s)") && msg2.contains("concentration"),
+      s"concentration must be recorded: $msg2")
+    assert(!msg2.contains("SIG:") || !msg2.split("SIG:")(1).contains("RETRAINED"),
+      s"spread day must not retrain the signature index: $msg2")
+    val day1After = census(s"$sig/index").filter(_._1.contains("ingest_day=2026-07-01"))
+    assert(day1After == day1Census.filter(_._1.contains("ingest_day=2026-07-01")),
+      "append must not touch standing day-1 signature files")
+
+    // ── day 3: a 200-member near-dup family — concentration explodes
+    // past the floor-guarded reference, the stage re-seeds + rebuilds ───
+    val in3 = drop("s3", vecs(family(200 until 400)))
+    assert(IndexRun.run(spark, in3, wh, "2026-07-03 03:00:00", nCells = 4) == "SUCCESS")
+    val msg3 = lastMessage(wh)
+    assert(msg3.split("SIG:")(1).contains("RETRAINED"),
+      s"family day must trip the concentration policy: $msg3")
+    assert(sig == s"$base/v2", "retrain must advance the live signature version")
+    assert(new java.io.File(s"$base/v1").exists(),
+      "retired version must survive one cycle as the grace copy")
+    val meta2 = spark.read.parquet(s"$sig/meta").head()
+    assert(meta2.getAs[Long]("seed") == IndexRun.SigSeed + 1,
+      "rebuild must re-seed the hyperplanes")
+    assert(meta2.getAs[Double]("baseline_concentration") >
+      meta1.getAs[Double]("baseline_concentration"),
+      "baseline must reset to the post-rebuild concentration")
+    assert(spark.read.parquet(s"$sig/index").count() == 64 + 32 + 200,
+      "rebuild must preserve every vector")
+    // the rebuilt index still answers probes: a probe vector from the
+    // family finds members through the STORED keys under the NEW seed
+    val probe = Seq((9999L, Seq(3.0, 2.0, 1.0, -1.0, 2.0, -2.0))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Dedup.embeddingNearDupIncremental(
+      spark.read.parquet(s"$sig/index"), probe, "vec_id", "embedding", 0.99,
+      seed = meta2.getAs[Long]("seed"))
+    assert(pairs.count() >= 200, "post-rebuild probe must find the planted family")
+
+    // ── day 4: spread again — rebuilt baseline describes the corpus, no
+    // re-trip; v1 swept after its grace cycle ───────────────────────────
+    val in4 = drop("s4", vecs(spread(500 until 532)))
+    assert(IndexRun.run(spark, in4, wh, "2026-07-04 03:00:00", nCells = 4) == "SUCCESS")
+    assert(!lastMessage(wh).split("SIG:")(1).contains("RETRAINED"),
+      s"post-retrain spread day must not re-trip: ${lastMessage(wh)}")
+    assert(!new java.io.File(s"$base/v1").exists(),
+      "the next run must sweep the retired signature version")
+
+    // ── day-4 retry: the day re-owns exactly its partition ──────────────
+    val ledgerPath = s"$wh/control/index_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-07-04").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(IndexRun.run(spark, in4, wh, "2026-07-04 05:00:00") == "SUCCESS")
+    assert(spark.read.parquet(s"$sig/index").count() == 64 + 32 + 200 + 32,
+      "retried day must replace its own signature partition, not double-append")
+  }
 }
