@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, CosineSimilarity, DecimalVectorMean, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCellDist, NearestCells, SortedIntersectCount}
+import graft.functions.{BpeEncode, CosineSimilarity, SignBitBands, DecimalVectorMean, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCellDist, NearestCells, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -155,6 +155,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCellDist(
           children.head,
           Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray()))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_bit_bands"),
+      new ExpressionInfo(classOf[SignBitBands].getName, "sign_bit_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4 && children.drop(1).forall(_.foldable),
+          "sign_bit_bands(v, planes, bands, bitsPerBand) takes array<double> and " +
+            "literal plane matrix / band geometry")
+        val m = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        SignBitBands(
+          children.head,
+          Array.tabulate(m.numElements())(i => m.getArray(i).toDoubleArray()),
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("bpe_encode"),

@@ -722,13 +722,8 @@ object Dedup {
       planes: Seq[Array[Double]],
       bands: Int,
       bitsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        SimilaritySearch
-          .signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
-          .as("key"))
-    }: _*)
+    transform(bandKeyArray(v, planes, bands, bitsPerBand),
+      (k, b) => struct(b.as("band"), k.as("key")))
 
   /** Bipartite embedding near-dup join (e.g. new-batch probes vs corpus):
     * pairs (id_a from `left`, id_b from `right`) with cosine ≥ threshold.
@@ -966,13 +961,26 @@ object Dedup {
 
   /** Per-band sign-bit keys as an array (index b = band b's key) — the
     * stored form of [[bandedSignatures]]: banding a stored row back into
-    * (band, key) probes is a posexplode, no vector math.
+    * (band, key) probes is a posexplode, no vector math. Dispatches to
+    * the fused [[graft.functions.SignBitBands]] kernel when the session
+    * registers it: the plane matrix rides as ONE reference object
+    * instead of bands×bits×dim plan literals (4,096 nodes at the default
+    * geometry), which cuts ~1 s of per-query Catalyst analysis/codegen
+    * off every operator that signs vectors. The composed fallback is
+    * bit-identical (ModulesSpec pins parity, incl. the all-zero-keys
+    * null/mismatch semantics).
     */
   private def bandKeyArray(
-      v: Column, planes: Seq[Array[Double]], bands: Int, bitsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      SimilaritySearch.signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
-    }: _*)
+      v: Column, planes: Seq[Array[Double]], bands: Int, bitsPerBand: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (bitsPerBand <= 63 && spark.catalog.functionExists("sign_bit_bands"))
+      call_function("sign_bit_bands", v,
+        typedlit(planes.map(_.toSeq)), lit(bands), lit(bitsPerBand))
+    else
+      array((0 until bands).map { b =>
+        SimilaritySearch.signature(v, planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+      }: _*)
+  }
 
   /** The computation leg of [[writeEmbeddingSignatureIndex]]: a batch's
     * (id, v, bkeys) rows, for writers that manage their own zone layout
@@ -1085,16 +1093,31 @@ object Dedup {
     // NOT the stored counts zone: the zone is an efficiency artifact
     // that may legitimately lag the index (crash between index append
     // and counts merge), and an undercounting zone must never disengage
-    // the defense. The early daily steady state (bounded increment,
-    // young corpus) takes this path; a grown index falls through to the
-    // counted grid-salted machinery.
-    val smallBoth = nInc <= maxBucket &&
+    // the defense. The probe is only attempted when NO counts zone is
+    // supplied: with one, the counted path below costs no index scan
+    // anyway, so the probe job would be pure overhead. The early daily
+    // steady state (bounded increment, young corpus) takes this path; a
+    // grown index falls through to the counted grid-salted machinery.
+    val smallBoth = nInc <= maxBucket && indexCounts.isEmpty &&
       index.select(lit(1)).limit(maxBucket + 1).count() <= maxBucket
+    val none = incBandX.select(col("band"), col("key"),
+      lit(1).as("__gx"), lit(1).as("__gy")).limit(0)
     val (crossDormant, withinDormant, ovCross, ovWithin) =
-      if (smallBoth) {
-        val none = incBandX.select(col("band"), col("key"),
-          lit(1).as("__gx"), lit(1).as("__gy")).limit(0)
-        (true, true, none, none)
+      if (smallBoth) (true, true, none, none)
+      else if (nInc <= maxBucket) {
+        // a bounded increment makes the WITHIN join dormant BY
+        // CONSTRUCTION (no bucket can exceed nInc ≤ maxBucket rows) and
+        // caps the cross join's increment axis at one grid cell — so the
+        // oversized list derives from the INDEX counts alone (the stored
+        // zone, or one counting pass), with no increment-side counting
+        // and a single tiny-frame emptiness probe. The 1×gy grid is the
+        // same exact decomposition with the x factor pinned.
+        val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
+        val oc = idxCounts.filter(col("__n") > maxBucket)
+          .select(col("band"), col("key"), lit(1).as("__gx"),
+            ceil(col("__n").cast("double") / maxBucket).cast("int").as("__gy"))
+          .cache()
+        (oc.isEmpty, true, oc, none)
       } else {
         // one bucket-count pass per distinct frame (increment ×3, index
         // ×1) and one driver probe for both joins' oversized lists

@@ -482,14 +482,26 @@ object SimilaritySearch {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature of a vector under the given hyperplanes. */
-  def signature(v: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, i) =>
-        val plane = array(p.map(lit): _*)
-        when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+  /** Sign-bit LSH signature of a vector under the given hyperplanes.
+    * Dispatches to the fused [[graft.functions.SignBitBands]] kernel
+    * (one-band form) when registered — the composed fallback embeds
+    * every plane coordinate as a plan literal, which costs real
+    * Catalyst analysis time past a few hundred coordinates; both are
+    * bit-identical (incl. null → key 0 and NaN-dot → bit set).
+    */
+  def signature(v: Column, planes: Seq[Array[Double]]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (planes.length <= 63 && spark.catalog.functionExists("sign_bit_bands"))
+      call_function("sign_bit_bands", v,
+        typedlit(planes.map(_.toSeq)), lit(1), lit(planes.length))(0)
+    else
+      planes.zipWithIndex
+        .map { case (p, i) =>
+          val plane = array(p.map(lit): _*)
+          when(dot(v, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+  }
 
   /** ANN top-k via random-hyperplane bucketing: join query and corpus on
     * the LSH signature (optionally multi-probe: each query also probes all

@@ -499,6 +499,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sign_bit_bands kernel ≡ composed per-plane signature, incl. null/mismatch semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    assert(spark.catalog.functionExists("sign_bit_bands"))
+    val bands = 4
+    val bits = 5
+    val dim = 7
+    val planes = SimilaritySearch.hyperplanes(dim, bands * bits, 7L)
+    // deterministic vectors + a dimension-mismatch row + a null-element row
+    val rows = (0 until 40).map(i =>
+      (i.toLong, (0 until dim).map(j => ((i * 13 + j * 31) % 101) / 101.0 - 0.5).map(Option(_)))) ++
+      Seq(
+        (100L, (0 until dim - 1).map(j => Option(j * 0.1))), // wrong dim → all keys 0
+        (101L, Seq(Option(0.5), None) ++ (2 until dim).map(j => Option(j * 0.1)))) // null elem
+    val df = rows.toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val kernel = df.select(col("id"),
+      call_function("sign_bit_bands", col("v"),
+        typedlit(planes.map(_.toSeq)), lit(bands), lit(bits)).as("keys"))
+    val composed = df.select(col("id"),
+      array((0 until bands).map(b =>
+        planes.slice(b * bits, (b + 1) * bits).zipWithIndex.map { case (p, i) =>
+          when(SimilaritySearch.dot(col("v"), array(p.map(lit): _*)) >= 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)): _*).as("keys"))
+    val diff = kernel.join(composed.withColumnRenamed("keys", "keys2"), "id")
+      .filter(col("keys") =!= col("keys2"))
+    assert(diff.isEmpty, s"kernel diverges from composed: ${diff.head(3).toSeq}")
+    // the mismatch/null rows take the all-zero-keys branch in BOTH forms
+    assert(kernel.filter(col("id") >= 100L)
+      .select(col("keys")).collect()
+      .forall(_.getSeq[Long](0).forall(_ == 0L)))
+  }
+
   test("skewReport: exact hot-key stats on a planted frame; empty input is empty") {
     // key "a" ×6, "b" ×3, "c" ×1 → 10 rows, 3 keys, mean 10/3,
     // skew_ratio = 6/(10/3) = 1.8, top10 covers everything
