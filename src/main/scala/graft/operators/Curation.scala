@@ -357,28 +357,47 @@ object Curation {
       .cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
-    val nRow = nodes.agg(count(lit(1)).as("n")) // one-row scalar frame
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
-      val summed = contribs.groupBy("node")
-        .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
-      ranks = nodes.join(summed, Seq("node"), "left")
-        .crossJoin(broadcast(nRow))
-        .select(
-          col("node"),
-          ((lit(1.0) - lit(damping)) / col("n") +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+    // N once, as a driver literal: the per-round crossJoin(broadcast(nRow))
+    // re-evaluated the scalar frame and paid one broadcast job EVERY
+    // round — same double arithmetic either way (1.0/n on identical
+    // inputs), so results are bit-identical. outdeg likewise computes
+    // once (cached) instead of re-aggregating the edge cache per round.
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    // AQE pinned OFF for the loop's own jobs (scoped + restored — the
+    // kmeansLite pattern): every round is the SAME fixed micro-topology
+    // (two equi-joins on the cached edge frame + one hash agg), so
+    // adaptive re-planning rediscovers an identical plan per round while
+    // charging a per-exchange stage-materialization driver barrier —
+    // measured ~35 jobs for 3 rounds at sf0.1 with AQE on.
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+        val summed = contribs.groupBy("node")
+          .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
+        ranks = nodes.join(summed, Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+          .localCheckpoint()
+      }
+      e.unpersist()
+      nodes.unpersist()
+      outdeg.unpersist()
+      ranks
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
     }
-    e.unpersist()
-    nodes.unpersist()
-    ranks
   }
 
   /** PageRank with per-round dangling-mass redistribution: the rank mass
@@ -408,33 +427,44 @@ object Curation {
       .cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
-    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // N as a driver literal + AQE pinned off for the loop — the same
+    // fixed-micro-topology rationale as [[pageRankLite]]; the dangling
+    // mass stays a per-round one-row broadcast (it is data-dependent),
+    // everything else loses its per-round re-evaluation barriers.
+    val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(sum(col("rank").cast(DecimalType(38, 18))).cast("double").as("dm"))
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
-      val summed = contribs.groupBy("node")
-        .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
-      ranks = nodes.join(summed, Seq("node"), "left")
-        .crossJoin(broadcast(nRow))
-        .crossJoin(broadcast(dangling))
-        .select(
-          col("node"),
-          ((lit(1.0) - lit(damping)) / col("n") +
-            lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
-              coalesce(col("dm"), lit(0.0)) / col("n"))).as("rank"))
-        .localCheckpoint()
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      for (_ <- 1 to iters) {
+        val dangling = ranks
+          .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+          .agg(sum(col("rank").cast(DecimalType(38, 18))).cast("double").as("dm"))
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("contrib"))
+        val summed = contribs.groupBy("node")
+          .agg(sum(col("contrib").cast(DecimalType(38, 18))).cast("double").as("in_rank"))
+        ranks = nodes.join(summed, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(
+            col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("in_rank"), lit(0.0)) +
+                coalesce(col("dm"), lit(0.0)) / n)).as("rank"))
+          .localCheckpoint()
+      }
+      e.unpersist()
+      nodes.unpersist()
+      outdeg.unpersist()
+      ranks
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
     }
-    e.unpersist()
-    nodes.unpersist()
-    outdeg.unpersist()
-    ranks
   }
 }
