@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, SimilaritySearch}
+import graft.pipeline.CorpusRun
+import graft.sources.Zones
+
+/** The O(increment) scale probe — the measurement behind BASELINE.md's
+  * round-10 scale table: every INCREMENTAL daily path (d9 signature
+  * dedup, e3 embedding dedup, e5 semantic dedup, k5 IVF append, the full
+  * CorpusRun day) is timed against a FIXED-SIZE increment while the
+  * standing corpus/zones grow 10× — a flat day cost is the operational
+  * meaning of "O(increment + indexes), never O(corpus)".
+  *
+  * Zone builds from the standing corpus are UNTIMED setup; only the
+  * daily-path calls are timed. Inputs come from
+  * `scripts/make_scale_corpus.py` (sf0.1 replicated with id offsets,
+  * vowel-rotated text and direction-shifted embeddings so replicas are
+  * not near-duplicates — the increment is byte-identical across corpus
+  * sizes).
+  *
+  * Usage: runMain graft.ScaleProbe <genDir> <workDir>
+  *   genDir:  make_scale_corpus.py output (corpus_ / inc_ parquet pairs)
+  *   workDir: scratch dir for zones (wiped per run)
+  * Prints ONE JSON line: probe=scale, corpus sizes, per-path seconds.
+  */
+object ScaleProbe {
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(genDir, workDir) = args.take(2)
+    val spark = Sessions
+      .builder("graft-scaleprobe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Zones.delete(spark, workDir)
+
+    val corpusDocs = spark.read.parquet(s"$genDir/corpus_documents.parquet")
+    val corpusEmbs = spark.read.parquet(s"$genDir/corpus_embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val incDocs = spark.read.parquet(s"$genDir/inc_documents.parquet")
+    val incEmbs = spark.read.parquet(s"$genDir/inc_embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val nDocs = corpusDocs.count()
+    val nEmbs = corpusEmbs.count()
+    val nIncDocs = incDocs.count()
+    val sec = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ── d9: MinHash signature index — build zone untimed, time the
+    // increment-vs-index pair pass ──────────────────────────────────────
+    val sigZone = s"$workDir/sig_index"
+    Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
+      n = 3, numHashes = 32, mode = "overwrite", bands = 16)
+    sec("d9_incremental_dedup") = timed {
+      Dedup.minhashLshPairsIncremental(
+        Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
+        3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+        .count()
+    }._2
+
+    // ── e3: embedding signature index ───────────────────────────────────
+    val embZone = s"$workDir/emb_sig"
+    Dedup.writeEmbeddingSignatureIndex(spark, embZone, corpusEmbs, "vec_id", "e",
+      mode = "overwrite")
+    sec("e3_embedding_neardup_incremental") = timed {
+      Dedup.embeddingNearDupIncremental(
+        Dedup.readEmbeddingSignatureIndex(spark, embZone), incEmbs, "vec_id", "e",
+        0.99, indexCounts = Dedup.readBucketCounts(spark, embZone))
+        .count()
+    }._2
+
+    // ── e5: standing semantic assignment zone ───────────────────────────
+    val semZone = s"$workDir/sem_assign"
+    val assignment = Dedup.semanticDedup(corpusEmbs, "vec_id", "e", 64, 2, 0.95)
+    assignment.filter(col("is_kept"))
+      .select(col("vec_id").as("id"), col("cluster"))
+      .join(corpusEmbs.select(col("vec_id").as("id"), col("e").as("v")), Seq("id"))
+      .write.mode("overwrite").parquet(semZone)
+    sec("e5_semantic_dedup_incremental") = timed {
+      Dedup.semanticDedupIncremental(
+        spark.read.parquet(semZone), incEmbs, "vec_id", "e", 0.95)
+        .count()
+    }._2
+
+    // ── k5: persisted IVF index append ──────────────────────────────────
+    val ivfZone = s"$workDir/ivf"
+    SimilaritySearch.buildIvfIndex(spark, ivfZone, corpusEmbs, "vec_id", "e", nCells = 256)
+    sec("k5_ivf_append") = timed {
+      SimilaritySearch.appendIvfIndex(spark, ivfZone, incEmbs, "vec_id", "e")
+    }._2
+
+    // ── CorpusRun: standing day-1 zones untimed, the full day-2 pipeline
+    // timed end-to-end (quality → exact → near-dup → clusters → publish →
+    // stats → retention pass) ───────────────────────────────────────────
+    val wh = s"$workDir/wh"
+    val day1 = s"$workDir/in_day1"
+    val day2 = s"$workDir/in_day2"
+    corpusDocs.write.mode("overwrite").parquet(day1)
+    incDocs.write.mode("overwrite").parquet(day2)
+    require(CorpusRun.run(spark, day1, wh, "2026-08-01 02:00:00") == "SUCCESS")
+    sec("corpus_day") = timed {
+      require(CorpusRun.run(spark, day2, wh, "2026-08-02 02:00:00") == "SUCCESS")
+    }._2
+
+    val secJson = sec.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"scale","corpus_docs":$nDocs,"corpus_embeddings":$nEmbs,"increment_docs":$nIncDocs,"sec":$secJson}""")
+    spark.stop()
+  }
+}

@@ -364,17 +364,7 @@ object Curation {
     // once (cached) instead of re-aggregating the edge cache per round.
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    // AQE pinned OFF for the loop's own jobs (scoped + restored — the
-    // kmeansLite pattern): every round is the SAME fixed micro-topology
-    // (two equi-joins on the cached edge frame + one hash agg), so
-    // adaptive re-planning rediscovers an identical plan per round while
-    // charging a per-exchange stage-materialization driver barrier —
-    // measured ~35 jobs for 3 rounds at sf0.1 with AQE on.
-    val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
+    withLoopAqePolicy(edges.sparkSession, n) {
       var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
       for (_ <- 1 to iters) {
         val contribs = e
@@ -394,11 +384,39 @@ object Curation {
       nodes.unpersist()
       outdeg.unpersist()
       ranks
-    } finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
     }
   }
+
+  /** Below this many nodes a PageRank round's shuffles are single-task
+    * scale — AQE has nothing to decide (no partitions to coalesce, no
+    * skew worth splitting) but still charges one stage-materialization
+    * driver barrier per exchange per round.
+    */
+  val SmallGraphNodes = 1000000L
+
+  /** Scale-CONDITIONAL AQE scope for iterative graph loops — the
+    * resolution of BASELINE.md's round-7 adjudication (which rejected a
+    * blanket pin): at real scale a round's contribution shuffle is
+    * O(edges) with hub-node skew, exactly where AQE's skew-split and
+    * coalescing earn their barriers, so AQE stays ON there; below
+    * [[SmallGraphNodes]] the same barriers are pure driver overhead on
+    * single-task shuffles and the loop pins AQE off (scoped + restored).
+    * The cut is on the MEASURED node count, so the 100 TB posture is
+    * untouched by construction.
+    */
+  private def withLoopAqePolicy[A](
+      spark: org.apache.spark.sql.SparkSession, nNodes: Long)(body: => A): A =
+    if (nNodes > SmallGraphNodes) body
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(aqeKey)
+      spark.conf.set(aqeKey, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    }
 
   /** PageRank with per-round dangling-mass redistribution: the rank mass
     * sitting on SINK nodes (no out-edges — real domain graphs are full of
@@ -427,17 +445,12 @@ object Curation {
       .cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().cache()
-    // N as a driver literal + AQE pinned off for the loop — the same
-    // fixed-micro-topology rationale as [[pageRankLite]]; the dangling
-    // mass stays a per-round one-row broadcast (it is data-dependent),
-    // everything else loses its per-round re-evaluation barriers.
+    // N as a driver literal, outdeg cached; AQE scale-conditional (see
+    // [[withLoopAqePolicy]]). The dangling mass stays a per-round
+    // one-row broadcast (data-dependent).
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
+    withLoopAqePolicy(edges.sparkSession, n) {
       var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
       for (_ <- 1 to iters) {
         val dangling = ranks
@@ -462,9 +475,6 @@ object Curation {
       nodes.unpersist()
       outdeg.unpersist()
       ranks
-    } finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
     }
   }
 }
