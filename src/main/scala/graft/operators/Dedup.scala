@@ -428,6 +428,54 @@ object Dedup {
   def signatureBucketCounts(index: DataFrame, numHashes: Int, bands: Int): DataFrame =
     bucketCounts(bandedFromSigs(index, numHashes, bands))
 
+  /** One-row health report of a stored MinHash signature zone, computed
+    * from its kilobyte bucket-counts frame — the zone's DRIFT SIGNAL.
+    *
+    * MinHash needs no re-seed/retrain lifecycle (unlike the hyperplane
+    * sign-bit index, whose planes are fit to a data distribution that can
+    * move): the permutation hashes are content-universal, so recall at a
+    * given Jaccard threshold is a pure function of (bands, rowsPerBand) —
+    * no corpus shift changes it. What DOES drift operationally is bucket
+    * CONCENTRATION — boilerplate templates accreting docs behind single
+    * (band, key) buckets — which degrades candidate precision and join
+    * cost, never recall. That is what this report measures, and what
+    * [[boundedBucketJoin]] already defends exactly at query time; the
+    * policy is monitor + bounded join + monthly compaction, not rebuild.
+    *
+    * Columns: `n_sig_rows` (indexed signatures), `n_buckets`,
+    * `max_bucket`, `skew_vs_mean` (max/mean bucket size — the hot-template
+    * alarm), `oversized_buckets` (buckets past the [[boundedBucketJoin]]
+    * engagement bound — each one costs a grid-salt fan-out), and
+    * `candidate_pairs` (Σ n·(n−1)/2 — the exact LSH probe-join workload a
+    * full self-join of the zone would pay). Aggregates only the counts
+    * frame: never scans the index.
+    */
+  def minhashZoneHealth(
+      counts: DataFrame, bands: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    require(maxBucket > 0, "maxBucket must be positive")
+    counts
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("__total"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
+        coalesce(
+          sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("oversized_buckets"),
+        // n·(n−1) is even, so the shift is an exact halving
+        coalesce(
+          sum(col("__n") * (col("__n") - lit(1L))), lit(0L)).as("__pairs2"))
+      .select(
+        (col("__total") / lit(bands)).cast("bigint").as("n_sig_rows"),
+        col("n_buckets"),
+        col("max_bucket"),
+        when(col("__total") > 0,
+          round(col("max_bucket") * col("n_buckets") / col("__total").cast("double"), 2))
+          .otherwise(lit(0.0)).as("skew_vs_mean"),
+        col("oversized_buckets"),
+        shiftright(col("__pairs2"), 1).as("candidate_pairs"))
+  }
+
   /** [[signatureBucketCounts]] grouped additionally by `carryCols` (a
     * day-partition column) — the backfill shape: seed a day-partitioned
     * counts zone from an EXISTING index in one pass, so a corpus that

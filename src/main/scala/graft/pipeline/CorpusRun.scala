@@ -348,6 +348,20 @@ object CorpusRun {
     dayOverwrite(
       Dedup.signatureBucketCounts(daySigs, NumHashes, Bands)
         .withColumn("ingest_day", lit(runDate)), sigCountsPath)
+    // the MinHash zone's drift signal, logged per run (Dedup.
+    // minhashZoneHealth for why concentration — not recall — is what
+    // drifts here, and why the policy is monitor+bounded-join, never a
+    // re-seed rebuild): one agg over the kilobyte counts zone, summed
+    // across days so the report covers the standing index incl. today.
+    val sigHealthNote = {
+      val h = Dedup.minhashZoneHealth(
+        Zones.read(spark, sigCountsPath)
+          .groupBy("band", "key").agg(sum("__n").as("__n")),
+        Bands).head()
+      f"sig-health[buckets ${h.getAs[Long]("n_buckets")}, " +
+        f"max ${h.getAs[Long]("max_bucket")} (${h.getAs[Double]("skew_vs_mean")}%.2fx mean), " +
+        f"oversized ${h.getAs[Long]("oversized_buckets")}], "
+    }
 
     // [4] cluster maintenance: star edges ∪ new pairs — never the old
     // pair set. The assignment zone is small (pair-involved docs only)
@@ -502,7 +516,7 @@ object CorpusRun {
     val message =
       s"Corpus day $runDate: input $nInput, quality-dropped ${nInput - nQuality}$ruleBreakdown, " +
         s"exact-dup-dropped ${nQuality - nExact}, near-dup-dropped ${nExact - nKept}, " +
-        semNote +
+        sigHealthNote + semNote +
         s"para-excised ${nParas - nParasKept} of $nParas paragraph(s), " +
         s"fully-excised-docs ${nSemKept - nPublished}, published $nPublished." +
         (if (statsMerged) "" else " STATS merge no-op (day already applied — retry).") + (

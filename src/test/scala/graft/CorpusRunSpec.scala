@@ -77,6 +77,12 @@ class CorpusRunSpec extends SparkSpec {
     assert(msg2.contains("input 5") && msg2.contains("quality-dropped 1") &&
       msg2.contains("exact-dup-dropped 1") && msg2.contains("near-dup-dropped 1") &&
       msg2.contains("published 2"), s"unexpected ledger message: $msg2")
+    // the MinHash zone's drift signal rides every run's message: bucket
+    // concentration (the thing that CAN drift — recall can't, the
+    // permutation hashes are content-universal) measured from the counts
+    // zone, with the oversized count that would engage the bounded join
+    assert(msg2.contains("sig-health[buckets ") && msg2.contains("oversized 0]"),
+      s"ledger message missing the sig-health drift signal: $msg2")
 
     // day 3: another near-dup chain — a near-dup of day-2's doc 11
     // (cross-day candidate via the signature index, day-2 text never

@@ -284,6 +284,29 @@ class DedupSimilaritySpec extends SparkSpec {
       "baseline must stay the BUILD-time error, not drift with appends")
   }
 
+  test("minhashZoneHealth: concentration report from the counts zone, empty-safe") {
+    import spark.implicits._
+    // one boilerplate mega-bucket past the bound + three normal buckets,
+    // 4 bands → every signature contributes 4 count entries
+    val counts = Seq((0, "HOT", 5000L), (0, "a", 100L), (1, "b", 60L), (2, "c", 40L))
+      .toDF("band", "key", "__n")
+    val h = Dedup.minhashZoneHealth(counts, bands = 4, maxBucket = 4096).head()
+    assert(h.getAs[Long]("n_sig_rows") == 1300L, s"n_sig_rows: $h")
+    assert(h.getAs[Long]("n_buckets") == 4L, s"n_buckets: $h")
+    assert(h.getAs[Long]("max_bucket") == 5000L, s"max_bucket: $h")
+    assert(h.getAs[Long]("oversized_buckets") == 1L, s"oversized: $h")
+    val expPairs = 5000L * 4999 / 2 + 100L * 99 / 2 + 60L * 59 / 2 + 40L * 39 / 2
+    assert(h.getAs[Long]("candidate_pairs") == expPairs, s"candidate_pairs: $h")
+    // skew = max / mean = 5000 / (5200/4) = 3.85 (2dp)
+    assert(math.abs(h.getAs[Double]("skew_vs_mean") - 3.85) < 1e-9, s"skew: $h")
+
+    // empty zone (day 1 before any publish): all-zero row, no nulls, no NaN
+    val h0 = Dedup.minhashZoneHealth(counts.limit(0), bands = 4).head()
+    assert(h0.getAs[Long]("n_sig_rows") == 0L && h0.getAs[Long]("max_bucket") == 0L &&
+      h0.getAs[Long]("oversized_buckets") == 0L && h0.getAs[Long]("candidate_pairs") == 0L &&
+      h0.getAs[Double]("skew_vs_mean") == 0.0, s"empty-zone row: $h0")
+  }
+
   test("exact dedup collapses literal copies only") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val withCopies = docs.unionByName(
