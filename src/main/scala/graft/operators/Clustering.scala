@@ -142,31 +142,44 @@ object Clustering {
     // path, whose own composable fallback covers toy k
     val canShard = org.apache.spark.sql.SparkSession.active
       .catalog.functionExists("nearest_cell_dist")
-    val cluster =
+    val assigned =
       if (ordered.length <= maxKernelK || !canShard) {
         val cids = ordered.map(_._1).toSeq
         val matrix = ordered.map(_._2)
-        element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1)
+        vecs.withColumn("cluster",
+          element_at(typedlit(cids), SimilaritySearch.nearestCells(col(vecCol), matrix, 1)(0) + 1))
       } else {
         // sharded: per-chunk struct(dist, cid), global winner by least()
         // — struct ordering is (dist, then cid), and cids are ascending
         // within AND across chunks, so ties resolve to the lowest cid
-        // exactly as the single-kernel path does
-        val chunks = ordered.grouped(maxKernelK).toSeq.map { chunk =>
-          val cids = chunk.map(_._1).toSeq
+        // exactly as the single-kernel path does. Each chunk's kernel
+        // lands ONCE as a named projection column: getField on the
+        // resulting attribute is free, whereas referencing the kernel
+        // expression from both struct fields would embed (and ship) the
+        // chunk's centroid matrix twice per chunk — doubling exactly
+        // the per-task plan payload this sharding exists to bound.
+        // CollapseProject keeps the split (it never re-inlines a
+        // non-cheap alias referenced more than once).
+        val chunked = ordered.grouped(maxKernelK).toSeq.zipWithIndex
+        val withKernels = chunked.foldLeft(vecs) { case (df, (chunk, i)) =>
           val matrix = chunk.map(_._2).map(_.toSeq).toSeq
-          val cd = call_function("nearest_cell_dist", col(vecCol), typedlit(matrix))
-          struct(
-            cd.getField("dist").as("dist"),
-            element_at(typedlit(cids), cd.getField("idx") + 1).as("cid"))
+          df.withColumn(s"__cd$i",
+            call_function("nearest_cell_dist", col(vecCol), typedlit(matrix)))
         }
-        least(chunks: _*).getField("cid")
+        val structs = chunked.map { case (chunk, i) =>
+          val cids = chunk.map(_._1).toSeq
+          struct(
+            col(s"__cd$i").getField("dist").as("dist"),
+            element_at(typedlit(cids), col(s"__cd$i").getField("idx") + 1).as("cid"))
+        }
+        withKernels
+          .withColumn("cluster", least(structs: _*).getField("cid"))
+          .drop(chunked.map { case (_, i) => s"__cd$i" }: _*)
       }
     val dist = aggregate(
       zip_with(col(vecCol), col("c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
-    vecs
-      .withColumn("cluster", cluster)
+    assigned
       .join(broadcast(cents.select(col("cid").as("cluster"), col("c"))), "cluster")
       .withColumn("dist", dist)
       .select(col(idCol), col(vecCol), col("cluster"), col("dist"))

@@ -404,17 +404,36 @@ object Curation {
     * The cut is on the MEASURED node count, so the 100 TB posture is
     * untouched by construction.
     */
+  /** Per-session depth + the conf value saved by the OUTERMOST pin —
+    * the save/restore must be reference-counted: two overlapping loops
+    * on one session would otherwise each capture the other's pinned
+    * "false" as `prev` and leave AQE disabled session-wide forever
+    * after both return. Entries live only while a pin is active.
+    */
+  private val aqeLoopState =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+
   private def withLoopAqePolicy[A](
       spark: org.apache.spark.sql.SparkSession, nNodes: Long)(body: => A): A =
     if (nNodes > SmallGraphNodes) body
     else {
       val aqeKey = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.getOption(aqeKey)
-      spark.conf.set(aqeKey, "false")
+      aqeLoopState.synchronized {
+        val (depth, saved) = Option(aqeLoopState.get(spark))
+          .getOrElse((0, spark.conf.getOption(aqeKey)))
+        if (depth == 0) spark.conf.set(aqeKey, "false")
+        aqeLoopState.put(spark, (depth + 1, saved))
+      }
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
+      finally aqeLoopState.synchronized {
+        val (depth, saved) = aqeLoopState.get(spark)
+        if (depth == 1) {
+          aqeLoopState.remove(spark)
+          saved match {
+            case Some(v) => spark.conf.set(aqeKey, v)
+            case None => spark.conf.unset(aqeKey)
+          }
+        } else aqeLoopState.put(spark, (depth - 1, saved))
       }
     }
 

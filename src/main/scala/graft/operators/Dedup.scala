@@ -1070,15 +1070,14 @@ object Dedup {
       bitsPerBand: Int = 8,
       seed: Long = 42L,
       mode: String = "append"): Unit = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // empty batch → no-op (nothing to index, counts unchanged); the dim
-    // lookup below would otherwise crash on head-of-empty
-    val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
-    if (vstats.getLong(0) == 0) return
-    val dim = vstats.getInt(1)
-    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
-    val keyed = v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+    // ONE owner of the select/dim-lookup/hyperplane/band-key derivation:
+    // [[embeddingSignatureRows]] — re-implementing it here would let the
+    // key geometry silently desynchronize from IndexRun's sigStage rows.
+    // Its empty-batch contract (empty typed frame) maps to this writer's
+    // no-op (nothing to index, counts unchanged).
+    val keyed = embeddingSignatureRows(df, idCol, vecCol, bands, bitsPerBand, seed)
       .cache()
+    if (keyed.isEmpty) { keyed.unpersist(); return }
     keyed.write.mode(mode).parquet(path)
     // bucket counts ride next to the index (hidden _counts side-file):
     // daily probes then never recount the corpus — see [[readBucketCounts]]

@@ -67,11 +67,23 @@ object SkewJoin {
       salts: Int = 0): DataFrame = {
     require(keys.nonEmpty, "autoJoin needs at least one join key")
     require(ratioThreshold > 1.0, "ratioThreshold must exceed 1 (uniform)")
+    // backtick-quote the names (a dotted/reserved-word key must measure
+    // the COLUMN, not parse as a struct access or crash in expr()), and
+    // measure only rows the join will actually shuffle: an inner
+    // equi-join's isnotnull pushdown drops null-key rows before the
+    // exchange, so a hot null tuple must not drive the plan choice —
+    // with nulls excluded, the concat_ws multi-key image is also
+    // collision-free in the way that matters (no null-skip collapse of
+    // distinct tuples onto one measured key)
+    val quoted = keys.map(k => "`" + k.replace("`", "``") + "`")
     val keyExpr =
-      if (keys.length == 1) keys.head
-      else s"concat_ws(char(1), ${keys.mkString(", ")})"
+      if (keys.length == 1) quoted.head
+      else s"concat_ws(char(1), ${quoted.map(q => s"cast($q as string)").mkString(", ")})"
     val r = report
-      .orElse(Profiling.skewReport(big, keyExpr).collect().headOption)
+      .orElse {
+        val measured = big.filter(quoted.map(q => col(q).isNotNull).reduce(_ && _))
+        Profiling.skewReport(measured, keyExpr).collect().headOption
+      }
     val ratio = r.map(_.getAs[Double]("skew_ratio")).getOrElse(0.0)
     if (ratio < ratioThreshold) big.join(small, keys)
     else {

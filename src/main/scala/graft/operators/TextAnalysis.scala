@@ -447,8 +447,10 @@ object TextAnalysis {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
+    var batchIdx = 0
+    val nBatches = (nMerges + batchRounds - 1) / batchRounds
     var exhausted = false
-    while (rank <= nMerges && !exhausted) {
+    while (batchIdx < nBatches && !exhausted) {
       // one pair-count snapshot per BATCH: with batchRounds = m the
       // corpus-independent word table is scanned nMerges/m times, not
       // nMerges times — the standard stale-counts batching that makes a
@@ -458,7 +460,12 @@ object TextAnalysis {
       // a later in-batch pair destroyed by an earlier merge simply
       // no-ops its replace — fully deterministic, engine-replayable
       // (the t17 oracle replays the same rule), and ≡ the m=1 form
-      // whenever the top-m pairs don't interact.
+      // whenever the top-m pairs don't interact. The SCHEDULE is
+      // STATIC — exactly ⌈nMerges/m⌉ snapshots, batch i limited to
+      // min(m, nMerges − (i−1)·m) — so a data-independent SQL oracle
+      // can replay it round for round; a snapshot that comes up short
+      // does NOT extend the schedule (its unfilled rank slots lapse —
+      // by then the vocabulary is near pair exhaustion anyway).
       val syms = split(regexp_replace(col("enc"), "^<|>$", ""), "><")
       val batch = vocab
         .select(col("cnt"), syms.as("s"))
@@ -470,8 +477,9 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("n"))
         .filter(col("n") >= minPairCount)
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(math.min(batchRounds, nMerges - rank + 1))
+        .limit(math.min(batchRounds, nMerges - batchIdx * batchRounds))
         .collect()
+      batchIdx += 1
       if (batch.isEmpty) exhausted = true
       else {
         val enc = batch.foldLeft(col("enc")) { (c, row) =>

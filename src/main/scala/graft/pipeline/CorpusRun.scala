@@ -410,8 +410,8 @@ object CorpusRun {
     // day-partitioned under the same prior-days/retry discipline as
     // every probe zone, and folds monthly with them.
     val semPath = s"$whDir/corpus/sem_assign"
-    val (semKept, nSemKept, semNote) = semantic match {
-      case None => (kept, nKept, "")
+    val (semKept, nSemKept, semNote, semZoneWrite) = semantic match {
+      case None => (kept, nKept, "", (_: DataFrame) => ())
       case Some(cfg) =>
         // checkpoint: read by the assignment AND the zone-publish join,
         // and must not re-execute against mutated zones
@@ -431,20 +431,28 @@ object CorpusRun {
           else
             Dedup.semanticDedupIncremental(prior, vecs, "doc_id", "v", cfg.threshold))
             .localCheckpoint() // sever lineage before the zone write below
-        if (!assignment.isEmpty)
-          dayOverwrite(
-            assignment.filter(col("is_kept"))
-              .select(col("doc_id").as("id"), col("cluster"))
-              .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
-              .withColumn("ingest_day", lit(runDate)),
-            semPath)
+        // the zone write is DEFERRED until the published set is known
+        // (after paragraph excision): a sem-kept doc whose every
+        // paragraph is later excised never reaches the corpus, and a
+        // representative that is not in the published corpus must not
+        // drop future docs — "the index IS the published corpus" holds
+        // only if the zone is restricted to published ids
+        val write = (published: DataFrame) =>
+          if (!assignment.isEmpty)
+            dayOverwrite(
+              assignment.filter(col("is_kept"))
+                .select(col("doc_id").as("id"), col("cluster"))
+                .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
+                .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+                .withColumn("ingest_day", lit(runDate)),
+              semPath)
         val sk = kept
           .join(
             assignment.filter(!col("is_kept")).select("doc_id"),
             Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val n = sk.count()
-        (sk, n, s"sem-dup-dropped ${nKept - n}, ")
+        (sk, n, s"sem-dup-dropped ${nKept - n}, ", write)
     }
 
     // [5b] cross-day paragraph excision: a paragraph already seen on any
@@ -478,6 +486,9 @@ object CorpusRun {
       .withColumn("text", col("text_kept")).drop("text_kept")
       .localCheckpoint()
     val nPublished = published.count()
+    // semantic zone publish, now that the published set is final (only
+    // published ids may stand as future semantic representatives)
+    semZoneWrite(published)
 
     // day-scoped dynamic partition overwrite, NOT append: the day owns
     // its partition in every zone, so a retry after a partial failure
@@ -642,6 +653,14 @@ object CorpusRun {
         fs.delete(tmpPath, true)
         spark.catalog.refreshByPath(path)
       } else if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      // NOTE a day dir coexisting with its month partition is a LEGAL
+      // state here (a day that became fold-eligible after a crashed
+      // stage was built — its rows live only in the day dir, and this
+      // fold legitimately folds it in). The illegal twin — day rows
+      // ALREADY inside the month copy — cannot arise from this code:
+      // the manifest lands atomically (below), so recovery either sees
+      // the complete day list or discards the stage with the source
+      // layout intact.
       val days = foldableDays(path)
       if (days.isEmpty) None
       else {
@@ -657,8 +676,16 @@ object CorpusRun {
         // recovery-eligible until the manifest is durable, so a crash
         // between the two leaves the old layout authoritative
         folded.write.mode("overwrite").partitionBy("ingest_day").parquet(tmp)
-        val out = fs.create(manifestPath, true)
+        // manifest lands ATOMICALLY (write-temp + rename): fs.create at
+        // the final name is visible before the day list is flushed, and
+        // a crash mid-write would leave a truncated manifest that
+        // recovery TRUSTS — deleting only the listed days and leaving
+        // the rest to be double-read by the next fold
+        val manifestTmp = new org.apache.hadoop.fs.Path(s"$tmp/_DAYS.tmp")
+        val out = fs.create(manifestTmp, true)
         try out.write(days.mkString("\n").getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(manifestTmp, manifestPath))
+          throw new java.io.IOException(s"fold manifest rename failed: $manifestPath")
         // [2] month partitions overwritten FROM the staged files
         dayOverwrite(spark.read.parquet(tmp), path)
         // [3] exactly the staged day dirs die; [4] stage cleared

@@ -284,6 +284,65 @@ class CorpusRunSpec extends SparkSpec {
       "retried day must own exactly its zone partition")
   }
 
+  test("semantic zone holds only PUBLISHED docs: a fully-excised sem-kept doc never drops future docs") {
+    import spark.implicits._
+    import graft.pipeline.CorpusRun.SemanticStage
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_semx").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, d: Seq[(Long, String, String)], e: Seq[(Long, Seq[Double])])
+        : (String, SemanticStage) = {
+      val dDir = s"$tmp/in_$day"
+      val eDir = s"$tmp/emb_$day"
+      docs(d).write.mode("overwrite").parquet(dDir)
+      e.toDF("doc_id", "embedding").write.mode("overwrite").parquet(eDir)
+      (dDir, SemanticStage(eDir, k = 1, iters = 1, threshold = 0.95))
+    }
+    val famA = Seq(1.0, 0.0, 0.0, 0.0)
+    val famB = Seq(0.0, 1.0, 0.0, 0.0)
+    val famD = Seq(0.0, 0.0, 0.0, 1.0)
+    val famDeps = Seq(0.0, 0.0, 0.01, 0.999)
+    val pAlpha = "alpha apple axe anchor acorn amber"
+    val pBeta = "beta bread bone birch boat bramble"
+
+    // day 1: two distinct single-paragraph docs publish; their paragraph
+    // fingerprints enter the para_fp zone
+    val (in1, sem1) = drop("x1",
+      Seq((1L, pAlpha, "web"), (2L, pBeta, "web")),
+      Seq((1L, famA), (2L, famB)))
+    assert(CorpusRun.run(spark, in1, wh, "2026-04-01 02:00:00", semantic = Some(sem1)) == "SUCCESS")
+
+    // day 2: doc 11 = both prior paragraphs glued — it survives exact +
+    // near-dup (shingle Jaccard vs either part ≈ 0.33) and the semantic
+    // stage (fresh family D), then EVERY paragraph is excised as prior
+    // boilerplate, so it is never published. The semantic zone must not
+    // carry it: an unpublished representative would silently drop future
+    // family-D docs for matching a doc that is not in the corpus.
+    val (in2, sem2) = drop("x2",
+      Seq((11L, s"$pAlpha\n\n$pBeta", "web")),
+      Seq((11L, famD)))
+    assert(CorpusRun.run(spark, in2, wh, "2026-04-02 02:00:00", semantic = Some(sem2)) == "SUCCESS")
+    val msg2 = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg2.contains("fully-excised-docs 1"), s"doc 11 must fully excise: $msg2")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "fully-excised doc 11 must not publish")
+    assert(spark.read.parquet(s"$wh/corpus/sem_assign")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "semantic zone must hold only published docs — 11 must be absent")
+
+    // day 3: doc 21 is semantically within ε of the UNPUBLISHED 11 but of
+    // nothing in the corpus — it must publish
+    val (in3, sem3) = drop("x3",
+      Seq((21L, "gamma goose grain gem glass grove", "web")),
+      Seq((21L, famDeps)))
+    assert(CorpusRun.run(spark, in3, wh, "2026-04-03 02:00:00", semantic = Some(sem3)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 21L),
+      "doc 21 must publish — its only semantic match was never in the corpus")
+  }
+
   test("cross-day paragraph excision: boilerplate cut in place, ≡ batch d10 on the union") {
     import graft.operators.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_para").toFile.getAbsolutePath

@@ -467,14 +467,18 @@ class PropertySpec extends SparkSpec {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
       var rank = 1
       var go = true
-      while (rank <= nMerges && go) {
+      // STATIC schedule — exactly ⌈nMerges/m⌉ snapshots, batch i capped
+      // at min(m, nMerges − (i−1)·m); a short batch does NOT extend the
+      // schedule (the engine and the t17 SQL oracle replay this rule)
+      val nBatches = (nMerges + m - 1) / m
+      for (i <- 1 to nBatches if go) {
         val counts = vocab.toSeq.flatMap { case (s, c) =>
           s.zip(s.drop(1)).map(p => p -> c)
         }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
           .filter(_._2 >= minN)
         val batch = counts.toSeq
           .sortBy { case ((a, b), n) => (-n, a, b) }
-          .take(math.min(m, nMerges - rank + 1))
+          .take(math.min(m, nMerges - (i - 1) * m))
         if (batch.isEmpty) go = false
         else batch.foreach { case ((a, b), n) =>
           out += ((rank, a, b, a + b, n))
@@ -497,6 +501,22 @@ class PropertySpec extends SparkSpec {
       assert(got == reference(wc, 8, 2L, m),
         s"batchRounds=$m diverged from the reference replay:\n$got\nvs\n${reference(wc, 8, 2L, m)}")
     }
+
+    // the case that DISTINGUISHES the static schedule from dynamic
+    // continuation: every snapshot of "aaaaaaaa" yields exactly ONE
+    // qualifying pair (short of m=2), and after ⌈4/2⌉=2 snapshots a
+    // THIRD would still find (aaaa,aaaa)≥2 — the static rule stops at 2
+    // snapshots / 2 merges (what the t17 SQL oracle replays), dynamic
+    // would take a 3rd and emit a 3rd merge
+    val short = Seq((1L, "aaaaaaaa aaaaaaaa")).toDF("doc_id", "text")
+    val gotShort = TextAnalysis.bpeTrain(short, "text", 4, batchRounds = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val refShort = reference(Map("aaaaaaaa" -> 2L), 4, 2L, 2)
+    assert(refShort.map(_._1) == Seq(1, 2), s"reference replay must stop at 2: $refShort")
+    assert(gotShort == refShort,
+      s"short-batch schedule diverged:\n$gotShort\nvs\n$refShort")
   }
 
   test("sign_bit_bands kernel ≡ composed per-plane signature, incl. null/mismatch semantics") {
