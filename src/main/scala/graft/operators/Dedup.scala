@@ -1031,10 +1031,16 @@ object Dedup {
   }
 
   /** The computation leg of [[writeEmbeddingSignatureIndex]]: a batch's
-    * (id, v, bkeys) rows, for writers that manage their own zone layout
-    * (day partitions, versioned rebuilds — [[graft.pipeline.IndexRun]]'s
-    * signature stage). An empty batch returns an empty, correctly-typed
-    * frame instead of crashing the dimension lookup.
+    * (id, v[, carryCols…], bkeys) rows, for writers that manage their
+    * own zone layout (day partitions, versioned rebuilds —
+    * [[graft.pipeline.IndexRun]]'s signature stage). `carryCols` ride
+    * through UNJOINED — a retrain feeding multi-day rows must not join
+    * keys back by id (a re-ingested id appearing on two days would
+    * square its rows and cross-assign vectors to the wrong partitions).
+    * An empty batch returns an empty, correctly-typed frame instead of
+    * crashing the dimension lookup; rows with a NULL vector are dropped
+    * (nothing to hash — a corrupt upstream embed must not crash the
+    * nightly index run).
     */
   def embeddingSignatureRows(
       df: DataFrame,
@@ -1042,8 +1048,12 @@ object Dedup {
       vecCol: String,
       bands: Int = 8,
       bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      seed: Long = 42L,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val v = df
+      .select(Seq(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")) ++
+        carryCols.map(col): _*)
+      .filter(col("v").isNotNull)
     val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
     if (vstats.getLong(0) == 0)
       return v.withColumn("bkeys", typedlit(Seq.empty[Long])).limit(0)
@@ -1117,6 +1127,9 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
     val inc = increment.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      // a NULL vector can't be near-anything — dropped, not crashed
+      // (mirrors embeddingSignatureRows; also keeps the dim probe null-safe)
+      .filter(col("v").isNotNull)
     // empty increment (a day with no embeddings) → empty pair frame, not
     // a crashed dim lookup; one action yields count AND dimensionality
     val istats = inc.agg(count(lit(1)), first(size(col("v")))).head()

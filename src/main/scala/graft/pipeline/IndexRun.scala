@@ -75,12 +75,16 @@ object IndexRun {
     new org.apache.hadoop.fs.Path(base).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Resolve the live version's path, or None for a brand-new index.
-    * Falls back to (and repairs from) the highest on-disk `v<N>` whose
-    * assignments completed, so a crash after a version build but before
-    * or during the pointer flip self-heals.
+    * Falls back to the highest on-disk `v<N>` whose META completed (meta
+    * is the LAST thing [[SimilaritySearch.buildIvfIndexDaily]] writes —
+    * an assignments-only dir is a crashed build with no drift baseline,
+    * and treating it as complete would make the append path silently
+    * adopt that day's increment as the baseline). The fallback does NOT
+    * rewrite the pointer — readers may race — the single-writer nightly
+    * run repairs it ([[repairPointer]]).
     */
   def currentIndexPath(spark: SparkSession, base: String): Option[String] =
-    resolveCurrent(spark, base, "assignments/_SUCCESS")
+    resolveCurrent(spark, base, "meta/_SUCCESS")
 
   /** The live SIGNATURE index version under `<whDir>/index/sig` — meta is
     * written last, so its marker is the version-complete signal.
@@ -123,6 +127,24 @@ object IndexRun {
     fs.delete(pointer(base), false)
     if (!fs.rename(tmp, pointer(base)))
       throw new java.io.IOException(s"pointer flip failed for $base")
+  }
+
+  /** Rewrite a missing/stale pointer at the resolved live version — the
+    * self-heal after a crash inside writePointer's delete+rename window.
+    * Runs ONLY from the nightly job (under the single-writer ledger
+    * gate); daytime readers just fall back to the directory listing, so
+    * they never race each other rewriting CURRENT.
+    */
+  private def repairPointer(spark: SparkSession, base: String, live: String): Unit = {
+    val fs = fsFor(spark, base)
+    val want = live.split('/').last
+    val ok = fs.exists(pointer(base)) && {
+      val in = fs.open(pointer(base))
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      v == want
+    }
+    if (!ok) writePointer(spark, base, want)
   }
 
   private def versionOf(path: String): Int =
@@ -172,28 +194,41 @@ object IndexRun {
     (n, if (n < 2) 0.0 else mass.toDouble / (SigBands.toDouble * n * (n - 1)))
   }
 
+  /** Day-partitioned (band, key) counts of one keyed batch — shared by
+    * build and append so the concentrations they feed are computed from
+    * bit-identical derivations.
+    */
+  private def sigCounts(keyed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keyed.select(col("ingest_day"), posexplode(col("bkeys")).as(Seq("band", "key")))
+      .groupBy("ingest_day", "band", "key").agg(count(lit(1)).as("__n"))
+
   /** Build one signature-index version from (id, v, ingest_day) rows —
     * day partitions preserved (so a later day retry still owns exactly
     * its partition inside the rebuilt version) and meta written LAST as
-    * the completeness marker.
+    * the completeness marker. The target dir is truncated first: an
+    * incomplete dir at this path is by definition a crashed build (no
+    * meta marker), and dynamic overwrite alone would let its orphan day
+    * partitions survive inside the 'fresh' version, desyncing the index
+    * contents from meta/counts forever. `ingest_day` rides THROUGH the
+    * signature computation (carryCols), never joined back by id — a
+    * re-ingested id present on two days would square its rows and
+    * cross-assign vectors to the wrong day partitions.
     */
   private def buildSigVersion(
       spark: SparkSession, vPath: String,
       rows: org.apache.spark.sql.DataFrame, seed: Long): (Long, Double) = {
     import graft.operators.Dedup
+    fsFor(spark, vPath).delete(new org.apache.hadoop.fs.Path(vPath), true)
     val keyed = Dedup.embeddingSignatureRows(
-        rows, "id", "v", SigBands, SigBitsPerBand, seed)
-      .join(rows.select(col("id"), col("ingest_day")), Seq("id"))
+        rows, "id", "v", SigBands, SigBitsPerBand, seed, carryCols = Seq("ingest_day"))
       .localCheckpoint()
+    val dim = keyed.agg(first(size(col("v")))).head().getInt(0)
     dayOverwrite(keyed, s"$vPath/index")
-    dayOverwrite(
-      keyed.select(col("ingest_day"), posexplode(col("bkeys")).as(Seq("band", "key")))
-        .groupBy("ingest_day", "band", "key").agg(count(lit(1)).as("__n")),
-      s"$vPath/counts")
+    dayOverwrite(sigCounts(keyed), s"$vPath/counts")
     val (n, c) = sigConcentration(spark, vPath)
     import spark.implicits._
-    Seq((n, seed, SigBands, SigBitsPerBand, c))
-      .toDF("n_vectors", "seed", "bands", "bits_per_band", "baseline_concentration")
+    Seq((n, seed, SigBands, SigBitsPerBand, dim, c))
+      .toDF("n_vectors", "seed", "bands", "bits_per_band", "dim", "baseline_concentration")
       .write.mode("overwrite").parquet(s"$vPath/meta")
     (n, c)
   }
@@ -217,27 +252,43 @@ object IndexRun {
       .withColumn("ingest_day", lit(runDate))
     currentSigIndexPath(spark, base) match {
       case None =>
-        if (v.isEmpty) return "SIG: empty increment, nothing to build."
+        // emptiness judged AFTER the null-vector filter (an all-null
+        // increment must not crash the dim lookup inside the build)
+        if (v.filter(col("v").isNotNull).isEmpty)
+          return "SIG: empty increment, nothing to build."
         val (n, c) = buildSigVersion(spark, s"$base/v1", v, SigSeed)
         writePointer(spark, base, "v1")
         f"SIG: BUILT lsh(${SigBands}x$SigBitsPerBand) v1 from $n vector(s), " +
           f"concentration $c%.5f."
       case Some(live) =>
+        repairPointer(spark, base, live)
         sweepRetired(spark, base, live)
         val meta = spark.read.parquet(s"$live/meta").head()
         val seed = meta.getAs[Long]("seed")
         val c0 = meta.getAs[Double]("baseline_concentration")
+        // the stored geometry is the APPEND CONTRACT, not decoration: a
+        // binary whose band constants moved (or an increment of a
+        // different embedding dimension → different hyperplanes for the
+        // same seed) would silently mix incompatible keys into one index
+        require(
+          meta.getAs[Int]("bands") == SigBands &&
+            meta.getAs[Int]("bits_per_band") == SigBitsPerBand,
+          s"signature index at $live was built as lsh(${meta.getAs[Int]("bands")}x" +
+            s"${meta.getAs[Int]("bits_per_band")}) but this build appends " +
+            s"lsh(${SigBands}x$SigBitsPerBand) — rebuild, don't mix geometries")
         val keyed = Dedup.embeddingSignatureRows(
             v, "id", "v", SigBands, SigBitsPerBand, seed)
           .withColumn("ingest_day", lit(runDate))
           .localCheckpoint()
         val nApp = keyed.count()
         if (nApp > 0) {
+          val incDim = keyed.agg(first(size(col("v")))).head().getInt(0)
+          val idxDim = meta.getAs[Int]("dim")
+          require(incDim == idxDim,
+            s"signature index at $live holds $idxDim-dim vectors; the increment is " +
+              s"$incDim-dim — same seed, different hyperplanes. Rebuild, don't mix.")
           dayOverwrite(keyed, s"$live/index")
-          dayOverwrite(
-            keyed.select(col("ingest_day"), posexplode(col("bkeys")).as(Seq("band", "key")))
-              .groupBy("ingest_day", "band", "key").agg(count(lit(1)).as("__n")),
-            s"$live/counts")
+          dayOverwrite(sigCounts(keyed), s"$live/counts")
         }
         val (n, c) = sigConcentration(spark, live)
         // reference = max(baseline, random-hash floor): below 2^-r the
@@ -260,6 +311,11 @@ object IndexRun {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        """usage: runMain graft.pipeline.IndexRun <incrementDir> <warehouseDir> "<yyyy-MM-dd HH:mm:ss>"""")
+      sys.exit(2)
+    }
     val Array(incrementDir, whDir, runTs) = args.take(3)
     val spark = Sessions
       .builder("graft-index", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -294,35 +350,62 @@ object IndexRun {
     Zones.overwriteSwap(ledger1, ledgerPath)
     try {
       val indexBase = s"$whDir/index/ivf"
+      // a NULL embedding (a failed upstream embed) is unindexable by
+      // either leg — dropped here once, so the quantizer sample can't
+      // NPE and a corrupt row can't land as a null-cell assignment
       val increment = spark.read.parquet(incrementDir)
+        .filter(col(vecCol).isNotNull)
       val ivfMessage =
         currentIndexPath(spark, indexBase) match {
           case None =>
-            SimilaritySearch.buildIvfIndexDaily(
-              spark, s"$indexBase/v1", increment, idCol, vecCol, nCells, runDate)
-            writePointer(spark, indexBase, "v1")
-            val n = spark.read.parquet(s"$indexBase/v1/meta")
-              .select("n_vectors").head().getLong(0)
-            s"Index day $runDate: BUILT ivf($nCells) v1 from $n vector(s)."
+            // BOOTSTRAP: the quantizer needs ≥ k sample vectors, but the
+            // first day's increment owes the pipeline nothing — an empty
+            // day defers the build (like the sig stage), a small day
+            // clamps k to what arrived (an IVF with few cells is merely
+            // coarse, and the drift policy retrains it at full k as the
+            // zone grows — never a permanently FAILED bootstrap)
+            val nDay1 = increment.count()
+            if (nDay1 == 0) s"Index day $runDate: empty increment, nothing to build."
+            else {
+              val k = math.min(nCells.toLong, nDay1).toInt
+              SimilaritySearch.buildIvfIndexDaily(
+                spark, s"$indexBase/v1", increment, idCol, vecCol, k, runDate)
+              writePointer(spark, indexBase, "v1")
+              val n = spark.read.parquet(s"$indexBase/v1/meta")
+                .select("n_vectors").head().getLong(0)
+              s"Index day $runDate: BUILT ivf($k) v1 from $n vector(s)." +
+                (if (k < nCells) s" (k clamped from $nCells to the day-1 corpus)" else "")
+            }
           case Some(live) =>
+            repairPointer(spark, indexBase, live)
             sweepRetired(spark, indexBase, live)
             val st = SimilaritySearch.appendIvfIndexDaily(
               spark, live, increment, idCol, vecCol, runDate, retrainInflation)
-            val ratio =
-              if (st.baselineMeanDist2 > 0) st.incrementMeanDist2 / st.baselineMeanDist2
-              else 1.0
+            // a zero baseline (≤ nCells distinct day-1 vectors quantize
+            // exactly) gives no ratio to report — the retrain decision
+            // (any nonzero increment error trips it) resets the baseline
+            // from the full zone, so this prints at most once per epoch
+            val drift =
+              if (st.baselineMeanDist2 > 0)
+                f"quantization drift ${st.incrementMeanDist2 / st.baselineMeanDist2}%.3f "
+              else "quantization drift n/a (zero baseline) "
             val base = f"Index day $runDate: appended ${st.nAppended} vector(s), " +
-              f"quantization drift $ratio%.3f " +
+              drift +
               f"(increment ${st.incrementMeanDist2}%.4f vs baseline ${st.baselineMeanDist2}%.4f, " +
               f"retrain at ${retrainInflation}%.1fx)."
             if (st.needsRetrain) {
               val nextV = s"v${versionOf(live) + 1}"
+              // retrain at full nCells unless the zone is still smaller
+              // (the day-1 clamp's recovery path: each retrain raises k
+              // toward nCells as the corpus grows)
+              val zoneN = spark.read.parquet(s"$live/assignments").count()
+              val k = math.min(nCells.toLong, zoneN).toInt
               SimilaritySearch.retrainIvfIndexDaily(
-                spark, live, s"$indexBase/$nextV", nCells)
+                spark, live, s"$indexBase/$nextV", k)
               writePointer(spark, indexBase, nextV)
               // the retired version is NOT deleted here: it stays one
               // cycle for in-flight readers and is swept next run
-              base + s" RETRAINED: $nextV rebuilt from the full zone, " +
+              base + s" RETRAINED: $nextV rebuilt from the full zone at ivf($k), " +
                 "baseline reset, pointer flipped."
             } else base
         }

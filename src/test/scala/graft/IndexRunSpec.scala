@@ -223,4 +223,55 @@ class IndexRunSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sig/index").count() == 64 + 32 + 200 + 32,
       "retried day must replace its own signature partition, not double-append")
   }
+
+  test("bootstrap + hostile input: tiny day 1 clamps k, null vectors drop, re-ingested id survives retrain unsquared") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_indexrun_boot").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+    // ── day 1: SIX vectors against nCells=16 — the build must clamp k
+    // to the corpus instead of dying on the quantizer's sample require
+    // (a permanently FAILED bootstrap until the daily increment alone
+    // exceeded k). One row carries a NULL embedding — dropped, not a
+    // crashed dim probe. ──────────────────────────────────────────────
+    val in1 = drop("b1", vecs(homeCluster(0 until 6))
+      .unionByName(vecs(Seq((99L, Seq(0.0)))).withColumn("embedding",
+        lit(null).cast("array<double>"))))
+    assert(IndexRun.run(spark, in1, wh, "2026-08-01 03:00:00") == "SUCCESS")
+    val msg1 = lastMessage(wh)
+    assert(msg1.contains("BUILT ivf(") && msg1.contains("clamped"),
+      s"tiny day 1 must build with a clamped quantizer: $msg1")
+    val ivf = IndexRun.currentIndexPath(spark, s"$wh/index/ivf")
+      .getOrElse(fail("no live ivf version after bootstrap"))
+    assert(spark.read.parquet(s"$ivf/assignments")
+      .filter(col("neighbor_id") === 99L).count() == 0,
+      "the null-embedding row must not be indexed")
+
+    // ── day 2: vector id 3 is RE-INGESTED with a different embedding —
+    // the index legitimately holds it once per day. A drifted majority
+    // trips the signature retrain; the rebuild must preserve exactly one
+    // row per (id, day) — the old id-join squared a re-ingested id and
+    // cross-assigned day-1's vector into day-2's partition. ───────────
+    val sigBase = s"$wh/index/sig"
+    val reIngested = Seq((3L, Seq(7.0, 7.0, 7.0, 7.0)))
+    val in2 = drop("b2", vecs(driftedCluster(100 until 300) ++ reIngested))
+    assert(IndexRun.run(spark, in2, wh, "2026-08-02 03:00:00") == "SUCCESS")
+    val sig = IndexRun.currentSigIndexPath(spark, sigBase)
+      .getOrElse(fail("no live signature version"))
+    val idx = spark.read.parquet(s"$sig/index")
+    val id3 = idx.filter(col("id") === 3L)
+      .select(col("ingest_day").cast("string"), col("v")).collect()
+    assert(id3.length == 2, s"re-ingested id must appear once per day, got ${id3.length}")
+    val byDay = id3.map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    assert(byDay("2026-08-01") != 7.0 && byDay("2026-08-02") == 7.0,
+      s"each day partition must hold ITS OWN vector for the re-ingested id: $byDay")
+    // (holds whether or not day 2 tripped the retrain; if it did, the
+    // rebuilt version must not have squared the duplicate id)
+    assert(idx.count() == 6 + 201,
+      s"index must hold one row per (id, day) ingestion, got ${idx.count()}")
+  }
 }
