@@ -26,8 +26,29 @@ object Zones {
     * data-corruption hazard (every row "new"), not a crash.
     */
   def exists(spark: SparkSession, path: String): Boolean = {
+    recoverSwap(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Whether the zone holds any actual parquet DATA file (recursive). An
+    * existing-but-fileless dir — the footprint of writing an EMPTY first
+    * increment — must read as "no zone yet": `spark.read.parquet` on it
+    * throws schema-inference errors, and an upsert that trusts bare
+    * [[exists]] would poison the zone permanently on its first empty day.
+    */
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && {
+      val it = fs.listFiles(root, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
   }
 
   /** Recursive delete through the Hadoop `FileSystem` API (no-op when the
@@ -60,13 +81,20 @@ object Zones {
       partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.col
     val merged =
-      if (!exists(spark, path)) increment
+      // hasDataFiles, not exists: an empty first increment leaves a
+      // fileless dir whose read would fail schema inference forever
+      if (!hasDataFiles(spark, path)) increment
       else {
         val current = spark.read.parquet(path)
         // restrict the anti-join to touched partitions: the partition
-        // filter prunes the scan to those directories
-        val touched = increment.select(col(partitionCol)).distinct()
-        val touchedCurrent = current.join(touched, Seq(partitionCol), "left_semi")
+        // filter prunes the scan to those directories. NULL-SAFE (<=>):
+        // a plain semi join never matches the NULL partition, so the
+        // increment's null-partition rows would replace — not merge —
+        // the zone's __HIVE_DEFAULT_PARTITION__ dir, silently dropping
+        // every existing null-partition row absent from the increment
+        val touched = increment.select(col(partitionCol).as("__tp")).distinct()
+        val touchedCurrent = current
+          .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
         graft.operators.Upsert.upsert(touchedCurrent, increment, keys)
       }
     // per-write option (NOT the session conf): scoping dynamic overwrite
@@ -87,8 +115,17 @@ object Zones {
     * executor loss, and the zone is never in a deleted-but-not-rewritten
     * state longer than one rename (atomic on HDFS-like filesystems).
     */
-  def overwriteSwap(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    stage(df, path, partitionBy)
+  def overwriteSwap(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    overwriteSwap(df, path, partitionBy, Map.empty[String, String])
+
+  def overwriteSwap(
+      df: DataFrame, path: String, partitionBy: Seq[String],
+      writerOptions: Map[String, String]): Unit = {
+    // a crashed previous swap may have left the zone's ONLY copy in the
+    // tmp dir (window between delete and rename) — complete it BEFORE
+    // stage() would clear the tmp dir and destroy that sole copy
+    recoverSwap(df.sparkSession, path)
+    stage(df, path, partitionBy, writerOptions)
     commitSwap(df.sparkSession, path)
   }
 
@@ -98,7 +135,8 @@ object Zones {
     * happen only after all results are materialized.
     */
   def overwriteSwapAll(writes: Seq[(DataFrame, String)]): Unit = {
-    writes.foreach { case (df, p) => stage(df, p, Nil) }
+    writes.foreach { case (df, p) => recoverSwap(df.sparkSession, p) }
+    writes.foreach { case (df, p) => stage(df, p, Nil, Map.empty) }
     writes.foreach { case (df, p) => commitSwap(df.sparkSession, p) }
   }
 
@@ -127,7 +165,13 @@ object Zones {
         // spread within each partition; the dynamic write re-splits by dir
         current.repartition(files, partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else current.repartition(files)
-    overwriteSwap(compacted, path, partitionBy)
+    // maxRecordsPerFile backstops the partitioned case: repartition on
+    // the partition cols hashes EVERY row of one partition value into a
+    // single task, which alone would write one giant file per partition
+    // (a straggler + a file far over target) — the writer-side split
+    // restores the ⌈rows / targetRowsPerFile⌉ contract per directory
+    overwriteSwap(compacted, path, partitionBy,
+      Map("maxRecordsPerFile" -> targetRowsPerFile.toString))
   }
 
   /** Register `path` as an external BUCKETED (and optionally partitioned)
@@ -148,22 +192,36 @@ object Zones {
       bucketCols: Seq[String],
       nBuckets: Int,
       partitionCols: Seq[String] = Nil): Unit = {
+    // CREATE TABLE resolves the location eagerly and RECOVER scans it —
+    // a brand-new zone dir must exist before either runs
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
     // a session catalog can outlive a warehouse dir (tests, repointed
     // runs): a registered table whose location is NOT `path` must be
     // re-registered, or writes would land in the stale location
     if (spark.catalog.tableExists(name)) {
       val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(ident).location)
-      if (loc.toUri.getPath != new org.apache.hadoop.fs.Path(path).toUri.getPath)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      if (loc.toUri.getPath != p.toUri.getPath)
         spark.sql(s"DROP TABLE `$name`")
+      else meta.bucketSpec.foreach { bs =>
+        // the REGISTERED spec describes the files already on disk: a
+        // caller asking for a different layout must rebuild the zone —
+        // re-registering alone would make the no-shuffle merge join
+        // co-locate hash(key) % newN against files bucketed by % oldN
+        // and silently drop matching rows
+        require(
+          bs.numBuckets == nBuckets &&
+            bs.bucketColumnNames.map(_.toLowerCase) ==
+              bucketCols.map(_.toLowerCase),
+          s"table `$name` is registered with ${bs.numBuckets} buckets on " +
+            s"(${bs.bucketColumnNames.mkString(", ")}) but the caller wants " +
+            s"$nBuckets on (${bucketCols.mkString(", ")}); the on-disk files " +
+            "follow the registered spec — rebuild the zone, don't mix layouts")
+      }
     }
     if (!spark.catalog.tableExists(name)) {
-      // CREATE TABLE resolves the location eagerly (streaming-sink
-      // metadata probe) and a brand-new zone dir doesn't exist yet —
-      // create it first
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
       // partition columns must close the column list for CREATE TABLE
       val ordered = schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
         partitionCols.map(c => schema(c))
@@ -178,12 +236,8 @@ object Zones {
         s"CREATE TABLE IF NOT EXISTS `$name` ($colsDdl) USING PARQUET " +
           s"$partClause $bucketClause LOCATION '$path'")
     }
-    if (partitionCols.nonEmpty) {
-      // RECOVER scans the location — create it first (brand-new zone)
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    if (partitionCols.nonEmpty)
       spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
-    }
   }
 
   /** Upsert an increment into a bucketed (+ day-partitioned) zone table.
@@ -207,19 +261,28 @@ object Zones {
     import org.apache.spark.sql.functions.col
     ensureBucketedTable(
       spark, name, path, increment.schema, bucketCols, nBuckets, Seq(partitionCol))
-    val populated = exists(spark, path) &&
-      spark.table(name).limit(1).count() > 0
     val merged =
-      if (!populated) increment
+      if (!hasDataFiles(spark, path)) increment
       else {
         val current = spark.table(name)
         // touched partition VALUES collect to the driver — O(#days in the
         // increment), 1 for a daily run — and prune the scan STATICALLY
         // (a semi join would need DPP, and under sort-merge would shuffle
-        // the zone side on the partition col, defeating the buckets)
+        // the zone side on the partition col, defeating the buckets).
+        // NULL handled explicitly: isin never matches NULL, which would
+        // exclude the zone's __HIVE_DEFAULT_PARTITION__ rows from the
+        // merge while the swap below still replaces that directory
         val touchedVals = increment.select(col(partitionCol)).distinct()
           .collect().map(_.get(0))
-        val touchedCurrent = current.filter(col(partitionCol).isin(touchedVals: _*))
+        val nonNullVals = touchedVals.filter(_ != null)
+        val touchedCond = {
+          val base =
+            if (nonNullVals.nonEmpty) col(partitionCol).isin(nonNullVals: _*)
+            else org.apache.spark.sql.functions.lit(false)
+          if (touchedVals.exists(_ == null)) base || col(partitionCol).isNull
+          else base
+        }
+        val touchedCurrent = current.filter(touchedCond)
         graft.operators.Upsert.upsert(touchedCurrent, increment, keys)
       }
     val stageName = s"${name}__stage"
@@ -287,9 +350,17 @@ object Zones {
     }
   }
 
-  private def stage(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
+  private def stage(
+      df: DataFrame, path: String, partitionBy: Seq[String],
+      writerOptions: Map[String, String]): Unit = {
     // mode=overwrite also clears a leftover tmp dir from a crashed run
-    overwriteAll(df, path + TmpSuffix, partitionBy)
+    // (a crashed SWAP's tmp — the one holding the zone's only copy — was
+    // already completed by recoverSwap before this runs; a tmp without
+    // _SUCCESS is a crashed STAGE, safe to clear)
+    val w = df.write.mode("overwrite").options(writerOptions)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path + TmpSuffix)
+  }
 
   private def commitSwap(spark: SparkSession, path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
@@ -305,9 +376,35 @@ object Zones {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Complete a swap that crashed between [[commitSwap]]'s delete and
+    * rename: in that window the zone's ONLY copy lives in `<path>.__tmp__`
+    * (complete — it carries `_SUCCESS`) while the target is gone. Every
+    * entry point that could observe or destroy that state ([[exists]],
+    * [[read]], [[overwriteSwap]] before it stages) finishes the rename
+    * first; without this, the next run would read the zone as empty and
+    * its own stage() would overwrite the last copy. Concurrent readers
+    * may race the rename — the loser sees the target in place and moves
+    * on. A tmp WITHOUT `_SUCCESS` is a crashed stage, not a crashed
+    * swap: the old target still exists and the tmp is garbage.
+    */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + TmpSuffix)
+    if (!fs.exists(target) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (!fs.rename(tmp, target) && !fs.exists(target))
+        throw new java.io.IOException(s"swap recovery failed for $path")
+      spark.catalog.refreshByPath(path)
+    }
+  }
+
   private val TmpSuffix = ".__tmp__"
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recoverSwap(spark, path)
+    spark.read.parquet(path)
+  }
 
   /** Directory corrupt files are moved to by [[readRobust]] — sibling of
     * the zone so a later forensic read (or manual restore) is trivial.
@@ -378,16 +475,35 @@ object Zones {
       val conf = spark.sessionState.newHadoopConf()
       val qRoot = new org.apache.hadoop.fs.Path(quarantineDir(path))
       val fs = qRoot.getFileSystem(conf)
-      val zoneUri = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      // BOTH sides fully qualified: listFiles returns absolute paths, so
+      // a relative `path` would never prefix-match and the "relative"
+      // layout would silently resolve outside the quarantine root
+      val zoneUri = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toUri.getPath
       bad.foreach { f =>
         val src = new org.apache.hadoop.fs.Path(f)
-        val rel = src.toUri.getPath.stripPrefix(zoneUri).stripPrefix("/")
-        val dst = new org.apache.hadoop.fs.Path(qRoot, rel)
+        val rel = fs.makeQualified(src).toUri.getPath
+          .stripPrefix(zoneUri).stripPrefix("/")
+        // a re-landed corrupt file with a prior quarantined namesake must
+        // not fail the rename — suffix until free (deterministic order)
+        var dst = new org.apache.hadoop.fs.Path(qRoot, rel)
+        var i = 1
+        while (fs.exists(dst)) {
+          dst = new org.apache.hadoop.fs.Path(qRoot, s"$rel.$i")
+          i += 1
+        }
         fs.mkdirs(dst.getParent)
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"quarantine move failed for $f")
       }
       spark.catalog.refreshByPath(path)
+      // every data file was corrupt: nothing left to infer a schema from —
+      // name the real cause instead of letting the read die with an
+      // unrelated 'unable to infer schema' (the quarantine has already
+      // preserved the evidence)
+      if (!hasDataFiles(spark, path))
+        throw new IllegalStateException(
+          s"readRobust: all data files under $path were corrupt — " +
+            s"${bad.size} file(s) quarantined to ${quarantineDir(path)}, nothing left to read")
     }
     (spark.read.parquet(path), bad)
   }

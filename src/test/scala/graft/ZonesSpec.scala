@@ -178,6 +178,98 @@ class ZonesSpec extends SparkSpec {
     assert(bad2.isEmpty && df2.count() == n)
   }
 
+  test("swap crash window: the zone's only copy in tmp is recovered, never destroyed") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zone_swapcrash").toFile.getAbsolutePath + "/t"
+    Zones.overwriteSwap(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // simulate the crash between commitSwap's delete and rename: the NEXT
+    // swap's staged result is complete in tmp, the target is gone
+    Zones.delete(spark, path)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(path + ".__tmp__")
+    // a reader completes the swap instead of seeing an empty zone
+    assert(Zones.exists(spark, path), "exists must finish the crashed swap")
+    assert(Zones.read(spark, path).count() == 3, "read must see the recovered copy")
+    // and a writer recovers BEFORE staging — read-modify-write over the
+    // recovered content, not over nothing
+    val grown = Zones.read(spark, path)
+      .unionByName(Seq((4L, "d")).toDF("id", "v"))
+    Zones.overwriteSwap(grown, path)
+    assert(Zones.read(spark, path).count() == 4,
+      "post-recovery swap must build on the recovered rows")
+    // a tmp WITHOUT _SUCCESS (crashed stage) is garbage, not a recovery
+    // source: the old target must stay authoritative
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    new java.io.File(path + ".__tmp__").mkdirs()
+    assert(Zones.read(spark, path).count() == 4,
+      "an incomplete stage dir must not shadow the live zone")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)), "target untouched")
+  }
+
+  test("upsertPartitioned: empty first increment does not poison the zone; null partitions merge") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zone_edge").toFile.getAbsolutePath + "/t"
+    val schema = Seq((1L, 1, 1.0)).toDF("product_sk", "date_sk", "price").schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // day 0: an empty increment (a source with nothing to say) leaves a
+    // fileless dir — the next upsert must treat the zone as new, not die
+    // on schema inference against zero files
+    Zones.upsertPartitioned(spark, path, empty, Seq("product_sk", "date_sk"), "date_sk")
+    Zones.upsertPartitioned(spark, path,
+      Seq((1L, 100, 1.0), (2L, 100, 2.0)).toDF("product_sk", "date_sk", "price"),
+      Seq("product_sk", "date_sk"), "date_sk")
+    assert(Zones.read(spark, path).count() == 2, "zone must recover from the empty first day")
+
+    // null-partition rows: key 10 exists in the NULL partition; an
+    // increment touching the NULL partition with a DIFFERENT key must
+    // merge (plain semi-join semantics silently dropped key 10 — isin/
+    // equality never match NULL while dynamic overwrite still replaces
+    // the __HIVE_DEFAULT_PARTITION__ dir)
+    val withNull = Seq((10L, "x"), (11L, "y")).toDF("product_sk", "tag")
+      .withColumn("date_sk", when(col("product_sk") === 10L, lit(null)).otherwise(lit(200)))
+      .select("product_sk", "date_sk", "tag")
+    val path2 = java.nio.file.Files.createTempDirectory("zone_null").toFile.getAbsolutePath + "/t"
+    Zones.upsertPartitioned(spark, path2, withNull, Seq("product_sk"), "date_sk")
+    val incNull = Seq((12L, "z")).toDF("product_sk", "tag")
+      .withColumn("date_sk", lit(null).cast("int"))
+      .select("product_sk", "date_sk", "tag")
+    Zones.upsertPartitioned(spark, path2, incNull, Seq("product_sk"), "date_sk")
+    val ids = Zones.read(spark, path2).select("product_sk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(10L, 11L, 12L),
+      s"null-partition upsert must merge, not replace: $ids")
+  }
+
+  test("ensureBucketedTable refuses a changed bucket spec instead of mixing layouts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("zone_bspec").toFile.getAbsolutePath
+    val name = "zs_bspec_t"
+    val df = Seq((1L, 10, 1.0)).toDF("product_sk", "date_sk", "price")
+    Zones.upsertBucketed(spark, name, s"$tmp/t", df,
+      Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 4)
+    val e = intercept[IllegalArgumentException] {
+      Zones.upsertBucketed(spark, name, s"$tmp/t", df,
+        Seq("product_sk", "date_sk"), "date_sk", Seq("product_sk"), 8)
+    }
+    assert(e.getMessage.contains("rebuild the zone"),
+      s"bucket-spec drift must fail loudly: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
+  test("readRobust: an all-corrupt zone fails with the quarantine named, not schema inference") {
+    val path = java.nio.file.Files.createTempDirectory("zone_allbad").toFile.getAbsolutePath + "/t"
+    spark.range(10).write.parquet(path)
+    new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      raf.setLength(math.max(1, f.length() / 3)); raf.close()
+    }
+    val e = intercept[IllegalStateException] { Zones.readRobust(spark, path) }
+    assert(e.getMessage.contains("quarantined") && e.getMessage.contains(path),
+      s"all-corrupt read must name the quarantine: ${e.getMessage}")
+  }
+
   test("readMerged unifies evolved schemas across appended batches") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("zone_evolve").toFile.getAbsolutePath + "/t"
