@@ -141,9 +141,15 @@ object Profiling {
       .groupBy(expr(keyExpr).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
       .cache()
-    val top10 = counts.orderBy(col("n").desc, col("key")).limit(10).collect()
-    val overall = counts.agg(sum("n"), count(lit(1))).head()
-    counts.unpersist()
+    // unpersist in finally: the collect/agg actions fail exactly on the
+    // pathological frames this report exists for (an OOM-ing hot key),
+    // and a straight-line release would pin the cached blocks for the
+    // session lifetime
+    val (top10, overall) =
+      try {
+        (counts.orderBy(col("n").desc, col("key")).limit(10).collect(),
+          counts.agg(sum("n"), count(lit(1))).head())
+      } finally counts.unpersist()
     if (top10.isEmpty)
       return Seq.empty[(Long, Long, String, Long, Long, Double, Double)]
         .toDF("n_rows", "n_keys", "max_key", "max_key_n", "top10_n",
@@ -375,14 +381,18 @@ object Profiling {
     val cur: Option[DataFrame] =
       if (!Zones.exists(spark, s"$path/_SUCCESS")) None
       else Some(upgradeGuardSchema(Zones.read(spark, path)))
-    val alreadyApplied = batchId.exists(b =>
-      cur.exists(_.agg(coalesce(max(appliedContains(lit(b))), lit(false)))
-        .head().getBoolean(0)))
+    // ONE aggregation pass answers both zone questions (replay guard +
+    // high-water mark) — this runs per micro-batch in the streaming
+    // maintenance path, so a second full read+agg job is pure overhead
+    val zoneProbe = cur.map(
+      _.agg(
+        coalesce(max(appliedContains(lit(batchId.getOrElse(-1L)))), lit(false)),
+        coalesce(max("hwm"), lit(-1L))).head())
+    val alreadyApplied =
+      batchId.isDefined && zoneProbe.exists(_.getBoolean(0))
     if (alreadyApplied) false
     else {
-      val storedHwm = cur
-        .map(_.agg(coalesce(max("hwm"), lit(-1L))).head().getLong(0))
-        .getOrElse(-1L)
+      val storedHwm = zoneProbe.map(_.getLong(1)).getOrElse(-1L)
       val hwm = batchId.getOrElse(storedHwm + 1L)
       val incStates = statsStates(increment, epochExpr, groupExpr, valueExpr, keyExpr, kllK)
         .withColumn("hwm", lit(hwm))

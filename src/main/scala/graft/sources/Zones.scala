@@ -27,6 +27,13 @@ object Zones {
     */
   def exists(spark: SparkSession, path: String): Boolean = {
     recoverSwap(spark, path)
+    // a completeness probe (`<zone>/_SUCCESS`) must recover the ZONE
+    // too: after a crashed swap the marker lives inside <zone>.__tmp__
+    // and the bare-path recovery key above never fires — a caller
+    // keying "does the zone exist" on its marker would read the zone as
+    // absent and its next swap would destroy the only copy
+    if (path.endsWith("/_SUCCESS"))
+      recoverSwap(spark, path.stripSuffix("/_SUCCESS"))
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }

@@ -65,10 +65,7 @@ object EventStreams {
       keyCols: Seq[String],
       queryName: String,
       statePartitions: Int = 0): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    try {
+    withStatePartitions(spark, statePartitions) {
       val q = dedupWithinWatermark(events, keyCols)
         .writeStream
         .format("memory")
@@ -77,8 +74,23 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally if (statePartitions > 0) spark.conf.set(key, prev)
+    }
     spark.table(queryName)
+  }
+
+  /** Pin `spark.sql.shuffle.partitions` (= the state-store count, read
+    * once at query start) for the duration of one one-shot stream and
+    * restore the prior value — the streaming analog of
+    * [[graft.sources.Zones.withBucketedMergeConfs]]. `statePartitions`
+    * ≤ 0 leaves the session value untouched.
+    */
+  private def withStatePartitions[A](
+      spark: SparkSession, statePartitions: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
+    try body
+    finally if (statePartitions > 0) spark.conf.set(key, prev)
   }
 
   /** Cross-RUN streaming dedup: each micro-batch drops rows whose key
@@ -173,9 +185,28 @@ object EventStreams {
             sorted.foreach { e =>
               val t = us(e.ts)
               st match {
-                case Some(s) if t - s.lastSeenUs <= gapUs =>
-                  st = Some(s.copy(lastSeenUs = t, nEvents = s.nEvents + 1,
+                // within gap of the session INTERVAL [start, lastSeen]:
+                // merge with min/max bounds. A late-but-in-watermark row
+                // from a later micro-batch lands here with t < lastSeen —
+                // assigning lastSeenUs = t unconditionally would REWIND
+                // the session end (end before start, timeout re-armed
+                // early); bounds only ever widen
+                case Some(s) if t >= s.startUs - gapUs && t - s.lastSeenUs <= gapUs =>
+                  st = Some(s.copy(
+                    startUs = math.min(s.startUs, t),
+                    lastSeenUs = math.max(s.lastSeenUs, t),
+                    nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
+                // a late row more than a gap BEFORE the open session's
+                // start: bounded per-user state cannot reopen the past,
+                // so it closes immediately as its own singleton session —
+                // the batch form reports the same session whenever no
+                // other event falls within its gap window (if one did, it
+                // merged into this state's interval instead, which is
+                // precisely why t is unreachable from startUs)
+                case Some(s) if t < s.startUs - gapUs =>
+                  closed ::= UserSession(userId, instantUs(t), instantUs(t), 1, e.value)
+                  st = Some(s) // state unchanged — the stray row never touches it
                 case Some(s) =>
                   closed ::= UserSession(
                     userId, instantUs(s.startUs), instantUs(s.lastSeenUs), s.nEvents, s.totalValue)
@@ -215,12 +246,8 @@ object EventStreams {
       queryName: String,
       statePartitions: Int = 0): DataFrame = {
     // one state store per shuffle partition; a one-shot drop wants fewer,
-    // bigger stores than the batch shuffle default (value read at query
-    // start — scoped and restored, same pattern as intervalJoinAvailableNow)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    try {
+    // bigger stores than the batch shuffle default
+    withStatePartitions(spark, statePartitions) {
       val q = sessionize(events, gapMinutes)
         .writeStream
         .format("memory")
@@ -229,7 +256,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally if (statePartitions > 0) spark.conf.set(key, prev)
+    }
     spark.table(queryName)
   }
 
@@ -246,12 +273,7 @@ object EventStreams {
       sinkDir: String,
       checkpointDir: String,
       statePartitions: Int = 0): DataFrame = {
-    // same state-store right-sizing as sessionizeAvailableNow: the value
-    // is read once at query start — scope it and restore
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    try {
+    withStatePartitions(spark, statePartitions) {
       val q = sessionize(events, gapMinutes)
         .writeStream
         .format("parquet")
@@ -261,8 +283,28 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally if (statePartitions > 0) spark.conf.set(key, prev)
-    spark.read.parquet(sinkDir)
+    }
+    // a run that closes zero sessions commits a file-less sink (only
+    // _spark_metadata): reading it would die on schema inference even
+    // though the stream succeeded AND checkpointed — a rerun no-ops
+    // (AvailableNow consumed the input) and would crash on the same
+    // read forever. Return a correctly-typed empty frame instead.
+    import spark.implicits._
+    val hasData = {
+      val root = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(root) && {
+        val it = fs.listFiles(root, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val n = it.next().getPath.getName
+          found = n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
+    }
+    if (hasData) spark.read.parquet(sinkDir)
+    else spark.emptyDataset[UserSession].toDF()
   }
 
   /** Stream-stream interval join: for each left event, right events of
@@ -308,12 +350,8 @@ object EventStreams {
       statePartitions: Int = 0): DataFrame = {
     // stream-stream joins allocate FOUR state stores per shuffle
     // partition (left/right × keys/values); a one-shot drop over modest
-    // traffic wants fewer, bigger stores than the batch shuffle default.
-    // The value is read once at query start — scope it and restore.
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    if (statePartitions > 0) spark.conf.set(key, statePartitions.toString)
-    try {
+    // traffic wants fewer, bigger stores than the batch shuffle default
+    withStatePartitions(spark, statePartitions) {
       val q = intervalJoin(left, right, withinMinutes)
         .writeStream
         .format("memory")
@@ -322,7 +360,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally if (statePartitions > 0) spark.conf.set(key, prev)
+    }
     spark.table(queryName)
   }
 

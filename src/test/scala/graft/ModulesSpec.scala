@@ -247,6 +247,43 @@ class ModulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: a late-but-in-watermark row widens the open session instead of rewinding it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_late").outputMode("append").start()
+    try {
+      // batch 1 opens user 1's session at 10:20
+      input.addData(
+        EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:20:00Z"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE row at 10:05 — within the 30-min
+      // watermark AND within the gap of the session interval: the old
+      // merge rewound lastSeen to 10:05 (end before start, timeout
+      // re-armed 15 min early); the fix widens [start, end] instead
+      input.addData(
+        EventStreams.EventRow(1L, java.time.Instant.parse("2024-01-01T10:05:00Z"), "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past the session's true end + gap
+      input.addData(
+        EventStreams.EventRow(2L, java.time.Instant.parse("2024-01-01T14:00:00Z"), "view", 9.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.EventRow(2L, java.time.Instant.parse("2024-01-01T15:00:00Z"), "view", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_late").as[EventStreams.UserSession].collect()
+        .filter(_.user_id == 1L)
+      assert(out.length == 1, s"exactly one session for user 1: ${out.mkString(",")}")
+      val s = out.head
+      assert(s.session_start == java.time.Instant.parse("2024-01-01T10:05:00Z") &&
+        s.session_end == java.time.Instant.parse("2024-01-01T10:20:00Z") &&
+        s.n_events == 2 && s.total_value == 3.0,
+        s"late row must widen the session to [10:05, 10:20], got $s")
+      assert(!s.session_end.isBefore(s.session_start), s"end before start: $s")
+    } finally q.stop()
+  }
+
   test("streaming: AvailableNow sessionize equals the closed-session subset of batch") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("st3_sessionize_stream")(spark, dir)
