@@ -378,6 +378,12 @@ object Profiling {
       kllK: Int = 200,
       batchId: Option[Long] = None): Boolean = {
     import graft.sources.Zones
+    // an EMPTY increment (an all-quality-dropped corpus day, a zero-row
+    // micro-batch) merges trivially: it contributes no states, and
+    // recording nothing leaves a later backfill of the same id free to
+    // merge real data. Writing it anyway would publish a zero-row zone
+    // whose post-swap batch probe reads as a lost increment and raises.
+    if (increment.isEmpty) return true
     val cur: Option[DataFrame] =
       if (!Zones.exists(spark, s"$path/_SUCCESS")) None
       else Some(upgradeGuardSchema(Zones.read(spark, path)))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Sessions
@@ -181,14 +181,21 @@ object CorpusRun {
       whDir: String,
       runTs: String,
       qualityRules: Seq[QualityRule] = defaultQualityRules,
-      semantic: Option[SemanticStage] = None): String = {
+      semantic: Option[SemanticStage] = None,
+      // a hard-killed run (no FAILED row) leaves a RUNNING row that the
+      // stale-unblock can only pass once runTs moves `staleRunningHours`
+      // past it — but a same-day retry's runTs can never be 24h later
+      // than a same-day crash, so the default makes the day unrunnable
+      // until tomorrow (when runDate would be wrong). Operators retrying
+      // a hard-killed day pass a smaller window here.
+      staleRunningHours: Int = StaleRunningHours): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/corpus_log"
     val ledger0 =
       if (Zones.exists(spark, ledgerPath)) Zones.read(spark, ledgerPath)
       else RunLedger.empty(spark)
     if (RunLedger.ranToday(ledger0, ProcessName, runDate) ||
-        RunLedger.anyRunning(ledger0, ProcessName, runTs, StaleRunningHours)) return "SKIPPED"
+        RunLedger.anyRunning(ledger0, ProcessName, runTs, staleRunningHours)) return "SKIPPED"
     val (ledger1, runId) = RunLedger.startRun(ledger0, ProcessName, runTs)
     Zones.overwriteSwap(ledger1, ledgerPath)
     try runStages(spark, incrementDir, whDir, runTs, runDate, ledgerPath, runId, qualityRules, semantic)
@@ -214,6 +221,24 @@ object CorpusRun {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_day")
       .parquet(path)
+
+  /** [[dayOverwrite]] that ENFORCES the day's ownership of its partition
+    * even when the day's result is EMPTY: dynamic overwrite of an empty
+    * frame rewrites nothing, so a retry whose result shrank to zero rows
+    * (feed replaced, files quarantined on attempt 1) would leave the
+    * failed attempt's non-empty leftovers published under a 'published 0'
+    * ledger row. Empty result → the day's partition dir is deleted
+    * outright.
+    */
+  private def dayOwnedOverwrite(
+      spark: SparkSession, df: DataFrame, path: String, runDate: String): Unit =
+    if (df.isEmpty) {
+      val dir = s"$path/ingest_day=$runDate"
+      if (Zones.exists(spark, dir)) {
+        Zones.delete(spark, dir)
+        spark.catalog.refreshByPath(path)
+      }
+    } else dayOverwrite(df, path)
 
   private def runStages(
       spark: SparkSession,
@@ -259,6 +284,18 @@ object CorpusRun {
     val (rawInc, quarantined) = Zones.readRobust(spark, incrementDir)
     val raw = rawInc.cache()
     val nInput = raw.count()
+    // doc_id is the identity every stage keys on (windows, joins, span
+    // offsets): a feed emitting one id twice with DIFFERENT texts would
+    // interleave both texts' paragraphs under tied para_idx values and
+    // publish garbled excisions with no error — fail loudly instead
+    // (same-text duplicates are legitimate and collapse in exact dedup)
+    val dupIds = raw.groupBy("doc_id").agg(countDistinct(col("text")).as("__nt"))
+      .filter(col("__nt") > 1).select("doc_id").limit(3)
+      .collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"increment at $incrementDir carries doc_id(s) ${dupIds.mkString(", ")} " +
+        "more than once with differing text — an identity violation no stage " +
+        "can interpret; fix the feed (or re-key it) and retry the day")
     val dropRule = qualityRules.foldRight(lit(null).cast("string")) {
       (r, acc) => when(r.drop, lit(r.name)).otherwise(acc)
     }
@@ -271,12 +308,31 @@ object CorpusRun {
     val quality = flagged.filter(col("__drop_rule").isNull).drop("__drop_rule").cache()
     val nQuality = quality.count()
 
+    // Prior-days probe discipline, shared by every zone probe below:
+    // PRIOR days only (a retried day must not see its own failed
+    // attempt's partitions) AND SUCCESS days only — a day that FAILED
+    // after publishing probe partitions (crash in a later stage)
+    // published nothing to the corpus, so its signatures/fingerprints
+    // must not drop later days' docs: the probe zones stand for the
+    // PUBLISHED corpus. Month partitions (folded) are admissible
+    // unconditionally — compactZones folds SUCCESS days only. The
+    // admissible set is enumerated driver-side from the partition
+    // listing, so the probe filter is a literal isin: exact static
+    // partition pruning, no runtime cast games.
+    val successDaySet: Set[String] = Zones.read(spark, ledgerPath)
+      .filter(col("process_name") === ProcessName && col("status") === "SUCCESS")
+      .select(substring(col("start_time").cast("string"), 1, 10).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def publishedPriorFilter(path: String): Column = {
+      val admissible = listIngestDays(spark, path)
+        .filter(v => v < runDate && (v.length == 7 || successDaySet.contains(v)))
+      if (admissible.isEmpty) lit(false)
+      else col("ingest_day").isin(admissible: _*)
+    }
+
     // [2] exact dedup: first-wins within the increment, then anti-join
     // the corpus fingerprint zone — only the increment hashes; the zone
-    // is probe-side state, not recomputed. The probe reads PRIOR days
-    // only (partition-pruned): a retried day must not see its own failed
-    // attempt's fingerprints, or every row would look already-seen and
-    // the retry would publish an empty day.
+    // is probe-side state, not recomputed.
     val printed = quality
       .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
       .withColumn("rn", row_number().over(
@@ -285,7 +341,7 @@ object CorpusRun {
     val exactSurvivors =
       (if (Zones.exists(spark, fpPath))
         printed.join(
-          Zones.read(spark, fpPath).filter(col("ingest_day") < lit(runDate)),
+          Zones.read(spark, fpPath).filter(publishedPriorFilter(fpPath)),
           Seq("fp"), "left_anti")
       else printed).cache()
     val nExact = exactSurvivors.count()
@@ -302,7 +358,7 @@ object CorpusRun {
     val prior =
       if (Zones.exists(spark, sigPath))
         Dedup.readSignatureIndex(spark, sigPath)
-          .filter(col("ingest_day") < lit(runDate))
+          .filter(publishedPriorFilter(sigPath))
           .drop("ingest_day")
       else daySigs.limit(0)
     // prior bucket counts from the day-partitioned counts zone (summed
@@ -316,8 +372,28 @@ object CorpusRun {
     // indistinguishable from complete ones at read time. One banding pass
     // over just the missing partitions.
     if (Zones.exists(spark, sigPath)) {
-      val missing = (listIngestDays(spark, sigPath).toSet --
-        listIngestDays(spark, sigCountsPath).toSet - runDate).toSeq
+      // COVERAGE-aware missing set, not a bare partition-name diff: a
+      // sig MONTH whose counts zone still holds that month's DAY
+      // partitions (the crash window between the sig fold and the counts
+      // fold) is fully covered at finer grain — re-seeding a month
+      // partition beside those days would make every probe sum count the
+      // month 2×, permanently (the ordinary counts fold later converges
+      // the granularity on its own). Likewise a sig DAY whose counts
+      // month already exists is covered inside the fold. Residual gap
+      // (accepted, needs a double crash): a folded sig month missing
+      // SOME days' counts stays under-counted for those days — day
+      // identity is gone from the folded rows, so an exact repair is
+      // impossible; undercounting only de-tunes the bounded-join
+      // engagement, never correctness.
+      val sigDays = listIngestDays(spark, sigPath).toSet - runDate
+      val cntDays = listIngestDays(spark, sigCountsPath).toSet
+      val missing = sigDays.filter {
+        case d if d.length == 10 =>
+          !cntDays.contains(d) && !cntDays.contains(d.substring(0, 7))
+        case m =>
+          !cntDays.contains(m) &&
+            !cntDays.exists(d => d.length == 10 && d.startsWith(m))
+      }.toSeq
       if (missing.nonEmpty)
         dayOverwrite(
           Dedup.signatureBucketCountsBy(
@@ -330,7 +406,7 @@ object CorpusRun {
     val priorCounts =
       if (Zones.exists(spark, sigCountsPath))
         Some(Zones.read(spark, sigCountsPath)
-          .filter(col("ingest_day") < lit(runDate))
+          .filter(publishedPriorFilter(sigCountsPath))
           .groupBy("band", "key").agg(sum("__n").as("__n")))
       else None
     val newPairs =
@@ -344,24 +420,33 @@ object CorpusRun {
           prior, daySigs, NumHashes, Bands, JaccardThreshold,
           indexCounts = priorCounts))
         .localCheckpoint()
-    dayOverwrite(daySigs.withColumn("ingest_day", lit(runDate)), sigPath)
-    dayOverwrite(
+    dayOwnedOverwrite(
+      spark, daySigs.withColumn("ingest_day", lit(runDate)), sigPath, runDate)
+    dayOwnedOverwrite(
+      spark,
       Dedup.signatureBucketCounts(daySigs, NumHashes, Bands)
-        .withColumn("ingest_day", lit(runDate)), sigCountsPath)
+        .withColumn("ingest_day", lit(runDate)), sigCountsPath, runDate)
     // the MinHash zone's drift signal, logged per run (Dedup.
     // minhashZoneHealth for why concentration — not recall — is what
     // drifts here, and why the policy is monitor+bounded-join, never a
     // re-seed rebuild): one agg over the kilobyte counts zone, summed
     // across days so the report covers the standing index incl. today.
-    val sigHealthNote = {
-      val h = Dedup.minhashZoneHealth(
-        Zones.read(spark, sigCountsPath)
-          .groupBy("band", "key").agg(sum("__n").as("__n")),
-        Bands).head()
-      f"sig-health[buckets ${h.getAs[Long]("n_buckets")}, " +
-        f"max ${h.getAs[Long]("max_bucket")} (${h.getAs[Double]("skew_vs_mean")}%.2fx mean), " +
-        f"oversized ${h.getAs[Long]("oversized_buckets")}], "
-    }
+    // guarded: a day-1 increment that is ENTIRELY quality-dropped never
+    // creates the counts zone (dynamic overwrite of an empty frame is a
+    // no-op), and an unguarded read would fail schema inference — the
+    // run must SUCCEED reporting 0 published, not crash forever on a
+    // junk feed
+    val sigHealthNote =
+      if (!Zones.exists(spark, sigCountsPath)) "sig-health[empty zone], "
+      else {
+        val h = Dedup.minhashZoneHealth(
+          Zones.read(spark, sigCountsPath)
+            .groupBy("band", "key").agg(sum("__n").as("__n")),
+          Bands).head()
+        f"sig-health[buckets ${h.getAs[Long]("n_buckets")}, " +
+          f"max ${h.getAs[Long]("max_bucket")} (${h.getAs[Double]("skew_vs_mean")}%.2fx mean), " +
+          f"oversized ${h.getAs[Long]("oversized_buckets")}], "
+      }
 
     // [4] cluster maintenance: star edges ∪ new pairs — never the old
     // pair set. The assignment zone is small (pair-involved docs only)
@@ -422,7 +507,7 @@ object CorpusRun {
         val prior =
           if (Zones.exists(spark, semPath))
             Zones.read(spark, semPath)
-              .filter(col("ingest_day") < lit(runDate))
+              .filter(publishedPriorFilter(semPath))
               .select("id", "cluster", "v")
           else vecs.select(col("doc_id").as("id"), lit(0L).as("cluster"), col("v")).limit(0)
         val assignment =
@@ -436,16 +521,29 @@ object CorpusRun {
         // paragraph is later excised never reaches the corpus, and a
         // representative that is not in the published corpus must not
         // drop future docs — "the index IS the published corpus" holds
-        // only if the zone is restricted to published ids
+        // only if the zone is restricted to published ids.
+        //
+        // KNOWN bounded edge (adjudicated, not fixed): a doc sem-dropped
+        // for a SAME-DAY smaller-id sibling that excision then fully
+        // removes has no published representative — its content is lost
+        // for this day (a future duplicate will publish). The converse
+        // ordering (excise first, judge semantic after) recreates the
+        // same hole one level down: paragraph fps of docs semantic then
+        // drops would stand as unpublished paragraph representatives.
+        // The two stages' joint fixpoint is order-dependent by
+        // construction; this order confines the loss to the same-day
+        // (boilerplate-rep, semantic-dup) coincidence, which requires
+        // the pair to be within ε while only ONE of them is fully prior
+        // boilerplate.
         val write = (published: DataFrame) =>
-          if (!assignment.isEmpty)
-            dayOverwrite(
-              assignment.filter(col("is_kept"))
-                .select(col("doc_id").as("id"), col("cluster"))
-                .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
-                .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-                .withColumn("ingest_day", lit(runDate)),
-              semPath)
+          dayOwnedOverwrite(
+            spark,
+            assignment.filter(col("is_kept"))
+              .select(col("doc_id").as("id"), col("cluster"))
+              .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
+              .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+              .withColumn("ingest_day", lit(runDate)),
+            semPath, runDate)
         val sk = kept
           .join(
             assignment.filter(!col("is_kept")).select("doc_id"),
@@ -465,7 +563,7 @@ object CorpusRun {
     // boilerplate drop entirely (counted separately in the ledger).
     val priorPfp =
       if (Zones.exists(spark, paraFpPath))
-        Zones.read(spark, paraFpPath).filter(col("ingest_day") < lit(runDate)).select("pfp")
+        Zones.read(spark, paraFpPath).filter(publishedPriorFilter(paraFpPath)).select("pfp")
       else semKept.select(md5(col("text")).as("pfp")).limit(0)
     val spans = TextAnalysis.paragraphDedupSpansIncremental(semKept, "doc_id", "text", priorPfp)
       .localCheckpoint()
@@ -493,18 +591,20 @@ object CorpusRun {
     // day-scoped dynamic partition overwrite, NOT append: the day owns
     // its partition in every zone, so a retry after a partial failure
     // replaces its own leftovers instead of double-publishing
-    dayOverwrite(published.drop("fp"), docsPath)
-    dayOverwrite(
-      exactSurvivors.select("fp").withColumn("ingest_day", lit(runDate)), fpPath)
+    dayOwnedOverwrite(spark, published.drop("fp"), docsPath, runDate)
+    dayOwnedOverwrite(
+      spark,
+      exactSurvivors.select("fp").withColumn("ingest_day", lit(runDate)), fpPath, runDate)
     // only fingerprints NEW to the corpus (kept verdicts) publish: an
     // excised paragraph's fp is by definition already in a prior-day
     // partition (cross-day cut) or carried by today's kept first
     // occurrence (within-day cut), so the probe union stays complete
     // while the zone holds ONE row per distinct fp ever seen — not one
     // per day a boilerplate paragraph reappears
-    dayOverwrite(
+    dayOwnedOverwrite(
+      spark,
       spans.filter(col("kept")).select("pfp").distinct()
-        .withColumn("ingest_day", lit(runDate)), paraFpPath)
+        .withColumn("ingest_day", lit(runDate)), paraFpPath, runDate)
 
     // [6] standing statistics over what was PUBLISHED: counts exact,
     // quantile/distinct states mergeable; the day-keyed replay guard

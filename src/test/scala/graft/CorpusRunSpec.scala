@@ -343,6 +343,80 @@ class CorpusRunSpec extends SparkSpec {
       "doc 21 must publish — its only semantic match was never in the corpus")
   }
 
+  test("hostile feeds: all-dropped day 1 succeeds; duplicate ids fail loudly; FAILED-day partitions never probe; empty retry evicts leftovers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_hostile").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(name: String, d: Seq[(Long, String, String)]): String = {
+      val dir = s"$tmp/in_$name"
+      docs(d).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def lastMsg(): String = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+
+    // ── day 1: every doc fails quality (too short / null) — the run must
+    // SUCCEED reporting 0 published, not crash on the empty counts zone
+    val in1 = drop("h1", Seq((1L, "tiny", "web"), (2L, null, "web")))
+    assert(CorpusRun.run(spark, in1, wh, "2026-05-01 02:00:00") == "SUCCESS",
+      "an all-quality-dropped day 1 must succeed with an empty day")
+    assert(lastMsg().contains("published 0") && lastMsg().contains("sig-health[empty zone]"),
+      s"empty day-1 ledger message: ${lastMsg()}")
+
+    // ── duplicate doc_id with DIFFERING text: identity violation, loud
+    val inDup = drop("hdup", Seq(
+      (30L, "alpha apple axe anchor acorn amber", "web"),
+      (30L, "beta bread bone birch boat bramble", "web")))
+    val e = intercept[IllegalArgumentException] {
+      CorpusRun.run(spark, inDup, wh, "2026-05-02 02:00:00")
+    }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("30"),
+      s"duplicate-id must fail naming the id: ${e.getMessage}")
+
+    // ── day 3 publishes; then its ledger row flips to FAILED (simulating
+    // a crash AFTER the probe partitions published) — day 4's near-dup of
+    // the day-3 doc must PUBLISH: a failed day put nothing in the corpus,
+    // so its signatures/fingerprints must not drop later docs
+    val sharedText = "one1 two2 three3 four4 five5 six6 seven7 eight8 nine9"
+    val in3 = drop("h3", Seq((40L, sharedText, "web")))
+    assert(CorpusRun.run(spark, in3, wh, "2026-05-03 02:00:00") == "SUCCESS")
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-05-03").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(Zones.exists(spark, s"$wh/corpus/sig_index/ingest_day=2026-05-03"),
+      "the failed day's probe partitions must still be on disk for this test")
+    // exact copy AND a near-dup of the failed day's doc — both must publish
+    val in4 = drop("h4", Seq(
+      (50L, sharedText, "web"),
+      (51L, sharedText + " ten10", "web")))
+    assert(CorpusRun.run(spark, in4, wh, "2026-05-04 02:00:00") == "SUCCESS")
+    val day4 = spark.read.parquet(s"$wh/corpus/docs")
+      .filter(col("ingest_day").cast("string") === "2026-05-04")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(day4 == Seq(50L),
+      s"day 4 vs a FAILED prior day: the exact copy of the unpublished doc must " +
+        s"publish (50), while 51 dedups against 50 WITHIN the day: $day4")
+
+    // ── day-4 retry with an EMPTY increment (feed replaced): the failed
+    // attempt's leftovers must be EVICTED, not survive under 'published 0'
+    val mangled4 = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-05-04").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled4, ledgerPath)
+    val emptyDir = s"$tmp/in_empty"
+    docs(Seq.empty).write.mode("overwrite").parquet(emptyDir)
+    assert(CorpusRun.run(spark, emptyDir, wh, "2026-05-04 05:00:00") == "SUCCESS")
+    assert(!Zones.exists(spark, s"$wh/corpus/docs/ingest_day=2026-05-04"),
+      "the empty retry must evict the failed attempt's published docs partition")
+    assert(!Zones.exists(spark, s"$wh/corpus/sig_index/ingest_day=2026-05-04"),
+      "…and its signature partition")
+  }
+
   test("cross-day paragraph excision: boilerplate cut in place, ≡ batch d10 on the union") {
     import graft.operators.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_para").toFile.getAbsolutePath
