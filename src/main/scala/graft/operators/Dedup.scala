@@ -41,6 +41,18 @@ object Dedup {
     */
   val DefaultMaxBucket = 4096
 
+  /** Absolute slack for the double-evaluated PRUNING bounds (size-ratio
+    * and PPJoin overlap/prefix inequalities): the exact bounds are
+    * rational, and double rounding can land a hair above the true value
+    * — over-REQUIRING and silently pruning a pair whose true Jaccard
+    * sits exactly on the threshold (e.g. 18·(0.2/1.2) ceils to 4, exact
+    * bound 3). Filters may only over-admit (the Jaccard confirm is
+    * exact), so every pruning comparison subtracts/adds this slack;
+    * 1e-6 dwarfs the FP error (≤ ~1e-9 at shingle counts ≤ 1e6) while
+    * admitting only candidates within a hair of the bound.
+    */
+  private val FpSlack = 1e-6
+
   /** Per-(band, key) row counts of a bucketed frame — the precomputable
     * side input of [[boundedBucketJoin]]. Operators issuing several
     * bounded joins over the SAME banded frame (a self-join's two sides,
@@ -218,10 +230,19 @@ object Dedup {
     // cached: the prefix postings are BOTH sides of the candidate self-
     // join — without materialization the df join + window ranking runs
     // twice (self-join aliases defeat plan reuse)
+    // EVERY pruning bound below carries FpSlack: the bounds are exact
+    // rational inequalities evaluated in doubles, and the rounding can
+    // land a hair ABOVE the true rational (e.g. 18·(0.2/1.2) =
+    // 3.0000000000000004, whose ceil over-requires overlap 4 where the
+    // exact bound is 3) — which would PRUNE a pair whose true Jaccard
+    // sits exactly on the threshold while brute force (and the DuckDB
+    // oracle) emit it. A filter may only ever over-ADMIT (the confirm
+    // step is exact); the slack absorbs the FP error (≤ ~1e-10 at any
+    // realistic size) without admitting anything materially below t.
     val prefix = postings
       .join(dfreq, "g")
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold - FpSlack) + 1)
       .select("id", "sz", "g", "pos")
       .cache()
     // positional filter (PPJoin): a pair seen at prefix positions (pa, pb)
@@ -231,14 +252,16 @@ object Dedup {
     val cand = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          col("a.sz") * threshold <= col("b.sz") && col("b.sz") * threshold <= col("a.sz"))
+          col("a.sz") * threshold <= col("b.sz") + FpSlack &&
+          col("b.sz") * threshold <= col("a.sz") + FpSlack)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
         (lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))).as("ub"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(max(col("ub")).as("ub"))
-      .filter(col("ub") >= ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold))))
+      .filter(col("ub") >=
+        ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - FpSlack))
       .select("id_a", "id_b")
     cand
       .join(docs.select(col("id").as("id_a"), col("hgrams").as("ga")), "id_a")
@@ -297,12 +320,7 @@ object Dedup {
     val banded = docs.select(
       col("id"),
       size(col("hgrams")).as("sz"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      explode(bandKeyStructs(bands, r)).as("bk"))
       .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
       .cache() // both sides of the bucket self-join — see prefix note above
     // size-ratio bound (same as the PPJoin path): J ≥ t forces
@@ -318,7 +336,8 @@ object Dedup {
         "id_a", "id_b", maxBucket, xCounts = counts, yCounts = counts)
       .filter(
         col("id_a") < col("id_b") &&
-          col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+          col("sz_a") * threshold <= col("sz_b") + FpSlack &&
+          col("sz_b") * threshold <= col("sz_a") + FpSlack)
       .select("id_a", "id_b")
       .distinct()
     val withGrams = cand
@@ -378,7 +397,9 @@ object Dedup {
         bucketCounts(bandedFromSigs(toWrite, numHashes, bands)),
         replace = mode == "overwrite",
         recountAll = () =>
-          bucketCounts(bandedFromSigs(readSignatureIndex(spark, path), numHashes, bands)))
+          bucketCounts(bandedFromSigs(readSignatureIndex(spark, path), numHashes, bands)),
+        bandsPerRow = bands,
+        indexRows = () => readSignatureIndex(spark, path).count())
       toWrite.unpersist()
       ()
     }
@@ -408,16 +429,36 @@ object Dedup {
       path: String,
       fresh: DataFrame,
       replace: Boolean,
-      recountAll: () => DataFrame): Unit = {
+      recountAll: () => DataFrame,
+      bandsPerRow: Int,
+      indexRows: () => Long): Unit = {
     import graft.sources.Zones
     val target = s"$path/_counts"
-    val merged =
-      if (replace) fresh
-      else if (!Zones.exists(spark, s"$target/_SUCCESS")) recountAll()
-      else
-        Zones.read(spark, target).unionByName(fresh)
-          .groupBy("band", "key").agg(sum("__n").as("__n"))
-    Zones.overwriteSwap(merged.repartition(1), target)
+    if (replace) Zones.overwriteSwap(fresh.repartition(1), target)
+    else if (!Zones.exists(spark, s"$target/_SUCCESS"))
+      Zones.overwriteSwap(recountAll().repartition(1), target)
+    else {
+      val unioned = Zones.read(spark, target).unionByName(fresh)
+        .groupBy("band", "key").agg(sum("__n").as("__n"))
+        .cache()
+      // STALENESS audit, not just the missing-zone heal: a crash between
+      // a PREVIOUS append's index write and its counts merge leaves the
+      // zone present-but-undercounting — and every later union-merge
+      // folds in only its own batch, so the lost batch's counts never
+      // return and a megabucket that crossed the bound inside it stays
+      // invisible to the grid-salting engagement forever (the one
+      // staleness direction the zone doc calls out as mattering). The
+      // invariant is exact: every index row contributes `bandsPerRow`
+      // count units, so Σ__n must equal bandsPerRow × index rows — one
+      // footer-count of the index per append buys the audit.
+      val total = unioned.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+      val merged =
+        if (total == bandsPerRow.toLong * indexRows()) unioned
+        else recountAll()
+      Zones.overwriteSwap(merged.repartition(1), target)
+      unioned.unpersist()
+    }
+    ()
   }
 
   /** Per-(band, key) bucket counts of a signature-index frame — what a
@@ -487,13 +528,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val r = numHashes / bands
     val banded = index.select(
-      carryCols.map(col) :+
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(
-              b.as("band"),
-              concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"): _*)
+      carryCols.map(col) :+ explode(bandKeyStructs(bands, r)).as("bk"): _*)
     banded
       .select(carryCols.map(col) ++ Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
       .groupBy((carryCols ++ Seq("band", "key")).map(col): _*)
@@ -525,14 +560,23 @@ object Dedup {
     docs.select(
       col("id"),
       col("sz"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      explode(bandKeyStructs(bands, r)).as("bk"))
       .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  /** The ONE band-key derivation: band b's key = the "|"-joined slice of
+    * the stored `sig` array — exploded (band, key) structs. Every
+    * producer and consumer of banded keys (query-side banding, stored
+    * counts, index probes) derives through here, so the key encoding
+    * cannot silently fork between what a zone stores and what a reader
+    * probes.
+    */
+  private def bandKeyStructs(bands: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))
 
   /** Exact-Jaccard confirm of candidate (id_a, id_b) pairs against a
     * (id, hgrams) side table — the shared back end of every LSH path.
@@ -568,7 +612,8 @@ object Dedup {
         "id_a", "id_b", maxBucket, xCounts = counts, yCounts = counts)
       .filter(
         col("id_a") < col("id_b") &&
-          col("sz_a") * threshold <= col("sz_b") && col("sz_b") * threshold <= col("sz_a"))
+          col("sz_a") * threshold <= col("sz_b") + FpSlack &&
+          col("sz_b") * threshold <= col("sz_a") + FpSlack)
       .select("id_a", "id_b")
       .distinct()
     confirmPairs(cand, index.select(col("id"), col("hgrams")), threshold)
@@ -648,7 +693,8 @@ object Dedup {
         xSide(incBanded), ySide(idxBanded),
         "id_x", "id_y", ovCross, crossDormant)
       .filter(
-        col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
+        col("sz_x") * threshold <= col("sz_y") + FpSlack &&
+        col("sz_y") * threshold <= col("sz_x") + FpSlack)
       .select(
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
@@ -657,7 +703,8 @@ object Dedup {
         xSide(incBanded), ySide(incBanded), "id_x", "id_y", ovWithin, withinDormant)
       .filter(
         col("id_x") < col("id_y") &&
-          col("sz_x") * threshold <= col("sz_y") && col("sz_y") * threshold <= col("sz_x"))
+          col("sz_x") * threshold <= col("sz_y") + FpSlack &&
+          col("sz_y") * threshold <= col("sz_x") + FpSlack)
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
     val cand = cross.unionByName(within).distinct()
     // exact-Jaccard confirm: shingle arrays come from the stored index for
@@ -708,10 +755,18 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       nChunks: Int = 0): DataFrame = {
+    // the pigeonhole needs nChunks > maxHamming (a pair differing in
+    // ≤ maxHamming bits must share at least one untouched chunk);
+    // maxHamming ≥ 64 can't satisfy it with 64-bit fingerprints — the
+    // silent fallback would miss complementary pairs, so refuse loudly
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63] for 64-bit fingerprints, got $maxHamming")
     val chunkCount =
       if (nChunks > 0) nChunks
       else Seq(2, 4, 8, 16, 32).find(_ > maxHamming).getOrElse(64)
     require(64 % chunkCount == 0, "nChunks must divide 64")
+    require(chunkCount > maxHamming,
+      s"nChunks ($chunkCount) must exceed maxHamming ($maxHamming) — the pigeonhole guarantee")
     val width = 64 / chunkCount
     val mask = if (width == 64) -1L else (1L << width) - 1
     val fps = simhash(df, idCol, textCol).cache()
@@ -793,10 +848,15 @@ object Dedup {
     // self-join (the embeddingNearDupPairsLsh shape): signatures, band
     // rows, and bucket counts are computed ONCE and shared by both sides
     val self = (left eq right) && leftId == rightId && leftVec == rightVec
+    // null vectors can't be near anything — dropped, not crashed (the
+    // dim probe below would NPE on a null-first row; same guard as
+    // embeddingSignatureRows / embeddingNearDupIncremental)
     val l = left.select(col(leftId).as("id_a"), col(leftVec).cast("array<double>").as("va"))
+      .filter(col("va").isNotNull)
     val r =
       if (self) l.toDF("id_b", "vb")
       else right.select(col(rightId).as("id_b"), col(rightVec).cast("array<double>").as("vb"))
+        .filter(col("vb").isNotNull)
     // one action yields row count AND dimensionality: an EMPTY side is a
     // routine production input (a day with no embeddings) and must return
     // an empty pair frame, not crash the dim lookup; the count also
@@ -850,7 +910,12 @@ object Dedup {
       })
       .select("id_a", "id_b")
       .distinct()
-    cand
+    // self-join: drop self-pairs and the mirrored ordering BEFORE the
+    // vector join — the band self-join emits (a,a) for every doc and
+    // both orderings of every candidate, which would double the confirm
+    // join's shuffle volume and cosine work just to be filtered after
+    val candOriented = if (self) cand.filter(col("id_a") < col("id_b")) else cand
+    candOriented
       .join(l, "id_a")
       .join(r, "id_b")
       .withColumn("sim", SimilaritySearch.cosine(col("va"), col("vb")))
@@ -908,7 +973,11 @@ object Dedup {
       iters: Int,
       threshold: Double,
       maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    // cached: consumed by the emptiness probe, the Lloyd input scan, and
+    // BOTH confirm-join sides — uncached, whatever produced `vecs` (a
+    // corpus-scale parquet scan) re-executes ~4×
     val v = vecs.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .cache()
     // empty corpus (a day with no embeddings) → empty assignment, not a
     // crashed dim lookup inside the Lloyd loop — the same contract as
     // every other embedding operator here
@@ -968,7 +1037,15 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    // cached: the increment is rescanned by the emptiness probe, the
+    // fused assignment, and both confirm joins' vector fetches; the
+    // ASSIGNMENT (the O(increment × k) fused argmin — the expensive
+    // kernel) feeds the shared bucket counts, both candidate joins, and
+    // the final flag join — uncached it would re-run the kernel ~6×
+    // (the file's cache-lifecycle note at the top applies: callers
+    // looping over corpora clearCache between batches)
     val inc = increment.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .cache()
     if (inc.isEmpty)
       return inc.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
         .limit(0)
@@ -979,6 +1056,7 @@ object Dedup {
     val cents = Clustering.centroids(idx, "v", "cluster", dimRow(0).getInt(0))
     val incA = Clustering.assignFused(inc, "__id", "__v", cents)
       .select(col("__id"), col("cluster"))
+      .cache()
     // cluster-keyed candidate joins, hot-cluster bounded (band 0 = the
     // single implicit band); increment counts shared across both joins
     val ib = incA.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
@@ -1097,7 +1175,9 @@ object Dedup {
         keyed.select(posexplode(col("bkeys")).as(Seq("band", "key")))),
       replace = mode == "overwrite",
       recountAll = () => bucketCounts(readEmbeddingSignatureIndex(spark, path)
-        .select(posexplode(col("bkeys")).as(Seq("band", "key")))))
+        .select(posexplode(col("bkeys")).as(Seq("band", "key")))),
+      bandsPerRow = bands,
+      indexRows = () => readEmbeddingSignatureIndex(spark, path).count())
     keyed.unpersist()
     ()
   }

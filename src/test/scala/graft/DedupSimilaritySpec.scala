@@ -433,6 +433,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .groupBy("band", "key").count()
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(healed == truth, "healed counts must equal a full recount of the index")
+
+    // STALE zone (present but undercounting): a crash between a previous
+    // append's INDEX write and its counts merge — simulated by appending
+    // rows to the index parquet directly, behind the zone API's back.
+    // The missing-zone heal can't see this; the next append's invariant
+    // audit (Σ__n == bands × index rows) must trigger the full recount.
+    val lost = vecs(300L, 25).select(col("id"), col("v").cast("array<double>").as("v"))
+    graft.operators.Dedup.embeddingSignatureRows(lost, "id", "v", 4, 4)
+      .write.mode("append").parquet(zone)
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, vecs(400L, 20), "id", "v",
+      bands = 4, bitsPerBand = 4)
+    val healed2 = Dedup.readBucketCounts(spark, zone).get
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth2 = Dedup.readEmbeddingSignatureIndex(spark, zone)
+      .select(posexplode(col("bkeys")).as(Seq("band", "key")))
+      .groupBy("band", "key").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(healed2 == truth2,
+      "a present-but-stale counts zone must be detected and fully recounted")
   }
 
   test("semanticDedup equals the brute-force within-cluster ε-ball rule") {
