@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeEncode, CosineSimilarity, SignBitBands, DecimalVectorMean, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCellDist, NearestCells, SortedIntersectCount}
+import graft.functions.{BpeEncode, CosineSimilarity, SignBitBands, DecimalVectorMean, DecimalVectorSum, FreqItemsAgg, FreqItemsMergeAgg, FreqTopItems, KllMergeAgg, KllQuantiles, KllSketchAgg, MinhashSignature, NearestCellDist, NearestCells, SortedIntersectCount}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL and `functions.call_function` (installed via
@@ -77,6 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           "decimal_vector_mean(v) takes one array<double> argument")
         DecimalVectorMean(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("decimal_vector_sum"),
+      new ExpressionInfo(classOf[DecimalVectorSum].getName, "decimal_vector_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "decimal_vector_sum(v) takes one array<double> argument")
+        DecimalVectorSum(children.head)
       }))
     // Mergeable sketch states Spark SQL doesn't expose: KLL quantiles
     // (the percentile analog of hll_sketch_agg/hll_union_agg) and

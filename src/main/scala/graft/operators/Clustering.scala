@@ -66,6 +66,70 @@ object Clustering {
     }
   }
 
+  /** Per-cluster MERGEABLE centroid state: (cid, sums array<decimal(38,10)>,
+    * n). The state form of [[centroids]] — decimal sums are exact and
+    * order-independent, so states computed over disjoint row sets (one
+    * per published day) ADD: [[centroidsFromState]] over their union
+    * reproduces `centroids` over the union of rows bitwise. This is what
+    * makes a standing cluster zone's daily centroid derivation O(k × days)
+    * kilobyte reads instead of a full-corpus rescan.
+    *
+    * Dispatches to the fused [[graft.functions.DecimalVectorSum]] kernel
+    * when registered; the composed per-dimension fallback is value-
+    * identical (both follow Spark's double→decimal(_,10) conversion and
+    * exact decimal addition).
+    */
+  def centroidState(
+      assigned: DataFrame, vecCol: String, clusterCol: String, dim: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val keys = carryCols.map(col) :+ col(clusterCol).as("cid")
+    val carry = carryCols.map(col)
+    if (spark.catalog.functionExists("decimal_vector_sum"))
+      assigned
+        .groupBy(keys: _*)
+        .agg(
+          call_function("decimal_vector_sum", col(vecCol)).as("sums"),
+          count(col(vecCol)).as("n"))
+    else {
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col(vecCol), i + 1).cast(DecimalType(28, 10))).as(s"__s$i"))
+      assigned
+        .groupBy(keys: _*)
+        .agg(sums.head, (sums.tail :+ count(col(vecCol)).as("n")): _*)
+        .select(
+          carry ++ Seq(
+            col("cid"),
+            array((0 until dim).map(i =>
+              col(s"__s$i").cast(DecimalType(38, 10))): _*).as("sums"),
+            col("n")): _*)
+    }
+  }
+
+  /** Centroids from accumulated state rows — the zero-corpus-scan form of
+    * [[centroids]]. Accepts MULTIPLE state rows per cid (one per day
+    * partition): per-dimension decimal sums merge exactly, counts add,
+    * and the finish is the same two IEEE ops every centroid path uses
+    * (decimal→double, then ÷ n) — so the result is bit-identical to
+    * `centroids` over the underlying rows. State frames are k×days rows;
+    * the explode/reassemble shuffle moves kilobytes.
+    */
+  def centroidsFromState(state: DataFrame): DataFrame = {
+    val totals = state.groupBy("cid").agg(sum("n").as("__n"))
+    val merged = state
+      .select(col("cid"), posexplode(col("sums")).as(Seq("__p", "__s")))
+      .groupBy("cid", "__p")
+      .agg(sum("__s").as("__s"))
+      .groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__s")))),
+        x => x.getField("__s").cast(DecimalType(38, 10))).as("__sums"))
+    merged.join(totals, "cid")
+      .select(
+        col("cid"),
+        transform(col("__sums"), s => s.cast("double") / col("__n")).as("c"))
+  }
+
   /** Nearest-centroid assignment: squared-L2 against every centroid
     * (broadcast k rows), argmin via a partially-aggregated min-struct
     * with cid tie-break.

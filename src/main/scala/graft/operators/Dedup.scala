@@ -667,6 +667,9 @@ object Dedup {
       indexCounts: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val inc = incrementIndex.cache()
+    // the increment's size gates the zone-probe prune below; counting the
+    // cached frame here also materializes it once for its ~4 consumers
+    val nInc = inc.count()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
     // ONE bucket-count pass per distinct frame, shared by the three join
     // sides below (increment appears three times, the index once), and ONE
@@ -675,7 +678,15 @@ object Dedup {
     // `indexCounts` side-zone replaces the index-side counting scan
     // entirely (see [[readBucketCounts]]).
     val incCounts = bucketCounts(incBanded)
-    val idxBanded = bandedFromSigs(index, numHashes, bands)
+    // the INDEX side is pruned to the increment's band keys BEFORE any
+    // exchange (broadcast left-semi on the scan): whole buckets are kept,
+    // so candidates / bucket counts / grid factors are bit-identical, but
+    // the daily shuffle moves O(touched-bucket rows), never the corpus
+    // index (ZoneProbes — the round-10 d9 10×-ratio term)
+    val idxBanded = ZoneProbes.pruneByKeys(
+      bandedFromSigs(index, numHashes, bands),
+      incBanded, Seq("band", "key"),
+      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
     val idxCounts = indexCounts.getOrElse(bucketCounts(idxBanded))
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
@@ -1036,7 +1047,15 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxCluster: Int = DefaultMaxBucket): DataFrame = {
+      maxCluster: Int = DefaultMaxBucket,
+      // precomputed prior centroids (cid, c) — the MERGEABLE-STATE path:
+      // a pipeline maintaining a per-cluster decimal sums/count zone
+      // ([[Clustering.centroidState]] per day, [[Clustering.
+      // centroidsFromState]] over the summed zone) derives bitwise the
+      // same centroids from O(k × days) state rows, so the daily plan
+      // never aggregates the full assignment zone. None = self-contained
+      // rebuild from the index (the e5 gate's oracle-replayable shape).
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     // cached: the increment is rescanned by the emptiness probe, the
     // fused assignment, and both confirm joins' vector fetches; the
     // ASSIGNMENT (the O(increment × k) fused argmin — the expensive
@@ -1050,10 +1069,12 @@ object Dedup {
       return inc.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
         .limit(0)
     val idx = index.select(col("id"), col("cluster"), col("v").cast("array<double>").as("v"))
-    val dimRow = idx.select(size(col("v"))).limit(1).collect()
-    require(dimRow.nonEmpty,
-      "semanticDedupIncremental needs a non-empty index — build day 1 with semanticDedup")
-    val cents = Clustering.centroids(idx, "v", "cluster", dimRow(0).getInt(0))
+    val cents = centroidsOpt.getOrElse {
+      val dimRow = idx.select(size(col("v"))).limit(1).collect()
+      require(dimRow.nonEmpty,
+        "semanticDedupIncremental needs a non-empty index — build day 1 with semanticDedup")
+      Clustering.centroids(idx, "v", "cluster", dimRow(0).getInt(0))
+    }
     val incA = Clustering.assignFused(inc, "__id", "__v", cents)
       .select(col("__id"), col("cluster"))
       .cache()
@@ -1062,8 +1083,14 @@ object Dedup {
     val ib = incA.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
       col("__id").as("id_x"))
     val iCounts = Some(bucketCounts(ib))
-    val zb = idx.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
-      col("id").as("id_y"))
+    // cluster-keyed zone-probe prune: the increment occupies ≤ k clusters
+    // (a kilobyte key set at ANY increment size — engage unconditionally),
+    // so zone rows of untouched clusters never enter the candidate join's
+    // exchange
+    val zb = ZoneProbes.pruneByKeys(
+      idx.select(lit(0).as("band"), col("cluster").cast("long").as("key"),
+        col("id").as("id_y")),
+      ib, Seq("band", "key"), engage = true)
     val crossDropped = boundedBucketJoin(ib, zb, "id_x", "id_y", maxCluster, xCounts = iCounts)
       .select("id_x", "id_y")
       .join(inc.select(col("__id").as("id_x"), col("__v").as("vx")), "id_x")
@@ -1224,7 +1251,12 @@ object Dedup {
     def bandRows(df: DataFrame, as: String): DataFrame =
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
-    val idxBand = bandRows(index, "id_y")
+    // zone-probe prune (see minhashLshPairsIncrementalFromSigs): the
+    // stored index's band rows are semi-filtered to the increment's keys
+    // on the scan, so the band-join exchange moves touched buckets only
+    val idxBand = ZoneProbes.pruneByKeys(
+      bandRows(index, "id_y"), incBandX, Seq("band", "key"),
+      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
     // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
     // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
     // candidates — without a counting pass or driver probe. The index

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Sessions
 import graft.control.RunLedger
-import graft.operators.{Curation, Dedup, Profiling, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Profiling, TextAnalysis}
 import graft.sources.Zones
 
 /** The daily TRAINING-CORPUS batch — the LLM-data analog of [[DailyRun]]:
@@ -266,8 +266,21 @@ object CorpusRun {
     // loudly instead of silently changing the retry's output. Forward
     // operation never hits this (folding waits RetentionKeepDays);
     // only a months-late retry/backfill can.
+    // Complete any CRASHED FOLD before any probe zone is read: a crash
+    // between a fold's month-overwrite and its day-dir deletes leaves a
+    // day's rows present TWICE (day dir ∪ month partition). The probe
+    // joins tolerate that (anti/semi/distinct; sig_counts merely
+    // over-engages the defense) but the SEMANTIC STATE zone does not —
+    // doubled decimal sums would silently shift every derived centroid —
+    // so the recovery that compactZones would run at END of day runs
+    // here first, converging the layout before anything reads it.
+    Seq(fpPath, sigPath, s"$whDir/corpus/sig_counts", paraFpPath,
+        s"$whDir/corpus/sem_assign", s"$whDir/corpus/sem_state")
+      .foreach(recoverFold(spark, _))
+
     val runMonth = runDate.substring(0, 7)
-    Seq(fpPath, sigPath, paraFpPath, s"$whDir/corpus/sem_assign").foreach { p =>
+    Seq(fpPath, sigPath, paraFpPath,
+        s"$whDir/corpus/sem_assign", s"$whDir/corpus/sem_state").foreach { p =>
       require(!listIngestDays(spark, p).contains(runMonth),
         s"corpus day $runDate cannot be (re)run: month $runMonth is already " +
           s"folded in $p — day-level prior-days semantics are unrecoverable " +
@@ -332,7 +345,11 @@ object CorpusRun {
 
     // [2] exact dedup: first-wins within the increment, then anti-join
     // the corpus fingerprint zone — only the increment hashes; the zone
-    // is probe-side state, not recomputed.
+    // is probe-side state, not recomputed. The anti-join runs INVERTED
+    // (ZoneProbes.zoneAntiJoin): the standing zone scans once against
+    // the broadcast increment fingerprints and never enters an exchange
+    // — the daily cost is one zone scan + an increment-sized join, not
+    // an O(corpus) shuffle.
     val printed = quality
       .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
       .withColumn("rn", row_number().over(
@@ -340,9 +357,10 @@ object CorpusRun {
       .filter(col("rn") === 1).drop("rn")
     val exactSurvivors =
       (if (Zones.exists(spark, fpPath))
-        printed.join(
-          Zones.read(spark, fpPath).filter(publishedPriorFilter(fpPath)),
-          Seq("fp"), "left_anti")
+        graft.operators.ZoneProbes.zoneAntiJoin(
+          printed,
+          Zones.read(spark, fpPath).filter(publishedPriorFilter(fpPath)).select("fp"),
+          Seq("fp"), nQuality)
       else printed).cache()
     val nExact = exactSurvivors.count()
 
@@ -495,6 +513,7 @@ object CorpusRun {
     // day-partitioned under the same prior-days/retry discipline as
     // every probe zone, and folds monthly with them.
     val semPath = s"$whDir/corpus/sem_assign"
+    val semStatePath = s"$whDir/corpus/sem_state"
     val (semKept, nSemKept, semNote, semZoneWrite) = semantic match {
       case None => (kept, nKept, "", (_: DataFrame) => ())
       case Some(cfg) =>
@@ -510,11 +529,58 @@ object CorpusRun {
               .filter(publishedPriorFilter(semPath))
               .select("id", "cluster", "v")
           else vecs.select(col("doc_id").as("id"), lit(0L).as("cluster"), col("v")).limit(0)
+        // the day's vector dimension (0 when the day carries no vectors —
+        // every consumer below is then empty too)
+        val semDim = vecs.select(size(col("v"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        // CENTROID STATE repair/seed: every sem_assign partition needs a
+        // sem_state partition, or the summed prior state undercounts and
+        // the derived centroids silently diverge from the stored
+        // assignment (a zone predating the state zone, or a crash
+        // between the assignment and state publishes — the day then
+        // shows FAILED and is excluded, but a backfilled SUCCESS day
+        // could still lag). Coverage-aware day/month logic as the
+        // sig_counts repair; one state aggregation over just the
+        // missing partitions.
+        if (Zones.exists(spark, semPath)) {
+          val semDays = listIngestDays(spark, semPath).toSet - runDate
+          val stDays = listIngestDays(spark, semStatePath).toSet
+          val missing = semDays.filter {
+            case d if d.length == 10 =>
+              !stDays.contains(d) && !stDays.contains(d.substring(0, 7))
+            case m =>
+              !stDays.contains(m) &&
+                !stDays.exists(d => d.length == 10 && d.startsWith(m))
+          }.toSeq
+          if (missing.nonEmpty) {
+            val zoneRows = Zones.read(spark, semPath)
+              .withColumn("ingest_day", col("ingest_day").cast("string"))
+              .filter(col("ingest_day").isin(missing: _*))
+            val zoneDim = zoneRows.select(size(col("v"))).limit(1).collect()
+              .headOption.map(_.getInt(0)).getOrElse(semDim)
+            dayOverwrite(
+              Clustering.centroidState(
+                zoneRows, "v", "cluster", zoneDim, carryCols = Seq("ingest_day")),
+              semStatePath)
+          }
+        }
+        // prior centroids from the MERGEABLE STATE zone (k × days rows of
+        // decimal sums + counts — bitwise ≡ re-aggregating the full
+        // assignment zone, which at corpus scale would rescan every
+        // published embedding daily): the one remaining zone access in
+        // the daily path is the cluster-keyed candidate probe.
+        val priorCents =
+          if (prior.isEmpty) None
+          else Some(Clustering.centroidsFromState(
+            Zones.read(spark, semStatePath)
+              .filter(publishedPriorFilter(semStatePath))
+              .select("cid", "sums", "n")))
         val assignment =
           (if (prior.isEmpty)
             Dedup.semanticDedup(vecs, "doc_id", "v", cfg.k, cfg.iters, cfg.threshold)
           else
-            Dedup.semanticDedupIncremental(prior, vecs, "doc_id", "v", cfg.threshold))
+            Dedup.semanticDedupIncremental(prior, vecs, "doc_id", "v", cfg.threshold,
+              centroidsOpt = priorCents))
             .localCheckpoint() // sever lineage before the zone write below
         // the zone write is DEFERRED until the published set is known
         // (after paragraph excision): a sem-kept doc whose every
@@ -535,15 +601,27 @@ object CorpusRun {
         // (boilerplate-rep, semantic-dup) coincidence, which requires
         // the pair to be within ε while only ONE of them is fully prior
         // boilerplate.
-        val write = (published: DataFrame) =>
+        val write = (published: DataFrame) => {
+          // checkpoint: consumed by BOTH zone writes, and the second must
+          // not re-execute the join against the just-mutated sem zone
+          val dayRows = assignment.filter(col("is_kept"))
+            .select(col("doc_id").as("id"), col("cluster"))
+            .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
+            .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+            .withColumn("ingest_day", lit(runDate))
+            .localCheckpoint()
+          dayOwnedOverwrite(spark, dayRows, semPath, runDate)
+          // the day's centroid-state partition rides next to its
+          // assignment partition (same day ownership, same retry
+          // discipline, same SUCCESS-days fold eligibility): tomorrow's
+          // centroids come from summing these k-row states, never from
+          // re-aggregating the corpus
           dayOwnedOverwrite(
             spark,
-            assignment.filter(col("is_kept"))
-              .select(col("doc_id").as("id"), col("cluster"))
-              .join(vecs.select(col("doc_id").as("id"), col("v")), Seq("id"))
-              .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+            Clustering.centroidState(dayRows, "v", "cluster", semDim)
               .withColumn("ingest_day", lit(runDate)),
-            semPath, runDate)
+            semStatePath, runDate)
+        }
         val sk = kept
           .join(
             assignment.filter(!col("is_kept")).select("doc_id"),
@@ -723,36 +801,7 @@ object CorpusRun {
       val tmp = s"$path/.fold_tmp" // dot-hidden: invisible to the main read
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val manifestPath = new org.apache.hadoop.fs.Path(s"$tmp/_DAYS")
-      // RECOVERY: a COMPLETED stage from a crashed pass is the only
-      // durable copy of its months' previously-folded rows — replay the
-      // overwrite from it. A stage is complete only when BOTH the parquet
-      // commit marker AND the day manifest exist; anything less is
-      // discarded (the old layout is still intact — deletes only happen
-      // after both are durable).
-      if (Zones.exists(spark, s"$tmp/_SUCCESS") && fs.exists(manifestPath)) {
-        dayOverwrite(spark.read.parquet(tmp), path)
-        // finish the crashed pass's step [3] too — deleting EXACTLY the
-        // day dirs the crashed pass staged, read back from its _DAYS
-        // manifest. Recomputing foldableDays here instead would be a
-        // silent data-loss bug: a day that became fold-eligible AFTER
-        // the stage committed (e.g. a FAILED day whose retry succeeded
-        // in the crash window) has no rows in the stage, and deleting
-        // it would destroy its only copy. Leaving the staged days would
-        // make the NEXT fold read every such row twice (day copy ∪
-        // month copy) and bake duplicates into the month permanently —
-        // distinct'ing instead would corrupt the summed sig_counts
-        // zone — so completing the manifest's delete is the only sound
-        // convergence.
-        val stagedDays = {
-          val in = fs.open(manifestPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        }
-        stagedDays.filter(_.nonEmpty).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
-        fs.delete(tmpPath, true)
-        spark.catalog.refreshByPath(path)
-      } else if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      recoverFold(spark, path)
       // NOTE a day dir coexisting with its month partition is a LEGAL
       // state here (a day that became fold-eligible after a crashed
       // stage was built — its rows live only in the day dir, and this
@@ -861,7 +910,56 @@ object CorpusRun {
       foldProbe(s"$whDir/corpus/sig_counts"),
       foldProbe(s"$whDir/corpus/para_fp"),
       foldProbe(s"$whDir/corpus/sem_assign"),
+      // fold the centroid-state zone with its assignment zone: state rows
+      // are ADDITIVE (decimal sums + counts), so relabeling day rows into
+      // their month partition changes nothing the summed read sees — and
+      // the crash window where day ∪ month rows coexist is closed by the
+      // recoverFold every run performs before reading any probe zone
+      foldProbe(s"$whDir/corpus/sem_state"),
       compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
+  }
+
+  /** Complete a probe-zone fold that crashed mid-pass — the RECOVERY leg
+    * of `compactZones`' foldProbe, callable on its own so a run can
+    * converge the layout BEFORE reading the zone (a crash between the
+    * fold's month-overwrite and its day-dir deletes leaves day rows
+    * duplicated into their month partition — tolerable for anti/semi
+    * probes, corrupting for summed state zones).
+    *
+    * A COMPLETED stage from a crashed pass is the only durable copy of
+    * its months' previously-folded rows — replay the overwrite from it.
+    * A stage is complete only when BOTH the parquet commit marker AND
+    * the day manifest exist; anything less is discarded (the old layout
+    * is still intact — deletes only happen after both are durable).
+    * The replay finishes the crashed pass's day-dir deletes too,
+    * deleting EXACTLY the days its `_DAYS` manifest staged: recomputing
+    * fold-eligibility here would be a silent data-loss bug (a day that
+    * became fold-eligible AFTER the stage committed has no rows in the
+    * stage), and leaving the staged days would make the NEXT fold read
+    * every such row twice and bake duplicates into the month
+    * permanently.
+    */
+  private[pipeline] def recoverFold(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = s"$path/.fold_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$tmp/_DAYS")
+    if (Zones.exists(spark, s"$tmp/_SUCCESS") && fs.exists(manifestPath)) {
+      dayOverwrite(spark.read.parquet(tmp), path)
+      val stagedDays = {
+        val in = fs.open(manifestPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      stagedDays.filter(_.nonEmpty).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingest_day=$d"), true))
+      fs.delete(tmpPath, true)
+      spark.catalog.refreshByPath(path)
+    } else if (fs.exists(tmpPath)) {
+      fs.delete(tmpPath, true)
+      ()
+    }
   }
 
   /** Partition values of an ingest_day-partitioned zone (day- or

@@ -110,6 +110,76 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("nearest_cell_dist"), s"sharded path not engaged:\n${plan.take(500)}")
   }
 
+  test("centroidsFromState over day-split states ≡ centroids over the union, bit-exact") {
+    // the mergeable-state contract the daily semantic stage rides on:
+    // per-day decimal sums/counts, summed across any partition of the
+    // rows, finish to EXACTLY the centroids a full rebuild computes
+    val dim = vecs.select(size(col("e"))).head().getInt(0)
+    val assigned = vecs.withColumn("cluster", col("vec_id") % 7)
+    val full = Clustering.centroids(assigned, "e", "cluster", dim)
+    // three disjoint "days" (uneven split), one state frame per day,
+    // plus a day that misses some clusters entirely
+    val states = (0 until 3).map { d =>
+      Clustering.centroidState(
+        assigned.filter(pmod(col("vec_id"), lit(3)) === d), "e", "cluster", dim)
+    }.reduce(_ unionByName _)
+    val derived = Clustering.centroidsFromState(states)
+    val diff = full.alias("f").join(derived.alias("d"), Seq("cid"), "full")
+      .filter(col("f.c").isNull || col("d.c").isNull || col("f.c") =!= col("d.c"))
+      .count()
+    assert(diff == 0, s"$diff clusters differ between state-derived and rebuilt centroids")
+  }
+
+  test("DecimalVectorSum kernel ≡ composed per-dim decimal sums (state form), bit-exact") {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = vecs.select(size(col("e"))).head().getInt(0)
+    val assigned = vecs.withColumn("cluster", col("vec_id") % 5)
+    assert(spark.catalog.functionExists("decimal_vector_sum"))
+    val kernel = Clustering.centroidState(assigned, "e", "cluster", dim)
+    // composed fallback, forced: build it the way centroidState would
+    // without the registered kernel
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e"), i + 1).cast(DecimalType(28, 10))).as(s"__s$i"))
+    val composed = assigned.groupBy(col("cluster").as("cid"))
+      .agg(sums.head, (sums.tail :+ count(col("e")).as("n")): _*)
+      .select(col("cid"),
+        array((0 until dim).map(i =>
+          col(s"__s$i").cast(DecimalType(38, 10))): _*).as("sums"),
+        col("n"))
+    val diff = kernel.alias("k").join(composed.alias("m"), Seq("cid"))
+      .filter(col("k.sums") =!= col("m.sums") || col("k.n") =!= col("m.n")).count()
+    assert(diff == 0, s"$diff clusters differ between kernel and composed state")
+    // and both finish to the exact centroids
+    val viaState = Clustering.centroidsFromState(kernel)
+    val direct = Clustering.centroids(assigned, "e", "cluster", dim)
+    val cdiff = viaState.alias("s").join(direct.alias("d"), Seq("cid"))
+      .filter(col("s.c") =!= col("d.c")).count()
+    assert(cdiff == 0, s"$cdiff centroid rows differ (state finish vs direct mean)")
+  }
+
+  test("semanticDedupIncremental with state-derived centroids ≡ the self-contained rebuild") {
+    import graft.operators.Dedup
+    val dim = vecs.select(size(col("e"))).head().getInt(0)
+    val zone = Dedup.semanticDedup(vecs, "vec_id", "e", 16, 2, 0.95)
+      .select(col("vec_id").as("id"), col("cluster"))
+      .join(vecs.select(col("vec_id").as("id"), col("e").as("v")), "id")
+      .localCheckpoint()
+    val probes = vecs.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      concat(array(element_at(col("e"), 1) + lit(0.01)), slice(col("e"), 2, 10000)).as("e"))
+    // split the zone into two "days", state each, derive centroids
+    val states = Seq(col("id") % 2 === 0, col("id") % 2 === 1).map(f =>
+      Clustering.centroidState(zone.filter(f), "v", "cluster", dim))
+      .reduce(_ unionByName _)
+    val cents = Clustering.centroidsFromState(states)
+    val viaState = Dedup.semanticDedupIncremental(
+      zone, probes, "vec_id", "e", 0.95, centroidsOpt = Some(cents))
+    val rebuilt = Dedup.semanticDedupIncremental(zone, probes, "vec_id", "e", 0.95)
+    assert(viaState.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(viaState).isEmpty,
+      "state-derived centroids changed the incremental semantic verdicts")
+    spark.catalog.clearCache()
+  }
+
   test("Lloyd rounds never increase the total within-cluster SSE") {
     def sse(iters: Int): Double =
       Clustering.kmeansLite(vecs, "vec_id", "e", 8, iters)

@@ -7,6 +7,7 @@ package graft
   * any host.
   */
 class PlanAuditSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(q: String): String =
@@ -386,6 +387,76 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("e5 via centroid state: daily plan carries NO corpus-scale centroid aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("e5_state_audit")
+      .toFile.getAbsolutePath
+    val zone = s"$root/assign"
+    val rnd = new scala.util.Random(7)
+    val day1 = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "e")
+    graft.operators.Dedup.semanticDedup(day1, "vec_id", "e", 8, 2, 0.95)
+      .select(col("vec_id").as("id"), col("cluster"))
+      .join(day1.select(col("vec_id").as("id"), col("e").as("v")), "id")
+      .write.parquet(zone)
+    // the maintained state zone: k rows of decimal sums + counts
+    graft.operators.Clustering.centroidState(spark.read.parquet(zone), "v", "cluster", 8)
+      .write.parquet(s"$root/state")
+    val inc = (100L until 110L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("vec_id", "e")
+    val cents = graft.operators.Clustering.centroidsFromState(
+      spark.read.parquet(s"$root/state"))
+    // The centroid work happens EAGERLY at construction (the assignment
+    // kernel collects centroids driver-side), so the audit captures the
+    // plans of every action fired DURING construction via the SQL-
+    // execution listener; a marker action flushes the FIFO bus so the
+    // capture set is complete before asserting.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            captured.add(e.physicalPlanDescription); ()
+          case _ =>
+        }
+    }
+    def awaitMarker(tag: String): Unit = {
+      spark.range(1).select(col("id").as(tag)).collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!captured.asScala.exists(_.contains(tag)) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(captured.asScala.exists(_.contains(tag)), "listener marker never arrived")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (viaState, rebuilt) =
+      try {
+        val rebuilt = graft.operators.Dedup.semanticDedupIncremental(
+          spark.read.parquet(zone), inc, "vec_id", "e", 0.95)
+        awaitMarker("audit_marker_rebuild")
+        // control: the self-contained path DID aggregate the zone
+        assert(captured.asScala.exists(_.contains("decimal_vector_mean")),
+          "audit control broke: the self-contained path no longer shows the zone-wide mean")
+        captured.clear()
+        val viaState = graft.operators.Dedup.semanticDedupIncremental(
+          spark.read.parquet(zone), inc, "vec_id", "e", 0.95, centroidsOpt = Some(cents))
+        awaitMarker("audit_marker_state")
+        // the state path's construction actions must NEVER aggregate the
+        // zone for centroids — the derivation input is the k-row state
+        assert(!captured.asScala.exists(_.contains("decimal_vector_mean")),
+          s"state-supplied path still aggregates the corpus for centroids:\n" +
+            captured.asScala.filter(_.contains("decimal_vector_mean")).mkString("\n---\n"))
+        (viaState, rebuilt)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // lazy remainder: the only legitimate FILE scans are zone + state
+    val pState = viaState.queryExecution.executedPlan.toString
+    val scans = pState.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("e5_state_audit")),
+      s"plan scans files beyond the zone/state:\n${scans.mkString("\n")}")
+    // and the two paths agree bitwise
+    assert(viaState.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(viaState).isEmpty,
+      "state-derived centroids changed the incremental semantic verdicts")
+    spark.catalog.clearCache()
+  }
+
   test("e4/t16: semantic dedup and BPE tokenize plans stay equi-join only") {
     import spark.implicits._
     val rnd = new scala.util.Random(6)
@@ -401,6 +472,66 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pt16.contains("CartesianProduct") && !pt16.contains("BroadcastNestedLoopJoin"),
       s"bpeApply fell back to an all-pairs join:\n$pt16")
     assert(t16.count() == 2)
+  }
+
+  test("zone probes: daily joins reach standing zones without a corpus-side exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    def scansZone(p: SparkPlan, tag: String): Boolean = expand(p).exists {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.exists(_.toString.contains(tag))
+      case _ => false
+    }
+    val root = java.nio.file.Files.createTempDirectory("zoneprobe_audit")
+      .toFile.getAbsolutePath
+    // ── inverted fingerprint anti-join: the zone must enter NO exchange ──
+    (0L until 500L).map(i => f"fp$i%04d").toDF("fp").write.parquet(s"$root/fp")
+    val incFp = (400L until 520L).map(i => f"fp$i%04d").toDF("fp")
+    val anti = graft.operators.ZoneProbes.zoneAntiJoin(
+      incFp, spark.read.parquet(s"$root/fp"), Seq("fp"), 120)
+    // result identity vs the plain anti join first
+    val plainAnti = incFp.join(spark.read.parquet(s"$root/fp"), Seq("fp"), "left_anti")
+    assert(anti.exceptAll(plainAnti).isEmpty && plainAnti.exceptAll(anti).isEmpty,
+      "inverted zone anti-join changed the result")
+    anti.collect() // finalize the adaptive plan
+    val antiShuffledZone = expand(anti.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if scansZone(e, "zoneprobe_audit") => e
+    }
+    assert(antiShuffledZone.isEmpty,
+      s"fp zone rows entered an exchange:\n${antiShuffledZone.mkString("\n")}")
+    // ── banded probe join: zone rows shuffle only AFTER the broadcast
+    // semi prune (d9 shape) ──
+    (0L until 2000L).map(i => (i % 16, i % 97, i)).toDF("band", "key", "id")
+      .write.parquet(s"$root/bands")
+    val probe = (0L until 40L).map(i => (i % 16, i % 5, 100000L + i)).toDF("band", "key", "id_x")
+    val pruned = graft.operators.ZoneProbes.pruneByKeys(
+      spark.read.parquet(s"$root/bands"), probe, Seq("band", "key"), engage = true)
+    val joined = pruned.withColumnRenamed("id", "id_y").join(probe, Seq("band", "key"))
+    // identity vs the unpruned join
+    val plainJoined = spark.read.parquet(s"$root/bands")
+      .withColumnRenamed("id", "id_y").join(probe, Seq("band", "key"))
+    assert(joined.exceptAll(plainJoined).isEmpty && plainJoined.exceptAll(joined).isEmpty,
+      "probe prune changed the join result")
+    joined.collect()
+    val offending = expand(joined.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if scansZone(e, "zoneprobe_audit") &&
+          !expand(e).exists {
+            case b: BroadcastHashJoinExec => b.joinType == LeftSemi
+            case _ => false
+          } => e
+    }
+    assert(offending.isEmpty,
+      s"zone rows shuffled WITHOUT the broadcast semi prune below the exchange:\n" +
+        offending.mkString("\n"))
   }
 
   test("j13: autoJoin salts only the MEASURED hot key — plain plan on uniform keys, identical results") {
