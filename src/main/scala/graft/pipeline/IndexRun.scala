@@ -63,6 +63,24 @@ object IndexRun {
   val SigSeed = 42L
   val SigRetrainInflation = 4.0
 
+  /** Semantic-cluster index stage (the SemDeDup-zone analog of the IVF
+    * stage — What the CorpusRun sem_assign zone lacks by construction:
+    * k frozen at day 1 means per-cluster occupancy grows linearly with
+    * the corpus and the within-cluster ε-ball workload quadratically).
+    * The drift signal is MEAN OCCUPANCY N/k, read from the per-cluster
+    * state zone (one kilobyte-scale agg — never an index scan); the
+    * retrain trips when it exceeds `SemTargetOccupancy ×
+    * SemOccupancyInflation` and re-clusters the zone's own vectors at
+    * k′ = ⌈N / SemTargetOccupancy⌉ into the next version with an atomic
+    * pointer flip — the sig-stage protocol verbatim. Daily appends
+    * assign the increment against centroids derived from the mergeable
+    * state (Clustering.centroidsFromState — zero corpus aggregation),
+    * exactly the CorpusRun daily path.
+    */
+  val SemTargetOccupancy = 1024
+  val SemOccupancyInflation = 2.0
+  val SemIters = 2
+
   /** The live index version — `<base>/CURRENT` names a `v<N>` subdir.
     * Retrain builds `v<N+1>` completely (the old version keeps serving),
     * then flips this pointer in one rename: there is no state in which
@@ -310,6 +328,146 @@ object IndexRun {
     }
   }
 
+  /** Build one semantic-cluster index version from (id, v, ingest_day)
+    * rows: deterministic k-means at the given k, assignment + per-day
+    * mergeable centroid state + meta (written LAST — the completeness
+    * marker). The target dir is truncated first (an incomplete dir here
+    * is a crashed build; orphan partitions must not survive inside a
+    * fresh version). Returns (n, k).
+    */
+  private def buildSemVersion(
+      spark: SparkSession, vPath: String,
+      rows: org.apache.spark.sql.DataFrame, targetOccupancy: Int): (Long, Int) = {
+    import graft.operators.Clustering
+    fsFor(spark, vPath).delete(new org.apache.hadoop.fs.Path(vPath), true)
+    val v = rows.localCheckpoint()
+    val n = v.count()
+    val dim = v.select(first(size(col("v")))).head().getInt(0)
+    val k = math.max(1L, math.min(
+      math.ceil(n.toDouble / targetOccupancy).toLong, n)).toInt
+    val assigned = Clustering.kmeansLite(v, "id", "v", k, SemIters)
+      .select(col("id"), col("cluster"))
+      // ingest_day + vector ride back by id: ids are unique within the
+      // build input (the zone's append discipline), so the join is 1:1
+      .join(v, Seq("id"))
+    dayOverwrite(assigned, s"$vPath/assign")
+    dayOverwrite(
+      Clustering.centroidState(
+        spark.read.parquet(s"$vPath/assign"), "v", "cluster", dim,
+        carryCols = Seq("ingest_day")),
+      s"$vPath/state")
+    import spark.implicits._
+    Seq((n, k, dim, targetOccupancy))
+      .toDF("n_vectors", "k", "dim", "target_occupancy")
+      .write.mode("overwrite").parquet(s"$vPath/meta")
+    (n, k)
+  }
+
+  /** The semantic-cluster leg of the nightly run: build day 1 at
+    * k = ⌈n/target⌉, state-derived assignment append after, mean
+    * occupancy measured per day from the state zone and re-cluster at
+    * grown k′ + pointer flip when it trips. Returns the ledger message
+    * fragment.
+    */
+  private[pipeline] def semStage(
+      spark: SparkSession,
+      base: String,
+      increment: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      runDate: String,
+      targetOccupancy: Int = SemTargetOccupancy,
+      occupancyInflation: Double = SemOccupancyInflation): String = {
+    import graft.operators.Clustering
+    val v = increment
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("ingest_day", lit(runDate))
+    currentSigIndexPath(spark, base) match {
+      case None =>
+        if (v.isEmpty) return "SEM: empty increment, nothing to build."
+        val (n, k) = buildSemVersion(spark, s"$base/v1", v, targetOccupancy)
+        writePointer(spark, base, "v1")
+        f"SEM: BUILT cluster index v1 — $n vector(s) at k=$k " +
+          f"(target occupancy $targetOccupancy)."
+      case Some(live) =>
+        repairPointer(spark, base, live)
+        sweepRetired(spark, base, live)
+        val meta = spark.read.parquet(s"$live/meta").head()
+        val k = meta.getAs[Int]("k")
+        val idxDim = meta.getAs[Int]("dim")
+        // STATE repair: an assign day without a state partition (crash
+        // between the two writes of a day that was never retried) would
+        // silently starve tomorrow's centroids of that day's mass —
+        // reseed missing days from the assignment zone, the CorpusRun
+        // coverage discipline (no month folds here, so a plain day diff)
+        val assignDays = CorpusRun.listIngestDays(spark, s"$live/assign").toSet - runDate
+        val stateDays = CorpusRun.listIngestDays(spark, s"$live/state").toSet
+        val missing = (assignDays -- stateDays).toSeq
+        if (missing.nonEmpty)
+          dayOverwrite(
+            Clustering.centroidState(
+              spark.read.parquet(s"$live/assign")
+                .withColumn("ingest_day", col("ingest_day").cast("string"))
+                .filter(col("ingest_day").isin(missing: _*)),
+              "v", "cluster", idxDim, carryCols = Seq("ingest_day")),
+            s"$live/state")
+        // prior-days state only: today's own retry leftovers must not
+        // shift the centroids the day re-derives
+        val priorState = spark.read.parquet(s"$live/state")
+          .withColumn("ingest_day", col("ingest_day").cast("string"))
+          .filter(col("ingest_day") < runDate)
+          .select("cid", "sums", "n")
+        if (priorState.isEmpty) {
+          // DAY-1 RETRY: the live version's only content is this day's
+          // failed attempt (meta is written last, so a resolved version
+          // always has assign+state — but all of it from today). No
+          // prior centroids exist to append against; rebuild the version
+          // from the retried increment — day-scoped semantics preserved
+          // because there are no other days to preserve.
+          if (v.isEmpty) return "SEM: empty increment, nothing to rebuild."
+          val (n1, k1) = buildSemVersion(spark, live, v, targetOccupancy)
+          return f"SEM: REBUILT ${live.split('/').last} (day-1 retry) from " +
+            f"$n1 vector(s) at k=$k1."
+        }
+        val keyed = v.localCheckpoint()
+        val nApp = keyed.count()
+        if (nApp > 0) {
+          val incDim = keyed.agg(first(size(col("v")))).head().getInt(0)
+          require(incDim == idxDim,
+            s"semantic index at $live holds $idxDim-dim vectors; the increment " +
+              s"is $incDim-dim — rebuild, don't mix")
+          val cents = Clustering.centroidsFromState(priorState)
+          val assigned = Clustering.assignFused(keyed, "id", "v", cents)
+            .select(col("id"), col("cluster"))
+            .join(keyed, Seq("id"))
+            .localCheckpoint()
+          dayOverwrite(assigned, s"$live/assign")
+          dayOverwrite(
+            Clustering.centroidState(assigned, "v", "cluster", idxDim,
+              carryCols = Seq("ingest_day")),
+            s"$live/state")
+        }
+        // occupancy from the state zone: Σn / k — one kilobyte agg
+        val n = spark.read.parquet(s"$live/state")
+          .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+        val occupancy = n.toDouble / k
+        val trip = targetOccupancy * occupancyInflation
+        val head = f"SEM: appended $nApp vector(s), occupancy $occupancy%.1f " +
+          f"(k=$k, re-cluster at $trip%.1f)."
+        if (occupancy > trip) {
+          val nextV = s"v${versionOf(live) + 1}"
+          val all = spark.read.parquet(s"$live/assign")
+            .select(col("id"), col("v"),
+              col("ingest_day").cast("string").as("ingest_day"))
+          val (nR, kR) = buildSemVersion(spark, s"$base/$nextV", all, targetOccupancy)
+          writePointer(spark, base, nextV)
+          head + f" RECLUSTERED: $nextV rebuilt ($nR vector(s)) at k=$kR, " +
+            "pointer flipped."
+        } else head
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
@@ -338,7 +496,9 @@ object IndexRun {
       vecCol: String = "embedding",
       nCells: Int = NCells,
       retrainInflation: Double = RetrainInflation,
-      sigRetrainInflation: Double = SigRetrainInflation): String = {
+      sigRetrainInflation: Double = SigRetrainInflation,
+      semTargetOccupancy: Int = SemTargetOccupancy,
+      semOccupancyInflation: Double = SemOccupancyInflation): String = {
     val runDate = runTs.substring(0, 10)
     val ledgerPath = s"$whDir/control/index_log"
     val ledger0 =
@@ -413,7 +573,9 @@ object IndexRun {
       // own version lineage, drift signal, and pointer under index/sig
       val message = ivfMessage + " " + sigStage(
         spark, s"$whDir/index/sig", increment, idCol, vecCol, runDate,
-        sigRetrainInflation)
+        sigRetrainInflation) + " " + semStage(
+        spark, s"$whDir/index/sem", increment, idCol, vecCol, runDate,
+        semTargetOccupancy, semOccupancyInflation)
       val done = RunLedger.finishRun(
         Zones.read(spark, ledgerPath), runId, "SUCCESS", runTs,
         messageOverride = Some(message))

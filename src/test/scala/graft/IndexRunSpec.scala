@@ -224,6 +224,106 @@ class IndexRunSpec extends SparkSpec {
       "retried day must replace its own signature partition, not double-append")
   }
 
+  test("semantic index: build, state-derived append, occupancy re-cluster at grown k, retry idempotent, e5 contract post-retrain") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semrun").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val base = s"$wh/index/sem"
+    def sem: String = IndexRun.currentSigIndexPath(spark, base)
+      .getOrElse(fail("no live semantic index version"))
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // spread directions, 4-dim
+    def spread(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, (0 until 4).map(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+    // small target occupancy so the growth trips within a few tiny days
+    def run(in: String, ts: String) = IndexRun.run(
+      spark, in, wh, ts, semTargetOccupancy = 32)
+
+    // ── day 1: build at k = ⌈64/32⌉ = 2 ─────────────────────────────────
+    val in1 = drop("m1", vecs(spread(0 until 64)))
+    assert(run(in1, "2026-07-01 03:00:00") == "SUCCESS")
+    val msg1 = lastMessage(wh)
+    assert(msg1.contains("SEM: BUILT cluster index v1 — 64 vector(s) at k=2"),
+      s"unexpected: $msg1")
+    assert(sem == s"$base/v1")
+
+    // ── day 2: append — centroids from the STATE zone, day-1 files
+    // untouched, occupancy logged, below the 2× trip (96/2 = 48 ≤ 64) ───
+    val day1Census = census(s"$sem/assign")
+    val in2 = drop("m2", vecs(spread(100 until 132)))
+    assert(run(in2, "2026-07-02 03:00:00") == "SUCCESS")
+    val msg2 = lastMessage(wh)
+    assert(msg2.contains("SEM: appended 32 vector(s)") && msg2.contains("occupancy"),
+      s"occupancy must be recorded: $msg2")
+    assert(!msg2.contains("RECLUSTERED"), s"calm day must not re-cluster: $msg2")
+    assert(census(s"$sem/assign").filter(_._1.contains("ingest_day=2026-07-01")) ==
+      day1Census.filter(_._1.contains("ingest_day=2026-07-01")),
+      "append must not touch standing day-1 assignment files")
+    // the appended day's assignment came from state-derived centroids ≡
+    // the full-zone rebuild (the mergeable-state contract)
+    val day1Rows = spark.read.parquet(s"$sem/assign")
+      .filter(col("ingest_day").cast("string") === "2026-07-01")
+    val rebuiltCents = graft.operators.Clustering.centroids(day1Rows, "v", "cluster", 4)
+    val expect = graft.operators.Clustering.assignFused(
+      vecs(spread(100 until 132)).toDF("vec_id", "embedding")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v")),
+      "id", "v", rebuiltCents).select(col("id"), col("cluster"))
+    val got = spark.read.parquet(s"$sem/assign")
+      .filter(col("ingest_day").cast("string") === "2026-07-02")
+      .select("id", "cluster")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "state-derived day-2 assignment diverges from the rebuild-derived one")
+
+    // ── day 3: +64 vectors → occupancy 160/2 = 80 > 64 — RE-CLUSTER at
+    // k′ = ⌈160/32⌉ = 5, version advances, grace copy survives ──────────
+    val in3 = drop("m3", vecs(spread(200 until 264)))
+    assert(run(in3, "2026-07-03 03:00:00") == "SUCCESS")
+    val msg3 = lastMessage(wh)
+    assert(msg3.contains("RECLUSTERED"), s"occupancy growth must trip: $msg3")
+    assert(msg3.contains("at k=5"), s"re-cluster must scale k with the corpus: $msg3")
+    assert(sem == s"$base/v2", "re-cluster must advance the live version")
+    assert(new java.io.File(s"$base/v1").exists(),
+      "retired version must survive one cycle as the grace copy")
+    assert(spark.read.parquet(s"$sem/assign").count() == 160,
+      "rebuild must preserve every vector")
+    assert(spark.read.parquet(s"$sem/meta").head().getAs[Int]("k") == 5)
+
+    // ── e5 contract post-retrain: a probe within ε of an indexed vector
+    // is dropped by semanticDedupIncremental against the NEW zone ───────
+    val zone = spark.read.parquet(s"$sem/assign").select("id", "cluster", "v")
+    val planted = spark.read.parquet(s"$sem/assign").select("id", "v").head()
+    val probe = Seq((99999L, planted.getSeq[Double](1))).toDF("vec_id", "e")
+    val verdicts = graft.operators.Dedup.semanticDedupIncremental(
+      zone, probe, "vec_id", "e", 0.95)
+    assert(verdicts.filter(col("vec_id") === 99999L && !col("is_kept")).count() == 1,
+      "post-retrain zone must still drop a planted near-duplicate probe")
+
+    // ── day 4 calm + retry idempotence ──────────────────────────────────
+    val in4 = drop("m4", vecs(spread(300 until 316)))
+    assert(run(in4, "2026-07-04 03:00:00") == "SUCCESS")
+    assert(!lastMessage(wh).contains("RECLUSTERED"),
+      s"post-recluster calm day must not re-trip: ${lastMessage(wh)}")
+    assert(!new java.io.File(s"$base/v1").exists(),
+      "the next run must sweep the retired version after its grace cycle")
+    val ledgerPath = s"$wh/control/index_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-07-04").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(run(in4, "2026-07-04 05:00:00") == "SUCCESS")
+    assert(spark.read.parquet(s"$sem/assign").count() == 160 + 16,
+      "retried day must replace its own partition, not double-append")
+    // state zone converges with the assignment zone on the retry
+    val stateN = spark.read.parquet(s"$sem/state")
+      .agg(sum("n")).head().getLong(0)
+    assert(stateN == 160 + 16, s"state mass must track the zone, got $stateN")
+  }
+
   test("bootstrap + hostile input: tiny day 1 clamps k, null vectors drop, re-ingested id survives retrain unsquared") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_indexrun_boot").toFile.getAbsolutePath
     val wh = s"$tmp/wh"
