@@ -105,13 +105,17 @@ object EventStreams {
     * scale the join prunes with a bloom pre-filter or bucketed layout
     * like any other zone join.
     *
-    * Delivery contract: foreachBatch is at-least-once — a batch retried
-    * after the output append could double-append. Production lands this
-    * in a transactional MERGE sink; with plain parquet zones the
-    * documented recovery is dedup-on-read over the output (the
-    * fingerprint zone itself stays correct: re-appended keys are
-    * duplicates WITHIN it, and the anti-join semantics are unchanged by
-    * duplicate fingerprints).
+    * Delivery contract: EXACTLY-ONCE on the output, the st8 pattern
+    * (replay guard rides inside the committed data) applied here via
+    * [[commitDedupBatch]]: each batch publishes its fresh rows under a
+    * content-fingerprinted output partition whose `_SUCCESS` marker IS
+    * the applied-set entry — a redelivered batch (foreachBatch retry, or
+    * a FRESH checkpoint replaying the feed) sees the marker and no-ops
+    * the output, converging only the fingerprint zone (where duplicate
+    * keys are harmless to the anti-join). A fresh checkpoint that
+    * re-chunks the feed into different batch boundaries is covered by
+    * the zone anti-join itself: every key is already fingerprinted, the
+    * fresh set is empty, nothing publishes.
     */
   def dedupAgainstZone(
       spark: SparkSession,
@@ -120,24 +124,82 @@ object EventStreams {
       fpZone: String,
       outZone: String,
       checkpoint: String): Unit = {
-    import org.apache.spark.sql.functions.col
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val firsts = batch.dropDuplicates(keyCols)
-        val fresh =
-          (if (graft.sources.Zones.exists(spark, fpZone))
-            firsts.join(spark.read.parquet(fpZone), keyCols, "left_anti")
-          else firsts).cache()
-        try {
-          fresh.write.mode("append").parquet(outZone)
-          fresh.select(keyCols.map(col): _*).write.mode("append").parquet(fpZone)
-        } finally { fresh.unpersist(); () }
-        ()
+        commitDedupBatch(spark, batch, keyCols, fpZone, outZone)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One batch of the cross-run dedup, exactly-once. Protocol:
+    *
+    *  1. `bfp` = an order-independent content fingerprint of the batch's
+    *     distinct key set (count + sum + xor of per-key hashes — stable
+    *     across redeliveries, checkpoint-independent).
+    *  2. If `outZone/batch_fp=bfp` already carries `_SUCCESS`, the batch
+    *     COMMITTED before: re-converge the fingerprint zone from the
+    *     published rows (idempotent — covers a crash between output
+    *     commit and fp append) and stop. This is what makes a retried or
+    *     redelivered batch a no-op on the output.
+    *  3. Otherwise compute the fresh set (zone anti-join, corpus side
+    *     broadcast-pruned per [[graft.operators.ZoneProbes]]) and publish
+    *     it under the batch's own partition — `mode=overwrite` clears a
+    *     half-written attempt, and the `_SUCCESS` marker lands last, so
+    *     the partition is atomic-at-the-marker.
+    *  4. Append the fresh keys to the fingerprint zone. A crash between
+    *     3 and 4 re-enters at step 2 on retry.
+    *
+    * An all-duplicate batch (fresh set empty) publishes nothing — a
+    * replay recomputes the same empty set, so no marker is needed.
+    */
+  private[graft] def commitDedupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      fpZone: String,
+      outZone: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val firsts = batch.dropDuplicates(keyCols).localCheckpoint()
+    val keyHash = xxhash64(keyCols.map(col): _*)
+    // the sum leg accumulates in decimal — a long sum of 64-bit hashes
+    // overflows (an ANSI error, and wraparound would be fine but isn't
+    // expressible); decimal(38,0) is exact to ~10^19 rows per batch
+    val idRow = firsts.agg(
+      count(lit(1)),
+      coalesce(sum(keyHash.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+      coalesce(bit_xor(keyHash), lit(0L))).head()
+    val n = idRow.getLong(0)
+    if (n == 0) return
+    val bfp =
+      s"${idRow.getDecimal(1).toBigInteger.toString(16)}" +
+        f"_${idRow.getLong(2)}%016x_$n%x"
+    val batchDir = s"$outZone/batch_fp=$bfp"
+    val fpKeys = (df: DataFrame) => df.select(keyCols.map(col): _*)
+    if (graft.sources.Zones.exists(spark, s"$batchDir/_SUCCESS")) {
+      // output already committed — converge the fp zone only. The anti
+      // join keeps the common retry from re-appending the whole batch;
+      // a racing duplicate append is tolerated by the zone's contract.
+      val published = fpKeys(spark.read.parquet(batchDir))
+      val missing =
+        if (graft.sources.Zones.exists(spark, fpZone))
+          published.join(spark.read.parquet(fpZone), keyCols, "left_anti")
+        else published
+      if (!missing.isEmpty) missing.write.mode("append").parquet(fpZone)
+      return
+    }
+    val fresh =
+      (if (graft.sources.Zones.exists(spark, fpZone))
+        graft.operators.ZoneProbes.zoneAntiJoin(
+          firsts, spark.read.parquet(fpZone), keyCols, n)
+      else firsts).localCheckpoint()
+    if (fresh.isEmpty) return
+    fresh.write.mode("overwrite").parquet(batchDir)
+    fpKeys(fresh).write.mode("append").parquet(fpZone)
+    ()
   }
 
   case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)
@@ -419,8 +481,9 @@ object EventStreams {
     * foreachBatch batchId carried inside the swapped data — so a batch
     * redelivered after a crash no-ops instead of double-counting.
     * EXACTLY-ONCE zone effect on top of foreachBatch's at-least-once
-    * contract, closing for statistics the caveat documented on
-    * [[dedupAgainstZone]]'s fingerprint zone.
+    * contract — the same class of guard [[commitDedupBatch]] applies to
+    * the cross-run dedup output (there keyed on batch CONTENT, so it
+    * also survives fresh-checkpoint redelivery).
     *
     * SCOPE of the guard: redelivery within one checkpoint lineage, or
     * a fresh-checkpoint rerun over an UNCHANGED source (where

@@ -398,6 +398,40 @@ class ModulesSpec extends SparkSpec {
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.count() == 15, s"expected 15 once-ever rows, got ${out.count()}")
     assert(out.select("event_id").distinct().count() == 15)
+
+    // EXACTLY-ONCE: the full in1 feed redelivered under a THIRD fresh
+    // checkpoint must no-op the output byte-for-byte — not just
+    // count-stable (the old at-least-once caveat allowed double-appends
+    // the read then had to dedup)
+    def census(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = census(s"$tmp/out")
+    run(s"$tmp/in1", s"$tmp/ckpt3")
+    assert(census(s"$tmp/out") == before,
+      "fresh-checkpoint redelivery must leave the published output untouched")
+
+    // crash window between output commit and fp append: replay the
+    // batch commit with the fp rows of its batch REMOVED — the marker
+    // branch must converge the fp zone without re-publishing output
+    val batch1 = (16 to 20).map(i => (i.toLong, s"payload_$i")).toDF("event_id", "payload")
+    EventStreams.commitDedupBatch(spark, batch1, Seq("event_id"), s"$tmp/fp", s"$tmp/out")
+    assert(spark.read.parquet(s"$tmp/out").count() == 20)
+    // simulate the crash: rebuild the fp zone WITHOUT batch1's keys
+    val fpWithout = spark.read.parquet(s"$tmp/fp")
+      .filter(col("event_id") < 16L).localCheckpoint()
+    graft.sources.Zones.delete(spark, s"$tmp/fp")
+    fpWithout.write.parquet(s"$tmp/fp")
+    val outBefore = census(s"$tmp/out")
+    EventStreams.commitDedupBatch(spark, batch1, Seq("event_id"), s"$tmp/fp", s"$tmp/out")
+    assert(census(s"$tmp/out") == outBefore,
+      "retried committed batch must not touch the output")
+    assert(spark.read.parquet(s"$tmp/fp").filter(col("event_id") >= 16L).count() == 5,
+      "retry must converge the fingerprint zone from the published batch")
+    assert(spark.read.parquet(s"$tmp/out").count() == 20)
   }
 
   test("stats zone: incremental merges equal the one-shot build; replayed batches no-op") {
