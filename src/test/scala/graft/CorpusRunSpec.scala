@@ -503,4 +503,52 @@ class CorpusRunSpec extends SparkSpec {
     assert(allFps.count() == allFps.distinct().count(),
       "para_fp zone must hold each fingerprint exactly once across all days")
   }
+
+  test("c8/c9 gate: planted verdicts and ledger-count consistency at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val pub = SparkEntry.queries("c8_corpus_run_3day")(spark, sf).cache()
+    val led = SparkEntry.queries("c9_corpus_run_ledger")(spark, sf).cache()
+
+    // exact replants (+20000) can never publish: their fingerprint is in
+    // the day-1 zone by construction
+    assert(pub.filter(col("doc_id").between(20000, 39999)).count() == 0,
+      "a planted exact duplicate was published")
+    // near-dup plants (+40000 cross-day, +50000 within-day) of a LONG
+    // source can never publish — dropping 5 leading tokens keeps Jaccard
+    // well above 0.6 and the smaller-id source wins the keep policy. A
+    // SHORT source (≲15 tokens) legitimately escapes: 5 of its ~12 tokens
+    // is a heavy edit, J < 0.6, no pair — the oracle replays those too.
+    val longSrc = Tables.load(spark, sf, "documents")
+      .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pubNear = pub.filter(col("doc_id").between(40000, 59999))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(pubNear.forall(id => !longSrc.contains(id % 10000)),
+      "a near-dup probe of a long source was published")
+    // quality rejects never publish
+    assert(pub.filter(col("doc_id") >= 80000).count() == 0)
+    // a published semantic probe (+60000) means its identical-embedding
+    // source was NOT published (otherwise the ε-ball rule drops the probe)
+    val srcIds = pub.filter(col("doc_id") < 20000).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val pubProbes = pub.filter(col("doc_id") >= 60000 && col("doc_id") < 80000)
+      .select((col("doc_id") - 60000).as("src")).collect().map(_.getLong(0))
+    assert(pubProbes.forall(s => !srcIds.contains(s)),
+      "a semantic probe published alongside its identical-embedding source")
+    // the stage actually fired
+    val semDropped = led.agg(sum("n_sem_dropped")).head().getLong(0)
+    assert(semDropped > 0, "no semantic drops — the planted probes never reached the stage")
+    // ledger arithmetic: input − per-stage drops ≡ published, per day;
+    // excision is a structural no-op on single-paragraph corpora
+    val bad = led.filter(
+      col("n_input") - col("n_quality_dropped") - col("n_exact_dropped") -
+        col("n_neardup_dropped") - col("n_sem_dropped") - col("n_excised_docs")
+        =!= col("n_published")).count()
+    assert(bad == 0, "ledger stage counts do not telescope to the published count")
+    assert(led.agg(sum("n_excised_docs")).head().getLong(0) == 0)
+    assert(led.agg(sum("n_published")).head().getLong(0) == pub.count(),
+      "ledger published total diverges from the docs zone")
+    pub.unpersist(); led.unpersist()
+  }
 }
