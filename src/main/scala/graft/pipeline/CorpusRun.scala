@@ -699,6 +699,21 @@ object CorpusRun {
       keyExpr = "doc_id",
       batchId = Some(java.time.LocalDate.parse(runDate).toEpochDay))
 
+    // [6b] nightly JOIN-KEY skew profile of the published rows' `source`
+    // — the key every downstream composition job (mix/budget/packing,
+    // source-keyed joins) streams by. This is the PRODUCER half of
+    // SkewJoin.autoJoin's measure-don't-guess loop: tomorrow's consumers
+    // read the standing row ([[latestSkewReport]]) and hand it to
+    // autoJoin's `report` parameter, which then runs NO counting pass of
+    // its own (PlanAuditSpec pins that contract with a poisoned frame).
+    // One partial-aggregated pass over the day's published rows, ≤11
+    // rows collected; the zone is kilobyte-scale and day-owned like
+    // every other probe zone.
+    dayOwnedOverwrite(
+      spark,
+      Profiling.skewReport(published, "source").withColumn("ingest_day", lit(runDate)),
+      s"$whDir/corpus/skew_profile", runDate)
+
     val ruleBreakdown =
       if (ruleCounts.isEmpty) ""
       else ruleCounts.map { case (r, n) => s"$r=$n" }.mkString(" (", ", ", ")")
@@ -916,6 +931,10 @@ object CorpusRun {
       // the crash window where day ∪ month rows coexist is closed by the
       // recoverFold every run performs before reading any probe zone
       foldProbe(s"$whDir/corpus/sem_state"),
+      // kilobyte report rows, but day dirs still accrete file-listing
+      // cost forever without folding; day identity is irrelevant past
+      // the horizon (consumers read only the newest day)
+      foldProbe(s"$whDir/corpus/skew_profile"),
       compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
   }
 
@@ -960,6 +979,24 @@ object CorpusRun {
       fs.delete(tmpPath, true)
       ()
     }
+  }
+
+  /** The standing nightly skew profile (stage [6b]) for downstream
+    * consumers: the most recent day's report row, shaped exactly for
+    * [[graft.operators.SkewJoin.autoJoin]]'s `report` parameter — a
+    * source-keyed join planned from this row launches NO counting pass
+    * of its own. None until the first day publishes. Recent days are
+    * always day-granular (folding waits out the retention horizon), so
+    * the newest partition is the newest day.
+    */
+  def latestSkewReport(
+      spark: SparkSession, whDir: String): Option[org.apache.spark.sql.Row] = {
+    val p = s"$whDir/corpus/skew_profile"
+    if (!Zones.exists(spark, p)) None
+    else Zones.read(spark, p)
+      .orderBy(col("ingest_day").cast("string").desc)
+      .limit(1).drop("ingest_day")
+      .collect().headOption
   }
 
   /** Partition values of an ingest_day-partitioned zone (day- or

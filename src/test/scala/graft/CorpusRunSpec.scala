@@ -148,6 +148,25 @@ class CorpusRunSpec extends SparkSpec {
     assert(graft.operators.Profiling.readStatsZone(spark, s"$wh/corpus/stats")
       .agg(sum("n_rows")).head().getLong(0) == 11L,
       "retry double-merged the stats zone")
+
+    // ── nightly skew profile: produced per day, newest row consumable by
+    // autoJoin with NO measuring pass (the full producer→consumer loop) ──
+    assert(Zones.read(spark, s"$wh/corpus/skew_profile")
+      .select(col("ingest_day").cast("string")).distinct().count() == 3,
+      "each day must own a skew-profile partition")
+    val rpt = CorpusRun.latestSkewReport(spark, wh)
+    assert(rpt.exists(_.getAs[Double]("skew_ratio") >= 1.0),
+      s"latest skew report missing or malformed: $rpt")
+    // poisoned source-keyed frame: any evaluation throws, so the join
+    // below planning without an exception proves the report replaced the
+    // inline counting pass entirely
+    val poisoned = spark.range(10).select(
+      when(col("id") >= 0, raise_error(lit("measured"))).otherwise(lit("x")).as("source"))
+    val smallDim = spark.range(2).select(
+      concat(lit("s"), col("id")).as("source"), col("id").as("weight"))
+    val planned = graft.operators.SkewJoin.autoJoin(
+      poisoned, smallDim, Seq("source"), report = rpt)
+    assert(planned.columns.contains("weight"))
   }
 
   test("quality suite: planted low-quality docs dropped by named rule, counts in the ledger") {

@@ -566,4 +566,28 @@ class PlanAuditSpec extends SparkSpec {
     val plain2 = big2.join(small2, Seq("k", "k2"))
     assert(multi.exceptAll(plain2).isEmpty && plain2.exceptAll(multi).isEmpty)
   }
+
+  test("autoJoin with a supplied report row runs NO measuring pass over the big side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Profiling, SkewJoin}
+    val small = spark.range(5).select(col("id").as("k"), (col("id") + 100).as("v"))
+    val real = spark.range(1000).select((col("id") % 5).as("k"))
+    val rpt = Profiling.skewReport(real, "k").head()
+    // poisoned big side: evaluating the key column ANYWHERE throws at
+    // runtime (data-dependent guard, so no constant folding) — the one
+    // way autoJoin can touch it before the caller acts on the result is
+    // the inline skewReport counting pass
+    val poisoned = spark.range(100).select(
+      when(col("id") >= 0, raise_error(lit("inline measuring pass executed the big side")))
+        .otherwise(lit("x")).as("k"))
+    // report path: plan construction only — must NOT execute the frame
+    val planned = SkewJoin.autoJoin(poisoned, small.select(col("k").cast("string"), col("v")),
+      Seq("k"), report = Some(rpt))
+    assert(planned.columns.contains("v"), "report path must still build the join plan")
+    // inline path: the measuring pass runs now and trips the poison
+    val e = intercept[Exception] {
+      SkewJoin.autoJoin(poisoned, small.select(col("k").cast("string"), col("v")), Seq("k"))
+    }
+    assert(e.getMessage != null)
+  }
 }
