@@ -1948,10 +1948,10 @@ object SparkEntry {
         .select("doc_id", "n_tok", "cum_tokens", "sample_bucket")
     }),
     // ── c8/c9: the corpus pipeline END-TO-END ────────────────────────────
-    // Three fixed daily increments — planted cross-day exact dups (+20000),
-    // cross-day near-dups (+40000), within-day near-dups (+50000), semantic
-    // dups (+60000: unrelated reversed-token text, identical embedding) and
-    // quality rejects (8000x) — run through CorpusRun.run, the composition
+    // Three fixed daily increments — planted cross-day exact dups (+2e7),
+    // cross-day near-dups (+4e7), within-day near-dups (+5e7), semantic
+    // dups (+6e7: unrelated reversed-token text, identical embedding) and
+    // quality rejects (8e7+x) — run through CorpusRun.run, the composition
     // of every incremental dedup operator. c8 compares the PUBLISHED corpus
     // (doc_id, day, text md5, source); the oracle replays the whole
     // quality → exact → near-dup → cluster-keep → semantic chain in DuckDB
@@ -1998,7 +1998,7 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val probes = v.filter(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 10000).as("probe_id"),
+        (col("vec_id") + 10000000).as("probe_id"),
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("pe"))
@@ -2015,7 +2015,7 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val probes = v.filter(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 10000).as("probe_id"),
+        (col("vec_id") + 10000000).as("probe_id"),
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("pe"))
@@ -2061,7 +2061,7 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val probes = v.filter(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 10000).as("vec_id"),
+        (col("vec_id") + 10000000).as("vec_id"),
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("e"))
@@ -2079,7 +2079,7 @@ object SparkEntry {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val probes = v.filter(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 10000).as("vec_id"),
+        (col("vec_id") + 10000000).as("vec_id"),
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("e"))
@@ -2540,16 +2540,16 @@ object SparkEntry {
   )
 
   /** Corpus salted with exact duplicates: every 5th doc re-appears under
-    * doc_id+10000 (mirrored in the oracle SQL CTEs).
+    * doc_id+10^7 (mirrored in the oracle SQL CTEs).
     */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     docs.unionByName(
-      docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000))
+      docs.filter(col("doc_id") % 5 === 0).withColumn("doc_id", col("doc_id") + 10000000))
   }
 
   /** Corpus salted with near-duplicates: every 5th doc re-appears under
-    * doc_id+20000 with its first five tokens dropped.
+    * doc_id+2·10^7 with its first five tokens dropped.
     */
   /** ANN gate queries with a PLANTED true neighbor: each query vector is
     * a small deterministic perturbation of corpus vector `vec_id < n`
@@ -2559,7 +2559,7 @@ object SparkEntry {
     * measures noise ranking, not retrieval. Query ids are offset by 10^6
     * to stay disjoint from corpus ids.
     */
-  private val annQueryIdOffset = 1000000L
+  private val annQueryIdOffset = 100000000L
 
   private def annPlantedQueries(emb: DataFrame, n: Int): DataFrame =
     emb.filter(col("vec_id") < n).select(
@@ -2591,13 +2591,13 @@ object SparkEntry {
   }
 
   /** Mutation-id offset of [[nearDupCorpus]]: mutated copies land at
-    * doc_id + 20000. Verified at corpus construction — if the documents
+    * doc_id + 2·10^7. Verified at corpus construction — if the documents
     * table ever carried ids ≥ the offset (a larger SF), mutated ids would
     * COLLIDE with originals and every planted-truth count would silently
     * diverge from its oracle; failing loudly here is the guard. The d4
-    * oracle mirrors the same `doc_id < 20000` bound.
+    * oracle mirrors the same `doc_id < offset` bound.
     */
-  private val NearDupOffset = 20000L
+  private val NearDupOffset = 20000000L
 
   /** Filesystem-safe key for per-sf-dir build-once index zones. */
   private def zoneKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
@@ -2678,16 +2678,16 @@ object SparkEntry {
     * paragraph excision, publish, stats, ledger. Re-invocations hit the
     * ranToday gate (SKIPPED) and measure reads of the standing output.
     *
-    * Planted structure (all offsets collision-free: base doc_id < 20000):
+    * Planted structure (all offsets collision-free: base doc_id < 10^7):
     *   day1 = base docs with doc_id % 3 == 0
     *   day2 = base % 3 == 1
-    *        ∪ +20000 exact copies of day-1 docs (% 15 == 0)
+    *        ∪ +2e7 exact copies of day-1 docs (% 15 == 0)
     *        ∪ three quality rejects (null text / all-symbol / 3 tokens)
     *   day3 = base % 3 == 2
-    *        ∪ +40000 drop-5-token mutations of day-1 docs (% 15 == 6)
-    *        ∪ +50000 same mutations of day-3 docs (% 15 == 2 — the
+    *        ∪ +4e7 drop-5-token mutations of day-1 docs (% 15 == 6)
+    *        ∪ +5e7 same mutations of day-3 docs (% 15 == 2 — the
     *          WITHIN-day near-dup leg)
-    *        ∪ +60000 semantic probes of day-1 docs (% 15 == 9, with an
+    *        ∪ +6e7 semantic probes of day-1 docs (% 15 == 9, with an
     *          embedding): reversed-token text (no shingle overlap with
     *          the source) carrying the source's EXACT embedding — they
     *          reach the semantic stage and drop there iff their source
@@ -2717,25 +2717,25 @@ object SparkEntry {
       val day1 = docs.filter(col("doc_id") % 3 === 0)
       val day2 = docs.filter(col("doc_id") % 3 === 1)
         .unionByName(docs.filter(col("doc_id") % 15 === 0).select(
-          (col("doc_id") + 20000L).as("doc_id"), col("text"), lit("replant").as("source")))
-        .unionByName(junkRow(80001L, lit(null).cast("string")))
-        .unionByName(junkRow(80002L, lit("!!! ??? !!!")))
-        .unionByName(junkRow(80003L, lit("a b c")))
+          (col("doc_id") + 20000000L).as("doc_id"), col("text"), lit("replant").as("source")))
+        .unionByName(junkRow(80000001L, lit(null).cast("string")))
+        .unionByName(junkRow(80000002L, lit("!!! ??? !!!")))
+        .unionByName(junkRow(80000003L, lit("a b c")))
       val day3 = docs.filter(col("doc_id") % 3 === 2)
         .unionByName(docs.filter(col("doc_id") % 15 === 6).select(
-          (col("doc_id") + 40000L).as("doc_id"), mut5(col("text")).as("text"),
+          (col("doc_id") + 40000000L).as("doc_id"), mut5(col("text")).as("text"),
           lit("neardup").as("source")))
         .unionByName(docs.filter(col("doc_id") % 15 === 2).select(
-          (col("doc_id") + 50000L).as("doc_id"), mut5(col("text")).as("text"),
+          (col("doc_id") + 50000000L).as("doc_id"), mut5(col("text")).as("text"),
           lit("neardup_intra").as("source")))
         .unionByName(semSrc.select(
-          (col("doc_id") + 60000L).as("doc_id"), revTok(col("text")).as("text"),
+          (col("doc_id") + 60000000L).as("doc_id"), revTok(col("text")).as("text"),
           lit("semdup").as("source")))
       Seq(day1 -> "day1", day2 -> "day2", day3 -> "day3").foreach { case (df, name) =>
         df.write.mode("overwrite").parquet(s"$wh/feed/$name")
       }
       emb.unionByName(
-          semSrc.select((col("doc_id") + 60000L).as("doc_id"), col("embedding")))
+          semSrc.select((col("doc_id") + 60000000L).as("doc_id"), col("embedding")))
         .write.mode("overwrite").parquet(s"$wh/feed/emb")
       val rules = Seq(
         CorpusRun.QualityRule("null_text", col("text").isNull),
@@ -2913,7 +2913,7 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "d4_simhash_pairs" ->
       """SELECT COUNT(*) AS n_planted, TRUE AS recall_ge_030
-        |FROM documents WHERE doc_id % 5 = 0 AND doc_id < 20000""".stripMargin,
+        |FROM documents WHERE doc_id % 5 = 0 AND doc_id < 20000000""".stripMargin,
     "k2_knn_lsh" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(20 AS BIGINT) AS n_top1_exact,
         |  TRUE AS recall_ge_090""".stripMargin,
@@ -3470,7 +3470,7 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0)
         |SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS fp,
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1""".stripMargin,
@@ -4127,7 +4127,7 @@ object SparkEntry {
     "e1_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |probes AS (
-        |  SELECT vec_id + 10000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
+        |  SELECT vec_id + 10000000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
         |  FROM v WHERE vec_id % 10 = 0)
         |SELECT probe_id, vec_id AS match_id FROM probes, v
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
@@ -4137,7 +4137,7 @@ object SparkEntry {
     "e3_embedding_neardup_incremental" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |probes AS (
-        |  SELECT vec_id + 10000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
+        |  SELECT vec_id + 10000000 AS probe_id, list_prepend(e[1] + 0.01, e[2:]) AS pe
         |  FROM v WHERE vec_id % 10 = 0)
         |SELECT probe_id, vec_id AS match_id FROM probes, v
         |WHERE list_sum(list_transform(list_zip(pe, e), x -> x[1]*x[2]))
@@ -4179,7 +4179,7 @@ object SparkEntry {
         |       FROM exp3 GROUP BY 1, 2),
         |cent3 AS (SELECT cid, list(cv ORDER BY pos) AS c FROM c3 GROUP BY 1),
         |probes AS (
-        |  SELECT vec_id + 10000 AS vec_id, list_prepend(e[1] + 0.01, e[2:]) AS e
+        |  SELECT vec_id + 10000000 AS vec_id, list_prepend(e[1] + 0.01, e[2:]) AS e
         |  FROM v WHERE vec_id % 10 = 0),
         |d3 AS (SELECT vec_id, e, cid,
         |         list_reduce(list_transform(list_zip(e, c), p -> (p[1]-p[2])*(p[1]-p[2])), (a, b) -> a + b) AS dist
@@ -4207,7 +4207,7 @@ object SparkEntry {
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |v AS (SELECT vec_id, e FROM v0
         |      UNION ALL
-        |      SELECT vec_id + 10000, list_prepend(e[1] + 0.01, e[2:]) FROM v0 WHERE vec_id % 10 = 0),
+        |      SELECT vec_id + 10000000, list_prepend(e[1] + 0.01, e[2:]) FROM v0 WHERE vec_id % 10 = 0),
         |a0 AS (SELECT vec_id, e, vec_id % 64 AS cluster FROM v),
         |exp1 AS (SELECT cluster, unnest(range(len(e))) AS pos, unnest(e) AS val FROM a0),
         |c1 AS (SELECT cluster AS cid, pos,
@@ -4460,7 +4460,7 @@ object SparkEntry {
     *              prior-PUBLISHED doc, or a smaller-id same-day survivor,
     *              carries the identical embedding" (embk maps each doc to
     *              its embedding identity: base docs their own vec_id,
-    *              +60000 probes their source's). Exact because the
+    *              +6e7 probes their source's). Exact because the
     *              testdata embeddings are pairwise distinct with max
     *              natural cosine ≤ 0.61 ≪ 0.999 (verified at all sf).
     *   excision — a proven no-op: no text carries a blank-line separator,
@@ -4502,18 +4502,18 @@ object SparkEntry {
     s"""corpus AS (
        |  SELECT doc_id, text, source, 1 AS day FROM documents WHERE doc_id % 3 = 0
        |  UNION ALL SELECT doc_id, text, source, 2 FROM documents WHERE doc_id % 3 = 1
-       |  UNION ALL SELECT doc_id + 20000, text, 'replant', 2
+       |  UNION ALL SELECT doc_id + 20000000, text, 'replant', 2
        |    FROM documents WHERE doc_id % 15 = 0
        |  UNION ALL SELECT doc_id, text, source, day FROM (VALUES
-       |    (80001, CAST(NULL AS VARCHAR), 'junk', 2),
-       |    (80002, '!!! ??? !!!', 'junk', 2),
-       |    (80003, 'a b c', 'junk', 2)) j(doc_id, text, source, day)
+       |    (80000001, CAST(NULL AS VARCHAR), 'junk', 2),
+       |    (80000002, '!!! ??? !!!', 'junk', 2),
+       |    (80000003, 'a b c', 'junk', 2)) j(doc_id, text, source, day)
        |  UNION ALL SELECT doc_id, text, source, 3 FROM documents WHERE doc_id % 3 = 2
-       |  UNION ALL SELECT doc_id + 40000, $mut, 'neardup', 3
+       |  UNION ALL SELECT doc_id + 40000000, $mut, 'neardup', 3
        |    FROM documents WHERE doc_id % 15 = 6
-       |  UNION ALL SELECT doc_id + 50000, $mut, 'neardup_intra', 3
+       |  UNION ALL SELECT doc_id + 50000000, $mut, 'neardup_intra', 3
        |    FROM documents WHERE doc_id % 15 = 2
-       |  UNION ALL SELECT doc_id + 60000, $rev, 'semdup', 3
+       |  UNION ALL SELECT doc_id + 60000000, $rev, 'semdup', 3
        |    FROM documents JOIN embeddings ON doc_id = vec_id WHERE doc_id % 15 = 9),
        |q AS (
        |  SELECT doc_id, text, source, day, $tk AS tkn FROM corpus
@@ -4538,7 +4538,7 @@ object SparkEntry {
        |embk AS (
        |  SELECT vec_id AS doc_id, vec_id AS ekey FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 60000, vec_id
+       |  SELECT vec_id + 60000000, vec_id
        |    FROM embeddings JOIN documents ON vec_id = doc_id WHERE vec_id % 15 = 9),
        |${dayBlock(1)},
        |${dayBlock(2)},
@@ -4549,7 +4549,7 @@ object SparkEntry {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 20000,
+      |  SELECT doc_id + 20000000,
       |    array_to_string((list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))[6:], ' ')
       |  FROM documents WHERE doc_id % 5 = 0),
       |grams AS (

@@ -687,7 +687,14 @@ object Dedup {
       bandedFromSigs(index, numHashes, bands),
       incBanded, Seq("band", "key"),
       engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
-    val idxCounts = indexCounts.getOrElse(bucketCounts(idxBanded))
+    // stored counts pruned the same way: oversizedBuckets inner-joins the
+    // two count frames on (band, key), so an index bucket the increment
+    // never probes can't produce an oversized entry — pruning is exact,
+    // and the counts-side join stops growing with the corpus
+    val idxCounts = ZoneProbes.pruneByKeys(
+      indexCounts.getOrElse(bucketCounts(idxBanded)),
+      incBanded, Seq("band", "key"),
+      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
     val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
@@ -1292,9 +1299,14 @@ object Dedup {
         (oc.isEmpty, true, oc, none)
       } else {
         // one bucket-count pass per distinct frame (increment ×3, index
-        // ×1) and one driver probe for both joins' oversized lists
+        // ×1) and one driver probe for both joins' oversized lists; the
+        // stored counts prune to the increment's band keys (exact — the
+        // oversized list inner-joins the two count frames)
         val incCounts = bucketCounts(incBandX)
-        val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
+        val idxCounts = ZoneProbes.pruneByKeys(
+          indexCounts.getOrElse(bucketCounts(idxBand)),
+          incBandX, Seq("band", "key"),
+          engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
         val oc = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
         val ow = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
         val Seq(cd, wd) = emptiness(Seq(oc, ow))

@@ -529,11 +529,11 @@ class CorpusRunSpec extends SparkSpec {
     val pub = SparkEntry.queries("c8_corpus_run_3day")(spark, sf).cache()
     val led = SparkEntry.queries("c9_corpus_run_ledger")(spark, sf).cache()
 
-    // exact replants (+20000) can never publish: their fingerprint is in
+    // exact replants (+2e7) can never publish: their fingerprint is in
     // the day-1 zone by construction
-    assert(pub.filter(col("doc_id").between(20000, 39999)).count() == 0,
+    assert(pub.filter(col("doc_id").between(20000000, 39999999)).count() == 0,
       "a planted exact duplicate was published")
-    // near-dup plants (+40000 cross-day, +50000 within-day) of a LONG
+    // near-dup plants (+4e7 cross-day, +5e7 within-day) of a LONG
     // source can never publish — dropping 5 leading tokens keeps Jaccard
     // well above 0.6 and the smaller-id source wins the keep policy. A
     // SHORT source (≲15 tokens) legitimately escapes: 5 of its ~12 tokens
@@ -541,18 +541,18 @@ class CorpusRunSpec extends SparkSpec {
     val longSrc = Tables.load(spark, sf, "documents")
       .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 20)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val pubNear = pub.filter(col("doc_id").between(40000, 59999))
+    val pubNear = pub.filter(col("doc_id").between(40000000, 59999999))
       .select(col("doc_id")).collect().map(_.getLong(0))
-    assert(pubNear.forall(id => !longSrc.contains(id % 10000)),
+    assert(pubNear.forall(id => !longSrc.contains(id % 10000000)),
       "a near-dup probe of a long source was published")
     // quality rejects never publish
-    assert(pub.filter(col("doc_id") >= 80000).count() == 0)
-    // a published semantic probe (+60000) means its identical-embedding
+    assert(pub.filter(col("doc_id") >= 80000000).count() == 0)
+    // a published semantic probe (+6e7) means its identical-embedding
     // source was NOT published (otherwise the ε-ball rule drops the probe)
-    val srcIds = pub.filter(col("doc_id") < 20000).select(col("doc_id")).collect()
+    val srcIds = pub.filter(col("doc_id") < 10000000).select(col("doc_id")).collect()
       .map(_.getLong(0)).toSet
-    val pubProbes = pub.filter(col("doc_id") >= 60000 && col("doc_id") < 80000)
-      .select((col("doc_id") - 60000).as("src")).collect().map(_.getLong(0))
+    val pubProbes = pub.filter(col("doc_id") >= 60000000 && col("doc_id") < 80000000)
+      .select((col("doc_id") - 60000000).as("src")).collect().map(_.getLong(0))
     assert(pubProbes.forall(s => !srcIds.contains(s)),
       "a semantic probe published alongside its identical-embedding source")
     // the stage actually fired
