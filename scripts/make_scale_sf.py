@@ -67,13 +67,18 @@ def main():
                     sel.append(
                         f"translate(text, '{LETTERS}', '{rot(r)}') AS text")
                 elif t == "embeddings" and c == "embedding":
-                    # deterministic per-replica direction shift: scale each
-                    # coordinate by 1 + 0.03*((i + r) % 5 - 2) — replicas of
-                    # the same vector stay well below every cosine threshold
+                    # deterministic per-replica PSEUDORANDOM sign pattern
+                    # (norm- and distribution-preserving): any two replica
+                    # patterns disagree in 23-37 of 64 coordinates, and the
+                    # measured same-base cross-replica cosine over the real
+                    # (coordinate-concentrated) sf0.1 vectors is <= 0.80 —
+                    # below every dedup threshold (0.95 semantic, 0.99
+                    # near-dup). Block/shift schemes fail here: concentrated
+                    # mass can sit outside any fixed flipped block.
                     sel.append(
                         "CAST(list_transform(list_zip(embedding, range(len(embedding))), "
-                        f"p -> p[1] * (1.0 + 0.03 * CAST((p[2] + {r}) % 5 - 2 AS DOUBLE))) "
-                        "AS FLOAT[]) AS embedding")
+                        f"p -> CASE WHEN (p[2]*73856093 + {r}*19349663 + p[2]*{r}*83492791) % 97 % 2 = 1 "
+                        "THEN p[1] ELSE -p[1] END) AS FLOAT[]) AS embedding")
                 else:
                     sel.append(c)
             parts.append(
