@@ -2741,8 +2741,17 @@ object SparkEntry {
         CorpusRun.QualityRule("null_text", col("text").isNull),
         CorpusRun.QualityRule("alpha_ratio", TextAnalysis.alphaRatio(col("text")) < 0.25),
         CorpusRun.QualityRule("min_tokens", TextAnalysis.tokenCount(col("text")) < 5))
+      // targetOccupancy 64: the versioned semantic index re-clusters
+      // mid-gate at sf0.01 (cumulative ~130 embedded rows trip >128 on
+      // day 2) and twice at sf0.1 — the END-TO-END proof that the
+      // occupancy lifecycle cannot move the published corpus: identical
+      // embeddings co-cluster under ANY geometry (same nearest centroid,
+      // ties to lower cid) and the natural pairwise cosine ceiling
+      // (≤0.61) sits far under θ=0.999, so the oracle's k-independent
+      // identity replay stays exact across every flip.
       val sem = Some(CorpusRun.SemanticStage(
-        s"$wh/feed/emb", k = 1, iters = 2, threshold = 0.999))
+        s"$wh/feed/emb", k = 1, iters = 2, threshold = 0.999,
+        targetOccupancy = 64))
       Seq("2026-01-01" -> "day1", "2026-01-02" -> "day2", "2026-01-03" -> "day3").foreach {
         case (d, name) =>
           CorpusRun.run(s, s"$wh/feed/$name", wh, s"$d 08:00:00",

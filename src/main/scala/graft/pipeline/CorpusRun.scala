@@ -133,7 +133,15 @@ object CorpusRun {
       vecCol: String = "embedding",
       k: Int = SemK,
       iters: Int = SemIters,
-      threshold: Double = SemThreshold)
+      threshold: Double = SemThreshold,
+      // re-cluster lifecycle (the IndexRun.semStage protocol, wired into
+      // the production zone): when mean occupancy Σn/k from the state
+      // zone exceeds targetOccupancy × occupancyInflation, the index
+      // re-clusters at k′ = ⌈N/targetOccupancy⌉ into the next version
+      // with an atomic pointer flip. Without this, k is frozen at day 1
+      // and per-cluster ε-ball work grows quadratically with the corpus.
+      targetOccupancy: Int = IndexRun.SemTargetOccupancy,
+      occupancyInflation: Double = IndexRun.SemOccupancyInflation)
 
   /** SemDeDup defaults: k sized so E[cluster] stays ~10⁴ at corpus scale
     * (scale k with the corpus, as the paper does); 2 Lloyd rounds —
@@ -274,13 +282,29 @@ object CorpusRun {
     // doubled decimal sums would silently shift every derived centroid —
     // so the recovery that compactZones would run at END of day runs
     // here first, converging the layout before anything reads it.
-    Seq(fpPath, sigPath, s"$whDir/corpus/sig_counts", paraFpPath,
-        s"$whDir/corpus/sem_assign", s"$whDir/corpus/sem_state")
+    // The semantic index is VERSIONED (corpus/sem_index/v<N>/{assign,
+    // state,meta} + CURRENT pointer — the IndexRun protocol): an
+    // occupancy-tripped re-cluster relabels the full assignment at grown
+    // k′ into the next version and flips the pointer atomically, so
+    // centroids, labels and state can never mix geometries. All the
+    // day-zone disciplines (prior-days probe filter, day-owned retry
+    // overwrite, monthly folds, fold-crash recovery) apply to the LIVE
+    // version's assign/state dirs.
+    val semBase = s"$whDir/corpus/sem_index"
+    require(!Zones.exists(spark, s"$whDir/corpus/sem_assign"),
+      s"pre-versioned semantic zone layout found at $whDir/corpus/sem_assign — " +
+        "this build stores the semantic index versioned under corpus/sem_index " +
+        "(occupancy-tripped re-clustering); move the zone to " +
+        "corpus/sem_index/v1/{assign,state} with a meta row, or rebuild the " +
+        "warehouse, before re-running")
+    val semLive = IndexRun.resolveCurrent(spark, semBase, "meta/_SUCCESS")
+    val semZoneDirs = semLive.toSeq.flatMap(lv => Seq(s"$lv/assign", s"$lv/state"))
+
+    (Seq(fpPath, sigPath, s"$whDir/corpus/sig_counts", paraFpPath) ++ semZoneDirs)
       .foreach(recoverFold(spark, _))
 
     val runMonth = runDate.substring(0, 7)
-    Seq(fpPath, sigPath, paraFpPath,
-        s"$whDir/corpus/sem_assign", s"$whDir/corpus/sem_state").foreach { p =>
+    (Seq(fpPath, sigPath, paraFpPath) ++ semZoneDirs).foreach { p =>
       require(!listIngestDays(spark, p).contains(runMonth),
         s"corpus day $runDate cannot be (re)run: month $runMonth is already " +
           s"folded in $p — day-level prior-days semantics are unrecoverable " +
@@ -512,69 +536,87 @@ object CorpusRun {
     // zone, within 2ε by the ball rule — the e5 contract). The zone is
     // day-partitioned under the same prior-days/retry discipline as
     // every probe zone, and folds monthly with them.
-    val semPath = s"$whDir/corpus/sem_assign"
-    val semStatePath = s"$whDir/corpus/sem_state"
     val (semKept, nSemKept, semNote, semZoneWrite) = semantic match {
-      case None => (kept, nKept, "", (_: DataFrame) => ())
+      case None => (kept, nKept, "", (_: DataFrame) => "")
       case Some(cfg) =>
+        // single-writer lifecycle upkeep (the IndexRun discipline): heal
+        // a pointer lost in a crashed flip, reclaim retired versions and
+        // crashed never-flipped re-cluster builds — the retired live
+        // version of a flip survived exactly one run-cycle as the
+        // daytime readers' grace copy
+        semLive.foreach { lv =>
+          IndexRun.repairPointer(spark, semBase, lv)
+          IndexRun.sweepRetired(spark, semBase, lv)
+        }
+        val semAssignPath = semLive.map(lv => s"$lv/assign")
+        val semStatePath = semLive.map(lv => s"$lv/state")
         // checkpoint: read by the assignment AND the zone-publish join,
         // and must not re-execute against mutated zones
         val vecs = spark.read.parquet(cfg.embeddingsDir)
           .select(col("doc_id"), col(cfg.vecCol).cast("array<double>").as("v"))
           .join(kept.select("doc_id"), Seq("doc_id"))
           .localCheckpoint()
-        val prior =
-          if (Zones.exists(spark, semPath))
-            Zones.read(spark, semPath)
-              .filter(publishedPriorFilter(semPath))
+        val prior = semAssignPath match {
+          case Some(ap) if Zones.exists(spark, ap) =>
+            Zones.read(spark, ap)
+              .filter(publishedPriorFilter(ap))
               .select("id", "cluster", "v")
-          else vecs.select(col("doc_id").as("id"), lit(0L).as("cluster"), col("v")).limit(0)
+          case _ =>
+            vecs.select(col("doc_id").as("id"), lit(0L).as("cluster"), col("v")).limit(0)
+        }
         // the day's vector dimension (0 when the day carries no vectors —
         // every consumer below is then empty too)
         val semDim = vecs.select(size(col("v"))).limit(1).collect()
           .headOption.map(_.getInt(0)).getOrElse(0)
-        // CENTROID STATE repair/seed: every sem_assign partition needs a
-        // sem_state partition, or the summed prior state undercounts and
+        // CENTROID STATE repair/seed: every assign partition needs a
+        // state partition, or the summed prior state undercounts and
         // the derived centroids silently diverge from the stored
-        // assignment (a zone predating the state zone, or a crash
-        // between the assignment and state publishes — the day then
-        // shows FAILED and is excluded, but a backfilled SUCCESS day
-        // could still lag). Coverage-aware day/month logic as the
-        // sig_counts repair; one state aggregation over just the
-        // missing partitions.
-        if (Zones.exists(spark, semPath)) {
-          val semDays = listIngestDays(spark, semPath).toSet - runDate
-          val stDays = listIngestDays(spark, semStatePath).toSet
-          val missing = semDays.filter {
-            case d if d.length == 10 =>
-              !stDays.contains(d) && !stDays.contains(d.substring(0, 7))
-            case m =>
-              !stDays.contains(m) &&
-                !stDays.exists(d => d.length == 10 && d.startsWith(m))
-          }.toSeq
-          if (missing.nonEmpty) {
-            val zoneRows = Zones.read(spark, semPath)
-              .withColumn("ingest_day", col("ingest_day").cast("string"))
-              .filter(col("ingest_day").isin(missing: _*))
-            val zoneDim = zoneRows.select(size(col("v"))).limit(1).collect()
-              .headOption.map(_.getInt(0)).getOrElse(semDim)
-            dayOverwrite(
-              Clustering.centroidState(
-                zoneRows, "v", "cluster", zoneDim, carryCols = Seq("ingest_day")),
-              semStatePath)
-          }
+        // assignment (a crash between the assignment and state
+        // publishes — the day then shows FAILED and is excluded, but a
+        // backfilled SUCCESS day could still lag). Coverage-aware
+        // day/month logic as the sig_counts repair; one state
+        // aggregation over just the missing partitions.
+        (semAssignPath, semStatePath) match {
+          case (Some(ap), Some(sp)) if Zones.exists(spark, ap) =>
+            val semDays = listIngestDays(spark, ap).toSet - runDate
+            val stDays = listIngestDays(spark, sp).toSet
+            val missing = semDays.filter {
+              case d if d.length == 10 =>
+                !stDays.contains(d) && !stDays.contains(d.substring(0, 7))
+              case m =>
+                !stDays.contains(m) &&
+                  !stDays.exists(d => d.length == 10 && d.startsWith(m))
+            }.toSeq
+            if (missing.nonEmpty) {
+              val zoneRows = Zones.read(spark, ap)
+                .withColumn("ingest_day", col("ingest_day").cast("string"))
+                .filter(col("ingest_day").isin(missing: _*))
+              val zoneDim = zoneRows.select(size(col("v"))).limit(1).collect()
+                .headOption.map(_.getInt(0)).getOrElse(semDim)
+              dayOverwrite(
+                Clustering.centroidState(
+                  zoneRows, "v", "cluster", zoneDim, carryCols = Seq("ingest_day")),
+                sp)
+            }
+          case _ => ()
         }
-        // prior centroids from the MERGEABLE STATE zone (k × days rows of
-        // decimal sums + counts — bitwise ≡ re-aggregating the full
-        // assignment zone, which at corpus scale would rescan every
-        // published embedding daily): the one remaining zone access in
-        // the daily path is the cluster-keyed candidate probe.
+        // prior centroids are the live version's FROZEN geometry artifact
+        // (k rows written at build/re-cluster time — the cheapest possible
+        // daily read). Frozen-per-version is a CORRECTNESS property, not
+        // just a cost one: every zone label is argmin over exactly these
+        // centroids (build and re-cluster RELABEL under them; daily
+        // appends assign against them), so an increment vector identical
+        // to a stored representative provably lands in its cluster. A
+        // drifting geometry (e.g. centroids re-derived daily from the
+        // mergeable state — means of the current assignment, one Lloyd
+        // step ahead of the labels) breaks that: near the moved boundary
+        // a twin assigns to a different cluster than its representative
+        // and silently publishes (observed at sf0.1: 18 of 133 planted
+        // semantic dups escaped). The state zone remains the occupancy
+        // signal; geometry refresh is the re-cluster's job.
         val priorCents =
           if (prior.isEmpty) None
-          else Some(Clustering.centroidsFromState(
-            Zones.read(spark, semStatePath)
-              .filter(publishedPriorFilter(semStatePath))
-              .select("cid", "sums", "n")))
+          else Some(spark.read.parquet(s"${semLive.get}/centroids"))
         val assignment =
           (if (prior.isEmpty)
             Dedup.semanticDedup(vecs, "doc_id", "v", cfg.k, cfg.iters, cfg.threshold)
@@ -601,6 +643,79 @@ object CorpusRun {
         // (boilerplate-rep, semantic-dup) coincidence, which requires
         // the pair to be within ε while only ONE of them is fully prior
         // boilerplate.
+        // meta rides last in every version build/rebuild — its parquet
+        // commit marker is the version-complete signal resolveCurrent
+        // trusts, so a crash mid-build can never expose a half-version
+        def writeSemMeta(vPath: String, n: Long, k: Int, dim: Int): Unit = {
+          import spark.implicits._
+          Seq((n, k, dim, cfg.targetOccupancy))
+            .toDF("n_vectors", "k", "dim", "target_occupancy")
+            .write.mode("overwrite").parquet(s"$vPath/meta")
+        }
+        // materialize a version: geometry = per-label means of `labeled`,
+        // FROZEN as the version's centroid artifact; the stored assignment
+        // is the RELABEL of every row by argmin over that geometry (the
+        // same assignFused kernel, same ties-to-lower-cid, that daily
+        // appends use) — so zone labels and probe assignments can never
+        // disagree. meta k = the realized centroid count (labels may
+        // occupy fewer clusters than requested), keeping the occupancy
+        // signal honest.
+        def buildVersion(vPath: String, labeled: DataFrame, dim: Int): (Long, Int) = {
+          val cents = Clustering.centroids(labeled, "v", "cluster", dim)
+            .localCheckpoint()
+          val relabeled = Clustering.assignFused(labeled.drop("cluster"), "id", "v", cents)
+            .select(col("id"), col("cluster"))
+            .join(labeled.select("id", "v", "ingest_day"), Seq("id"))
+            .localCheckpoint()
+          dayOverwrite(relabeled, s"$vPath/assign")
+          dayOverwrite(
+            Clustering.centroidState(
+              relabeled, "v", "cluster", dim, carryCols = Seq("ingest_day")),
+            s"$vPath/state")
+          cents.write.mode("overwrite").parquet(s"$vPath/centroids")
+          val n = relabeled.count()
+          val k = cents.count().toInt
+          writeSemMeta(vPath, n, k, dim)
+          (n, k)
+        }
+        // occupancy-tripped RE-CLUSTER (IndexRun.semStage's protocol on
+        // the production zone): mean occupancy Σn/k is one kilobyte agg
+        // over the state zone; past target×inflation the FULL assignment
+        // relabels at k′ = ⌈N/target⌉ into the next version — ingest_day
+        // preserved row-for-row so the prior-days probe filter, day
+        // ownership and month folds survive the flip — then the pointer
+        // flips atomically. The relabel is the one deliberate O(corpus)
+        // event in this stage, amortized over the growth that tripped it
+        // (occupancy must grow by ×inflation again before the next).
+        def reclusterIfTripped(lv: String): String = {
+          val meta = spark.read.parquet(s"$lv/meta").head()
+          val k = meta.getAs[Int]("k")
+          val dim = meta.getAs[Int]("dim")
+          val total = spark.read.parquet(s"$lv/state")
+            .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+          val occupancy = if (k <= 0) 0.0 else total.toDouble / k
+          val trip = cfg.targetOccupancy * cfg.occupancyInflation
+          if (total == 0 || occupancy <= trip) ""
+          else {
+            val nextV = s"v${IndexRun.versionOf(lv) + 1}"
+            val fs = new org.apache.hadoop.fs.Path(semBase)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            fs.delete(new org.apache.hadoop.fs.Path(s"$semBase/$nextV"), true)
+            val all = spark.read.parquet(s"$lv/assign")
+              .select(col("id"), col("v"),
+                col("ingest_day").cast("string").as("ingest_day"))
+              .localCheckpoint()
+            val k2 = math.max(1L, math.min(
+              math.ceil(total.toDouble / cfg.targetOccupancy).toLong, all.count())).toInt
+            val labeled = Clustering.kmeansLite(all, "id", "v", k2, cfg.iters)
+              .select(col("id"), col("cluster"))
+              .join(all, Seq("id"))
+            val (_, kNew) = buildVersion(s"$semBase/$nextV", labeled, dim)
+            IndexRun.writePointer(spark, semBase, nextV)
+            f" SEM-INDEX re-clustered $nextV: k $k%d→$kNew%d " +
+              f"(occupancy $occupancy%.1f > $trip%.1f)."
+          }
+        }
         val write = (published: DataFrame) => {
           // checkpoint: consumed by BOTH zone writes, and the second must
           // not re-execute the join against the just-mutated sem zone
@@ -610,17 +725,52 @@ object CorpusRun {
             .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
             .withColumn("ingest_day", lit(runDate))
             .localCheckpoint()
-          dayOwnedOverwrite(spark, dayRows, semPath, runDate)
-          // the day's centroid-state partition rides next to its
-          // assignment partition (same day ownership, same retry
-          // discipline, same SUCCESS-days fold eligibility): tomorrow's
-          // centroids come from summing these k-row states, never from
-          // re-aggregating the corpus
-          dayOwnedOverwrite(
-            spark,
-            Clustering.centroidState(dayRows, "v", "cluster", semDim)
-              .withColumn("ingest_day", lit(runDate)),
-            semStatePath, runDate)
+          semLive match {
+            case None =>
+              // first index build: v1 from today's rows (nothing yet →
+              // stay zone-less: the index appears with its first vectors)
+              if (dayRows.isEmpty) ""
+              else {
+                val v1 = s"$semBase/v1"
+                val fs = new org.apache.hadoop.fs.Path(semBase)
+                  .getFileSystem(spark.sessionState.newHadoopConf())
+                fs.delete(new org.apache.hadoop.fs.Path(v1), true)
+                buildVersion(v1, dayRows, semDim)
+                IndexRun.writePointer(spark, semBase, "v1")
+                reclusterIfTripped(v1)
+              }
+            case Some(lv) if prior.isEmpty =>
+              // DAY-1 RETRY: the live version's only content is this
+              // day's failed attempt (no SUCCESS prior day admits any of
+              // it). Rebuild the version in place from the retried batch
+              // assignment — there are no other days to preserve, and
+              // the pointer already names it.
+              val fs = new org.apache.hadoop.fs.Path(semBase)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+              fs.delete(new org.apache.hadoop.fs.Path(lv), true)
+              // retried day shrank to zero vectors: no complete version
+              // remains, so resolveCurrent is None again (the dangling
+              // pointer never resolves past its completeness filter)
+              if (dayRows.isEmpty) ""
+              else {
+                buildVersion(lv, dayRows, semDim)
+                IndexRun.repairPointer(spark, semBase, lv)
+                reclusterIfTripped(lv)
+              }
+            case Some(lv) =>
+              // the day's assignment + centroid-state partitions ride
+              // together in the live version (same day ownership, same
+              // retry discipline, same SUCCESS-days fold eligibility):
+              // tomorrow's centroids come from summing the k-row states,
+              // never from re-aggregating the corpus
+              dayOwnedOverwrite(spark, dayRows, s"$lv/assign", runDate)
+              dayOwnedOverwrite(
+                spark,
+                Clustering.centroidState(dayRows, "v", "cluster", semDim)
+                  .withColumn("ingest_day", lit(runDate)),
+                s"$lv/state", runDate)
+              reclusterIfTripped(lv)
+          }
         }
         val sk = kept
           .join(
@@ -663,8 +813,9 @@ object CorpusRun {
       .localCheckpoint()
     val nPublished = published.count()
     // semantic zone publish, now that the published set is final (only
-    // published ids may stand as future semantic representatives)
-    semZoneWrite(published)
+    // published ids may stand as future semantic representatives);
+    // returns the index-lifecycle note (build / re-cluster) for the ledger
+    val semIndexNote = semZoneWrite(published)
 
     // day-scoped dynamic partition overwrite, NOT append: the day owns
     // its partition in every zone, so a retry after a partial failure
@@ -723,6 +874,7 @@ object CorpusRun {
         sigHealthNote + semNote +
         s"para-excised ${nParas - nParasKept} of $nParas paragraph(s), " +
         s"fully-excised-docs ${nSemKept - nPublished}, published $nPublished." +
+        semIndexNote +
         (if (statsMerged) "" else " STATS merge no-op (day already applied — retry).") + (
         if (quarantined.isEmpty) ""
         else s" QUARANTINED ${quarantined.size} corrupt file(s) to " +
@@ -919,23 +1071,27 @@ object CorpusRun {
       }
     }
 
-    (Seq(
+    // the LIVE semantic-index version's zones fold like any probe zone
+    // (retired versions are swept, never folded). State rows are
+    // ADDITIVE (decimal sums + counts), so relabeling day rows into
+    // their month partition changes nothing the summed read sees — and
+    // the crash window where day ∪ month rows coexist is closed by the
+    // recoverFold every run performs before reading any probe zone
+    val semIndexZones = IndexRun
+      .resolveCurrent(spark, s"$whDir/corpus/sem_index", "meta/_SUCCESS")
+      .toSeq.flatMap(lv => Seq(s"$lv/assign", s"$lv/state"))
+    ((Seq(
       foldProbe(s"$whDir/corpus/fingerprints"),
       foldProbe(s"$whDir/corpus/sig_index"),
       foldProbe(s"$whDir/corpus/sig_counts"),
-      foldProbe(s"$whDir/corpus/para_fp"),
-      foldProbe(s"$whDir/corpus/sem_assign"),
-      // fold the centroid-state zone with its assignment zone: state rows
-      // are ADDITIVE (decimal sums + counts), so relabeling day rows into
-      // their month partition changes nothing the summed read sees — and
-      // the crash window where day ∪ month rows coexist is closed by the
-      // recoverFold every run performs before reading any probe zone
-      foldProbe(s"$whDir/corpus/sem_state"),
-      // kilobyte report rows, but day dirs still accrete file-listing
-      // cost forever without folding; day identity is irrelevant past
-      // the horizon (consumers read only the newest day)
-      foldProbe(s"$whDir/corpus/skew_profile"),
-      compactDocs(s"$whDir/corpus/docs")).flatten).mkString("; ")
+      foldProbe(s"$whDir/corpus/para_fp")) ++
+      semIndexZones.map(foldProbe) ++
+      Seq(
+        // kilobyte report rows, but day dirs still accrete file-listing
+        // cost forever without folding; day identity is irrelevant past
+        // the horizon (consumers read only the newest day)
+        foldProbe(s"$whDir/corpus/skew_profile"),
+        compactDocs(s"$whDir/corpus/docs"))).flatten).mkString("; ")
   }
 
   /** Complete a probe-zone fold that crashed mid-pass — the RECOVERY leg

@@ -73,9 +73,12 @@ object IndexRun {
     * SemOccupancyInflation` and re-clusters the zone's own vectors at
     * k′ = ⌈N / SemTargetOccupancy⌉ into the next version with an atomic
     * pointer flip — the sig-stage protocol verbatim. Daily appends
-    * assign the increment against centroids derived from the mergeable
-    * state (Clustering.centroidsFromState — zero corpus aggregation),
-    * exactly the CorpusRun daily path.
+    * assign the increment against the version's FROZEN centroid artifact
+    * (k rows written at build time — zero corpus aggregation, and the
+    * geometry every stored label is argmin over, so identical vectors
+    * always co-cluster with their stored representative), exactly the
+    * CorpusRun daily path; the mergeable state zone carries the
+    * occupancy signal.
     */
   val SemTargetOccupancy = 1024
   val SemOccupancyInflation = 2.0
@@ -110,7 +113,7 @@ object IndexRun {
   def currentSigIndexPath(spark: SparkSession, base: String): Option[String] =
     resolveCurrent(spark, base, "meta/_SUCCESS")
 
-  private def resolveCurrent(
+  private[graft] def resolveCurrent(
       spark: SparkSession, base: String, completeMarker: String): Option[String] = {
     val fs = fsFor(spark, base)
     def complete(p: String) =
@@ -135,7 +138,7 @@ object IndexRun {
     }
   }
 
-  private def writePointer(spark: SparkSession, base: String, version: String): Unit = {
+  private[pipeline] def writePointer(spark: SparkSession, base: String, version: String): Unit = {
     val fs = fsFor(spark, base)
     val tmp = new org.apache.hadoop.fs.Path(s"$base/CURRENT.__tmp__")
     val out = fs.create(tmp, true)
@@ -153,7 +156,7 @@ object IndexRun {
     * gate); daytime readers just fall back to the directory listing, so
     * they never race each other rewriting CURRENT.
     */
-  private def repairPointer(spark: SparkSession, base: String, live: String): Unit = {
+  private[pipeline] def repairPointer(spark: SparkSession, base: String, live: String): Unit = {
     val fs = fsFor(spark, base)
     val want = live.split('/').last
     val ok = fs.exists(pointer(base)) && {
@@ -165,7 +168,7 @@ object IndexRun {
     if (!ok) writePointer(spark, base, want)
   }
 
-  private def versionOf(path: String): Int =
+  private[pipeline] def versionOf(path: String): Int =
     path.split('/').last.drop(1).toInt
 
   /** Delete index versions other than the live one. Runs at the START
@@ -177,7 +180,7 @@ object IndexRun {
     * retrains' never-flipped builds; the single-writer ledger gate
     * guarantees nobody is mid-build here.
     */
-  private def sweepRetired(spark: SparkSession, base: String, live: String): Unit = {
+  private[pipeline] def sweepRetired(spark: SparkSession, base: String, live: String): Unit = {
     val fs = fsFor(spark, base)
     if (fs.exists(new org.apache.hadoop.fs.Path(base)))
       fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
@@ -345,10 +348,22 @@ object IndexRun {
     val dim = v.select(first(size(col("v")))).head().getInt(0)
     val k = math.max(1L, math.min(
       math.ceil(n.toDouble / targetOccupancy).toLong, n)).toInt
-    val assigned = Clustering.kmeansLite(v, "id", "v", k, SemIters)
+    val labeled = Clustering.kmeansLite(v, "id", "v", k, SemIters)
       .select(col("id"), col("cluster"))
       // ingest_day + vector ride back by id: ids are unique within the
       // build input (the zone's append discipline), so the join is 1:1
+      .join(v, Seq("id"))
+    // the version's geometry is FROZEN here: centroids = per-label means,
+    // written as a k-row artifact, and the stored assignment is the
+    // RELABEL of every row by argmin over them — the same kernel daily
+    // appends use, so a stored representative and an identical future
+    // increment vector can never disagree on a cluster. (Deriving append
+    // centroids from the state zone instead — means of the CURRENT
+    // assignment, one Lloyd step ahead of the labels — shifts boundaries
+    // between appends and lets boundary twins separate.)
+    val cents = Clustering.centroids(labeled, "v", "cluster", dim).localCheckpoint()
+    val assigned = Clustering.assignFused(v, "id", "v", cents)
+      .select(col("id"), col("cluster"))
       .join(v, Seq("id"))
     dayOverwrite(assigned, s"$vPath/assign")
     dayOverwrite(
@@ -356,6 +371,7 @@ object IndexRun {
         spark.read.parquet(s"$vPath/assign"), "v", "cluster", dim,
         carryCols = Seq("ingest_day")),
       s"$vPath/state")
+    cents.write.mode("overwrite").parquet(s"$vPath/centroids")
     import spark.implicits._
     Seq((n, k, dim, targetOccupancy))
       .toDF("n_vectors", "k", "dim", "target_occupancy")
@@ -437,7 +453,9 @@ object IndexRun {
           require(incDim == idxDim,
             s"semantic index at $live holds $idxDim-dim vectors; the increment " +
               s"is $incDim-dim — rebuild, don't mix")
-          val cents = Clustering.centroidsFromState(priorState)
+          // assign against the version's FROZEN centroid artifact (see
+          // buildSemVersion) — the state zone stays the occupancy signal
+          val cents = spark.read.parquet(s"$live/centroids")
           val assigned = Clustering.assignFused(keyed, "id", "v", cents)
             .select(col("id"), col("cluster"))
             .join(keyed, Seq("id"))

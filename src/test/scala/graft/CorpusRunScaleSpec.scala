@@ -137,11 +137,31 @@ class CorpusRunScaleSpec extends SparkSpec {
       day1.plusDays(nDays - 1).toEpochDay)
 
     // ── flat per-day wall time: late median vs early median ────────────
+    // The confound this bar must not measure: in a full `sbt test` run
+    // this suite executes after ~100 other tests in the SAME JVM/session,
+    // and a session that has planned thousands of queries pays more per
+    // micro-action by the time the LATE days run than the EARLY days paid
+    // (observed: a flat 9 s/day sequence stepping to ~25 s/day at day 11
+    // in-suite, while the identical spec in isolation stays flat). So a
+    // CONTROL re-measures day-1-shaped work (same increment size, FRESH
+    // empty warehouse — zero standing corpus) at the END, on the same
+    // aged session: any late-day cost that is session aging inflates the
+    // control identically, while a REAL O(corpus) ramp cannot touch a
+    // control with no corpus and still fails the bar.
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val early = median(dayTimes.slice(1, 6).toSeq) // skip day-1 cold start
     val late = median(dayTimes.takeRight(5).toSeq)
-    assert(late <= early * 2.5,
-      s"per-day time ramps: early-median $early s → late-median $late s " +
+    val control = {
+      val cwh = s"$tmp/wh_control"
+      val dir = s"$tmp/in_control"
+      incrementDay(1).write.mode("overwrite").parquet(dir)
+      val t0 = System.nanoTime()
+      assert(CorpusRun.run(spark, dir, cwh, "2026-04-01 02:00:00") == "SUCCESS")
+      (System.nanoTime() - t0) / 1e9
+    }
+    assert(late <= math.max(early, control) * 2.5,
+      s"per-day time ramps: early-median $early s → late-median $late s, " +
+        s"aged-session zero-corpus control $control s " +
         s"(all: ${dayTimes.map(t => f"$t%.1f").mkString(",")})")
   }
 

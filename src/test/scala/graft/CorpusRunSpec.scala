@@ -21,6 +21,16 @@ class CorpusRunSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "source")
   }
 
+  /** The live semantic-index version's assignment dir (versioned zone —
+    * `corpus/sem_index/v<N>/assign`); fails the test if no version is live.
+    */
+  private def semAssignDir(wh: String): String = {
+    val live = graft.pipeline.IndexRun
+      .resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS")
+    assert(live.isDefined, s"no live semantic index under $wh/corpus/sem_index")
+    s"${live.get}/assign"
+  }
+
   private def fileCensus(dir: String): Map[String, (Long, Long)] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
@@ -278,7 +288,7 @@ class CorpusRunSpec extends SparkSpec {
       .filter(col("is_kept"))
       .select(col("doc_id").as("id"), col("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def zoneState() = spark.read.parquet(s"$wh/corpus/sem_assign")
+    def zoneState() = spark.read.parquet(semAssignDir(wh))
       .select("id", "cluster")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(zoneState() == scratch,
@@ -297,7 +307,7 @@ class CorpusRunSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 12L, 22L),
       "retried day must converge to the same published corpus")
     assert(zoneState() == scratch, "retry changed the semantic assignment zone")
-    assert(spark.read.parquet(s"$wh/corpus/sem_assign")
+    assert(spark.read.parquet(semAssignDir(wh))
       .filter(col("ingest_day") === "2026-03-03")
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(22L),
       "retried day must own exactly its zone partition")
@@ -347,7 +357,7 @@ class CorpusRunSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/corpus/docs")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
       "fully-excised doc 11 must not publish")
-    assert(spark.read.parquet(s"$wh/corpus/sem_assign")
+    assert(spark.read.parquet(semAssignDir(wh))
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
       "semantic zone must hold only published docs — 11 must be absent")
 
@@ -360,6 +370,88 @@ class CorpusRunSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/corpus/docs")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 21L),
       "doc 21 must publish — its only semantic match was never in the corpus")
+  }
+
+  test("semantic index re-clusters at grown k when occupancy trips; dedup contract and retry hold across the flip") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusRun, IndexRun}
+    import graft.pipeline.CorpusRun.SemanticStage
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_semk").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    // trip bar Σn/k > 2×1.0: day 1's three vectors at k=1 overflow it
+    def drop(day: String, d: Seq[(Long, String, String)], e: Seq[(Long, Seq[Double])])
+        : (String, SemanticStage) = {
+      val dDir = s"$tmp/in_$day"
+      val eDir = s"$tmp/emb_$day"
+      docs(d).write.mode("overwrite").parquet(dDir)
+      e.toDF("doc_id", "embedding").write.mode("overwrite").parquet(eDir)
+      (dDir, SemanticStage(
+        eDir, k = 1, iters = 2, threshold = 0.95,
+        targetOccupancy = 2, occupancyInflation = 1.0))
+    }
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val e3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val e4 = Seq(0.0, 0.0, 0.0, 1.0)
+
+    // day 1: three mutually-orthogonal docs — all publish (k=1, no ε
+    // matches), then occupancy 3/1 > 2 trips an immediate re-cluster
+    val (in1, sem1) = drop("k1",
+      Seq(
+        (1L, "alpha apple axe anchor acorn amber aster", "web"),
+        (2L, "beta bread bone birch boat bramble briar", "web"),
+        (3L, "gamma goose grain gem glass grove gull", "web")),
+      Seq((1L, e1), (2L, e2), (3L, e3)))
+    assert(CorpusRun.run(spark, in1, wh, "2026-05-01 02:00:00", semantic = Some(sem1)) == "SUCCESS")
+    val msg1 = Zones.read(spark, s"$wh/control/corpus_log")
+      .filter(col("status") === "SUCCESS").orderBy(col("id").desc)
+      .head().getAs[String]("message")
+    assert(msg1.contains("SEM-INDEX re-clustered v2: k 1→2"),
+      s"day-1 occupancy 3 > 2 must re-cluster v1→v2 at k′=⌈3/2⌉=2: $msg1")
+    val live1 = IndexRun.resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS")
+    assert(live1.exists(_.endsWith("/v2")), s"pointer must name v2: $live1")
+    val meta1 = spark.read.parquet(s"${live1.get}/meta").head()
+    assert(meta1.getAs[Int]("k") == 2 && meta1.getAs[Long]("n_vectors") == 3L)
+    // relabel preserves day ownership and rows: same ids, same ingest_day
+    assert(spark.read.parquet(s"${live1.get}/assign")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // state zone stays the assignment's derivative across the flip
+    assert(spark.read.parquet(s"${live1.get}/state")
+      .agg(sum("n")).head().getLong(0) == 3L)
+
+    // day 2 judges against the RE-CLUSTERED geometry: an identical
+    // embedding of published doc 2 must still drop (identical vectors
+    // co-cluster under any k), a fresh orthogonal doc must publish
+    val (in2, sem2) = drop("k2",
+      Seq(
+        (11L, "delta dove dune dock drift dusk dawn", "news"),
+        (12L, "epsilon elm ember eel echo estuary elk", "news")),
+      Seq((11L, e2), (12L, e4)))
+    assert(CorpusRun.run(spark, in2, wh, "2026-05-02 02:00:00", semantic = Some(sem2)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 12L),
+      "post-flip: identical-embedding 11 drops, fresh 12 publishes")
+    // occupancy 4/2 = 2 ≤ 2: no second flip
+    val live2 = IndexRun.resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS")
+    assert(live2 == live1, s"day 2 must append into v2, not re-cluster: $live2")
+
+    // day-2 retry after a mangled-ledger crash converges bitwise: same
+    // corpus, the day re-owns exactly its assign partition in the live
+    // version
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-05-02").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(CorpusRun.run(spark, in2, wh, "2026-05-02 04:00:00", semantic = Some(sem2)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 12L),
+      "retried day must converge to the same published corpus")
+    assert(spark.read.parquet(s"${live1.get}/assign")
+      .filter(col("ingest_day") === "2026-05-02")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(12L),
+      "retried day must own exactly its assign partition")
   }
 
   test("hostile feeds: all-dropped day 1 succeeds; duplicate ids fail loudly; FAILED-day partitions never probe; empty retry evicts leftovers") {

@@ -224,7 +224,7 @@ class IndexRunSpec extends SparkSpec {
       "retried day must replace its own signature partition, not double-append")
   }
 
-  test("semantic index: build, state-derived append, occupancy re-cluster at grown k, retry idempotent, e5 contract post-retrain") {
+  test("semantic index: build, frozen-geometry append, occupancy re-cluster at grown k, retry idempotent, e5 contract post-retrain") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_semrun").toFile.getAbsolutePath
     val wh = s"$tmp/wh"
