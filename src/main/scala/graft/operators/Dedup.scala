@@ -1062,6 +1062,18 @@ object Dedup {
       // same centroids from O(k × days) state rows, so the daily plan
       // never aggregates the full assignment zone. None = self-contained
       // rebuild from the index (the e5 gate's oracle-replayable shape).
+      //
+      // CONTRACT for maintained pipelines: across repeated appends the
+      // supplied centroids must be the FROZEN geometry the index labels
+      // are argmin over (a per-version k-row artifact — the CorpusRun
+      // sem-index pattern), not a per-day re-derivation from the growing
+      // zone/state. Re-derived means sit one Lloyd step ahead of the
+      // labels, boundaries move between appends, and an increment vector
+      // identical to a stored representative can land in a different
+      // cluster and silently escape the within-cluster ε check (observed
+      // at sf0.1: 18/133 planted dups). One-shot callers (the e5 gate,
+      // the spec oracles) are unaffected — a single append judges
+      // against whatever geometry it is given.
       centroidsOpt: Option[DataFrame] = None): DataFrame = {
     // cached: the increment is rescanned by the emptiness probe, the
     // fused assignment, and both confirm joins' vector fetches; the

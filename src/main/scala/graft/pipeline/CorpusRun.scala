@@ -568,6 +568,15 @@ object CorpusRun {
         // every consumer below is then empty too)
         val semDim = vecs.select(size(col("v"))).limit(1).collect()
           .headOption.map(_.getInt(0)).getOrElse(0)
+        // a wrong-dimension increment must refuse loudly (the semStage
+        // contract): zip_with over mismatched arrays silently truncates,
+        // so every distance below would be garbage, not an error
+        semLive.foreach { lv =>
+          val idxDim = spark.read.parquet(s"$lv/meta").head().getAs[Int]("dim")
+          require(semDim == 0 || semDim == idxDim,
+            s"semantic index at $lv holds $idxDim-dim vectors; the increment " +
+              s"is $semDim-dim — rebuild the index, don't mix geometries")
+        }
         // CENTROID STATE repair/seed: every assign partition needs a
         // state partition, or the summed prior state undercounts and
         // the derived centroids silently diverge from the stored
@@ -725,7 +734,7 @@ object CorpusRun {
             .join(published.select(col("doc_id").as("id")), Seq("id"), "left_semi")
             .withColumn("ingest_day", lit(runDate))
             .localCheckpoint()
-          semLive match {
+          val lifecycleNote = semLive match {
             case None =>
               // first index build: v1 from today's rows (nothing yet →
               // stay zone-less: the index appears with its first vectors)
@@ -771,6 +780,25 @@ object CorpusRun {
                 s"$lv/state", runDate)
               reclusterIfTripped(lv)
           }
+          // standing health fragment — the sig-health pattern for the
+          // semantic index: version, k, corpus size and occupancy vs the
+          // trip bar ride every run's ledger row (two kilobyte reads),
+          // so an operator sees the re-cluster coming days out instead
+          // of discovering it in a slow run. Resolved fresh: today may
+          // have just flipped the pointer.
+          val healthNote =
+            IndexRun.resolveCurrent(spark, semBase, "meta/_SUCCESS") match {
+              case None => ""
+              case Some(lv2) =>
+                val m = spark.read.parquet(s"$lv2/meta").head()
+                val k = m.getAs[Int]("k")
+                val n = spark.read.parquet(s"$lv2/state")
+                  .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+                val occ = if (k > 0) n.toDouble / k else 0.0
+                f" sem-index[${lv2.split('/').last}%s k=$k%d n=$n%d " +
+                  f"occ $occ%.1f/${cfg.targetOccupancy * cfg.occupancyInflation}%.1f]."
+            }
+          lifecycleNote + healthNote
         }
         val sk = kept
           .join(

@@ -64,9 +64,10 @@ object IndexRun {
   val SigRetrainInflation = 4.0
 
   /** Semantic-cluster index stage (the SemDeDup-zone analog of the IVF
-    * stage — What the CorpusRun sem_assign zone lacks by construction:
-    * k frozen at day 1 means per-cluster occupancy grows linearly with
-    * the corpus and the within-cluster ε-ball workload quadratically).
+    * stage; CorpusRun's corpus/sem_index zone runs the same lifecycle
+    * inline — without it, k frozen at day 1 means per-cluster occupancy
+    * grows linearly with the corpus and the within-cluster ε-ball
+    * workload quadratically).
     * The drift signal is MEAN OCCUPANCY N/k, read from the per-cluster
     * state zone (one kilobyte-scale agg — never an index scan); the
     * retrain trips when it exceeds `SemTargetOccupancy ×

@@ -408,6 +408,8 @@ class CorpusRunSpec extends SparkSpec {
       .head().getAs[String]("message")
     assert(msg1.contains("SEM-INDEX re-clustered v2: k 1→2"),
       s"day-1 occupancy 3 > 2 must re-cluster v1→v2 at k′=⌈3/2⌉=2: $msg1")
+    assert(msg1.contains("sem-index[v2 k=2 n=3 occ 1.5/2.0]"),
+      s"the standing sem-index health fragment must ride the ledger row: $msg1")
     val live1 = IndexRun.resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS")
     assert(live1.exists(_.endsWith("/v2")), s"pointer must name v2: $live1")
     val meta1 = spark.read.parquet(s"${live1.get}/meta").head()
