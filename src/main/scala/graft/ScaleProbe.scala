@@ -108,6 +108,26 @@ object ScaleProbe {
       require(CorpusRun.run(spark, day2, wh, "2026-08-02 02:00:00") == "SUCCESS")
     }._2
 
+    // ── CorpusRun WITH the semantic stage: the versioned frozen-geometry
+    // sem index (corpus/sem_index/v<N>) builds from day 1 untimed; the
+    // timed day pays increment assignment against the stored k centroid
+    // rows plus the cluster-pruned zone probe — the path that before
+    // round 11 re-aggregated the full assignment zone for centroids
+    // daily. Replica id strides match (doc_id and vec_id both +r·10⁶),
+    // so the feed is the embeddings renamed; the increment's embedded
+    // subset is byte-identical at every corpus scale. ───────────────────
+    val whSem = s"$workDir/wh_sem"
+    val semFeed = s"$workDir/sem_feed"
+    corpusEmbs.select(col("vec_id").as("doc_id"), col("e").as("embedding"))
+      .unionByName(
+        incEmbs.select(col("vec_id").as("doc_id"), col("e").as("embedding")))
+      .write.mode("overwrite").parquet(semFeed)
+    val semCfg = Some(CorpusRun.SemanticStage(semFeed, k = 64, iters = 2, threshold = 0.95))
+    require(CorpusRun.run(spark, day1, whSem, "2026-08-01 02:00:00", semantic = semCfg) == "SUCCESS")
+    sec("corpus_day_sem") = timed {
+      require(CorpusRun.run(spark, day2, whSem, "2026-08-02 02:00:00", semantic = semCfg) == "SUCCESS")
+    }._2
+
     val secJson = sec.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
