@@ -59,6 +59,28 @@ object Bench {
     s
   }
 
+  /** HOST-CALIBRATION kernel: a fixed synthetic workload — 4M-row range
+    * scan → 1024-key hash aggregate (one small shuffle) → scalar collect —
+    * timed once in every session this run opens. The workload is
+    * data-independent and plan-stable, so its time moves ONLY with the
+    * host (CPU contention, JIT state, scheduler latency): recording it
+    * per pass (`calib_sec` in the artifact) makes round-over-round host
+    * drift mechanical to subtract — compare query minima as
+    * query_min / calib_min instead of raw seconds. (Round-11 lesson:
+    * total wall moved +18.7% on bitwise-identical plans and the
+    * adjudication had to be argued from untouched-query flatness; this
+    * field makes it arithmetic.)
+    */
+  private def calibKernel(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 22)
+      .selectExpr("id % 1024 as k", "id as v")
+      .groupBy("k").sum("v")
+      .selectExpr("sum(`sum(v)`)")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Extracts the per-query map from a prior artifact line without a JSON
     * library: the values inside `"queries":{...}` are flat `"name":num`.
     */
@@ -128,11 +150,14 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       selected.map(_._1 -> -1.0): _*)
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibs = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to runs).foreach { pass =>
       // between sessions, OUTSIDE any timed region: lets the ContextCleaner
       // of the stopped context finish releasing checkpoint/broadcast state
       System.gc()
       val spark = freshSession(cpus)
+      // one host-calibration sample per session, before the pass's queries
+      calibs += calibKernel(spark)
       val order = selected.sortBy { case (n, _) =>
         scala.util.hashing.MurmurHash3.stringHash(s"$n#$pass")
       }
@@ -181,6 +206,9 @@ object Bench {
       toIsolate.foreach { name =>
         System.gc()
         val spark = freshSession(cpus)
+        // calibration rides the isolation sessions too: isolated values
+        // are the adjudication numbers, so each carries a host sample
+        calibs += calibKernel(spark)
         try {
           fnTime(spark, sfDir, byName(name)) // untimed single warm
           val t = fnTime(spark, sfDir, byName(name))
@@ -202,8 +230,13 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val subJson = substituted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val priorJson = priorPath.map("\"" + _ + "\"").getOrElse("null")
+    val calibJson = calibs
+      .map(c => BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      .mkString("[", ",", "]")
+    val calibMin = if (calibs.isEmpty) -1.0
+      else BigDecimal(calibs.min).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson,"calib_sec":$calibJson,"calib_min":$calibMin}"""
     // full line first: complete record for anyone reading the whole log
     println(line)
     // identical JSON at a liftable path — the artifact of record for judges.
@@ -236,7 +269,7 @@ object Bench {
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson,"calib_min":$calibMin}""")
   }
 
   private def fnTime(spark: SparkSession, sfDir: String,

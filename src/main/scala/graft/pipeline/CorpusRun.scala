@@ -609,6 +609,21 @@ object CorpusRun {
             }
           case _ => ()
         }
+        // BACKFILL GUARD: `prior` is empty not only on a true day-1 retry
+        // but also when re-running the chronologically EARLIEST day while
+        // later SUCCESS days already live in the version
+        // (publishedPriorFilter admits ingest_day < runDate only).
+        // Rebuilding the version in place then would destroy every later
+        // day's assignment AND the frozen geometry — future semantic
+        // duplicates of already-published later-day docs would silently
+        // publish. So the destructive rebuild is allowed only when the
+        // live version holds NO other day's rows (day partitions or month
+        // folds); otherwise the day appends non-destructively under the
+        // frozen geometry — with no admitted prior day nothing cross-day
+        // drops, which is exactly the backfill semantics.
+        val liveOtherDays = semAssignPath.exists(ap =>
+          Zones.exists(spark, ap) && listIngestDays(spark, ap).exists(_ != runDate))
+        val appendMode = semLive.isDefined && (liveOtherDays || !prior.isEmpty)
         // prior centroids are the live version's FROZEN geometry artifact
         // (k rows written at build/re-cluster time — the cheapest possible
         // daily read). Frozen-per-version is a CORRECTNESS property, not
@@ -624,10 +639,17 @@ object CorpusRun {
         // semantic dups escaped). The state zone remains the occupancy
         // signal; geometry refresh is the re-cluster's job.
         val priorCents =
-          if (prior.isEmpty) None
-          else Some(spark.read.parquet(s"${semLive.get}/centroids"))
+          if (!appendMode) None
+          else {
+            val cPath = s"${semLive.get}/centroids"
+            require(Zones.exists(spark, cPath),
+              s"semantic index at ${semLive.get} predates the frozen-geometry " +
+                "layout (no centroids artifact) — trigger a re-cluster or " +
+                "rebuild the version to materialize its geometry before appending")
+            Some(spark.read.parquet(cPath))
+          }
         val assignment =
-          (if (prior.isEmpty)
+          (if (!appendMode)
             Dedup.semanticDedup(vecs, "doc_id", "v", cfg.k, cfg.iters, cfg.threshold)
           else
             Dedup.semanticDedupIncremental(prior, vecs, "doc_id", "v", cfg.threshold,
@@ -748,10 +770,13 @@ object CorpusRun {
                 IndexRun.writePointer(spark, semBase, "v1")
                 reclusterIfTripped(v1)
               }
-            case Some(lv) if prior.isEmpty =>
+            case Some(lv) if !appendMode =>
               // DAY-1 RETRY: the live version's only content is this
               // day's failed attempt (no SUCCESS prior day admits any of
-              // it). Rebuild the version in place from the retried batch
+              // it, and the version holds no other day's partitions —
+              // the backfill guard above routes earliest-day re-runs
+              // with later days present to the append arm instead).
+              // Rebuild the version in place from the retried batch
               // assignment — there are no other days to preserve, and
               // the pointer already names it.
               val fs = new org.apache.hadoop.fs.Path(semBase)

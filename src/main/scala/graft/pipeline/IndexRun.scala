@@ -373,11 +373,16 @@ object IndexRun {
         carryCols = Seq("ingest_day")),
       s"$vPath/state")
     cents.write.mode("overwrite").parquet(s"$vPath/centroids")
+    // meta k = the REALIZED centroid count, not the requested one:
+    // kmeansLite + relabel can leave clusters empty, and an overstated k
+    // understates occupancy Σn/k, delaying the re-cluster trip (the
+    // CorpusRun.buildVersion discipline)
+    val kReal = cents.count().toInt
     import spark.implicits._
-    Seq((n, k, dim, targetOccupancy))
+    Seq((n, kReal, dim, targetOccupancy))
       .toDF("n_vectors", "k", "dim", "target_occupancy")
       .write.mode("overwrite").parquet(s"$vPath/meta")
-    (n, k)
+    (n, kReal)
   }
 
   /** The semantic-cluster leg of the nightly run: build day 1 at
@@ -435,13 +440,19 @@ object IndexRun {
           .withColumn("ingest_day", col("ingest_day").cast("string"))
           .filter(col("ingest_day") < runDate)
           .select("cid", "sums", "n")
-        if (priorState.isEmpty) {
+        if (priorState.isEmpty && assignDays.isEmpty) {
           // DAY-1 RETRY: the live version's only content is this day's
           // failed attempt (meta is written last, so a resolved version
           // always has assign+state — but all of it from today). No
           // prior centroids exist to append against; rebuild the version
           // from the retried increment — day-scoped semantics preserved
-          // because there are no other days to preserve.
+          // because there are no other days to preserve. The assignDays
+          // guard is the BACKFILL case: priorState is also empty when
+          // re-running the chronologically earliest day while LATER days
+          // live in the version (the state filter admits < runDate only)
+          // — rebuilding then would destroy those days' rows and the
+          // frozen geometry, so such a day falls through to the
+          // non-destructive append arm instead.
           if (v.isEmpty) return "SEM: empty increment, nothing to rebuild."
           val (n1, k1) = buildSemVersion(spark, live, v, targetOccupancy)
           return f"SEM: REBUILT ${live.split('/').last} (day-1 retry) from " +
@@ -455,8 +466,18 @@ object IndexRun {
             s"semantic index at $live holds $idxDim-dim vectors; the increment " +
               s"is $incDim-dim — rebuild, don't mix")
           // assign against the version's FROZEN centroid artifact (see
-          // buildSemVersion) — the state zone stays the occupancy signal
-          val cents = spark.read.parquet(s"$live/centroids")
+          // buildSemVersion) — the state zone stays the occupancy signal.
+          // A version built before the frozen-geometry layout has no
+          // centroids artifact: refuse with a migration message instead
+          // of a raw path-not-found crash (the CorpusRun sem_assign
+          // discipline) — appending under re-derived geometry would let
+          // boundary twins separate.
+          val centsPath = s"$live/centroids"
+          require(Zones.exists(spark, centsPath),
+            s"semantic index at $live predates the frozen-geometry layout " +
+              "(no centroids artifact) — rebuild the version or trigger a " +
+              "re-cluster to materialize its geometry before appending")
+          val cents = spark.read.parquet(centsPath)
           val assigned = Clustering.assignFused(keyed, "id", "v", cents)
             .select(col("id"), col("cluster"))
             .join(keyed, Seq("id"))

@@ -151,14 +151,20 @@ class CorpusRunScaleSpec extends SparkSpec {
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val early = median(dayTimes.slice(1, 6).toSeq) // skip day-1 cold start
     val late = median(dayTimes.takeRight(5).toSeq)
-    val control = {
-      val cwh = s"$tmp/wh_control"
+    // min-of-3 control (the repo's standing adjudication protocol): a
+    // single slow draw — GC pause, cold-start classloading the fresh
+    // warehouse's first write paths — would loosen the bar enough to
+    // admit a genuine O(corpus) ramp. Three fresh warehouses; the first
+    // run doubles as the warmup, the minimum is the aged session's
+    // steady per-day floor.
+    val control = (1 to 3).map { i =>
+      val cwh = s"$tmp/wh_control_$i"
       val dir = s"$tmp/in_control"
       incrementDay(1).write.mode("overwrite").parquet(dir)
       val t0 = System.nanoTime()
       assert(CorpusRun.run(spark, dir, cwh, "2026-04-01 02:00:00") == "SUCCESS")
       (System.nanoTime() - t0) / 1e9
-    }
+    }.min
     assert(late <= math.max(early, control) * 2.5,
       s"per-day time ramps: early-median $early s → late-median $late s, " +
         s"aged-session zero-corpus control $control s " +

@@ -456,6 +456,75 @@ class CorpusRunSpec extends SparkSpec {
       "retried day must own exactly its assign partition")
   }
 
+  test("earliest-day backfill preserves the live semantic version: later days and frozen geometry survive, future dups still drop") {
+    import spark.implicits._
+    import graft.pipeline.IndexRun
+    import graft.pipeline.CorpusRun.SemanticStage
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_backfill").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, d: Seq[(Long, String, String)], e: Seq[(Long, Seq[Double])])
+        : (String, SemanticStage) = {
+      val dDir = s"$tmp/in_$day"
+      val eDir = s"$tmp/emb_$day"
+      docs(d).write.mode("overwrite").parquet(dDir)
+      e.toDF("doc_id", "embedding").write.mode("overwrite").parquet(eDir)
+      (dDir, SemanticStage(eDir, k = 1, iters = 1, threshold = 0.95))
+    }
+    val famA = Seq(1.0, 0.0, 0.0, 0.0)
+    val famB = Seq(0.0, 1.0, 0.0, 0.0)
+    val famBeps = Seq(0.01, 0.999, 0.0, 0.0)
+    val famC = Seq(0.0, 0.0, 1.0, 0.0)
+
+    // days 1 and 2 each publish one fresh family
+    val (in1, sem1) = drop("b1",
+      Seq((1L, "alpha apple axe anchor acorn amber", "web")), Seq((1L, famA)))
+    assert(CorpusRun.run(spark, in1, wh, "2026-06-01 02:00:00", semantic = Some(sem1)) == "SUCCESS")
+    val (in2, sem2) = drop("b2",
+      Seq((11L, "beta bread bone birch boat bramble", "web")), Seq((11L, famB)))
+    assert(CorpusRun.run(spark, in2, wh, "2026-06-02 02:00:00", semantic = Some(sem2)) == "SUCCESS")
+    val live = IndexRun.resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS").get
+    val centsBefore = spark.read.parquet(s"$live/centroids").collect().map(_.toSeq).toSet
+
+    // day 1's SUCCESS row is mangled to FAILED (a crash discovered late)
+    // and the day re-runs while day 2 stands published. No SUCCESS day
+    // < 06-01 exists, so the prior-days probe view is EMPTY — exactly the
+    // day-1-retry signature — but the live version holds day 2's rows:
+    // a destructive in-place rebuild would delete day 2's assignment and
+    // the frozen geometry, and day-3 semantic dups of 11 would publish.
+    val ledgerPath = s"$wh/control/corpus_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-06-01").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(CorpusRun.run(spark, in1, wh, "2026-06-01 04:00:00", semantic = Some(sem1)) == "SUCCESS")
+
+    val liveAfter = IndexRun.resolveCurrent(spark, s"$wh/corpus/sem_index", "meta/_SUCCESS").get
+    assert(liveAfter == live, s"backfill must not replace the live version: $liveAfter")
+    val zone = spark.read.parquet(s"$live/assign")
+    assert(zone.filter(col("ingest_day").cast("string") === "2026-06-02")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "day-2 assignment must survive the earliest-day backfill")
+    assert(zone.filter(col("ingest_day").cast("string") === "2026-06-01")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the backfilled day must re-own exactly its partition")
+    assert(spark.read.parquet(s"$live/centroids").collect().map(_.toSeq).toSet == centsBefore,
+      "the frozen geometry must survive the backfill")
+    assert(spark.read.parquet(s"$live/state").agg(sum("n")).head().getLong(0) == 2L,
+      "state mass must still cover both days")
+
+    // the consequence the guard exists for: a day-3 semantic copy of
+    // day-2's published doc must still drop
+    val (in3, sem3) = drop("b3",
+      Seq((21L, "gamma goose grain gem glass grove", "web"),
+        (22L, "delta dove dune dock drift dusk", "web")),
+      Seq((21L, famBeps), (22L, famC)))
+    assert(CorpusRun.run(spark, in3, wh, "2026-06-03 02:00:00", semantic = Some(sem3)) == "SUCCESS")
+    assert(spark.read.parquet(s"$wh/corpus/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 11L, 22L),
+      "21 is a semantic copy of day-2's 11 and must drop — the backfill must not forget day 2")
+  }
+
   test("hostile feeds: all-dropped day 1 succeeds; duplicate ids fail loudly; FAILED-day partitions never probe; empty retry evicts leftovers") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_hostile").toFile.getAbsolutePath

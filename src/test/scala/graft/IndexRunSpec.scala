@@ -324,6 +324,57 @@ class IndexRunSpec extends SparkSpec {
     assert(stateN == 160 + 16, s"state mass must track the zone, got $stateN")
   }
 
+  test("semantic stage: earliest-day backfill appends under the frozen geometry, never rebuilds over later days") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semrun_backfill").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val base = s"$wh/index/sem"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def spread(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, (0 until 4).map(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+    def run(in: String, ts: String) = IndexRun.run(
+      spark, in, wh, ts, semTargetOccupancy = 32)
+
+    val in1 = drop("n1", vecs(spread(0 until 64)))
+    assert(run(in1, "2026-08-01 03:00:00") == "SUCCESS")
+    val in2 = drop("n2", vecs(spread(100 until 132)))
+    assert(run(in2, "2026-08-02 03:00:00") == "SUCCESS")
+    val live = IndexRun.currentSigIndexPath(spark, base)
+      .getOrElse(fail("no live semantic index version"))
+    val centsBefore = spark.read.parquet(s"$live/centroids").collect().map(_.toSeq).toSet
+
+    // day 1's SUCCESS row is mangled to FAILED and the day re-runs while
+    // day 2 stands. The prior-days state view (< 08-01) is EMPTY — the
+    // day-1-retry signature — but the version holds day 2's rows: an
+    // in-place rebuild would destroy them and the frozen geometry. The
+    // backfill must take the append arm instead.
+    val ledgerPath = s"$wh/control/index_log"
+    val mangled = Zones.read(spark, ledgerPath).withColumn("status",
+      when(col("status") === "SUCCESS" &&
+        to_date(col("start_time")) === lit("2026-08-01").cast("date"), "FAILED")
+        .otherwise(col("status")))
+    Zones.overwriteSwap(mangled, ledgerPath)
+    assert(run(in1, "2026-08-01 05:00:00") == "SUCCESS")
+    assert(lastMessage(wh).contains("SEM: appended 64 vector(s)"),
+      s"the backfill must append, not rebuild: ${lastMessage(wh)}")
+    assert(IndexRun.currentSigIndexPath(spark, base).contains(live),
+      "the live version must survive the backfill")
+    val zone = spark.read.parquet(s"$live/assign")
+    assert(zone.count() == 96, "later day's rows must survive the backfill")
+    assert(zone.filter(col("ingest_day").cast("string") === "2026-08-02").count() == 32,
+      "day-2 assignment must be intact")
+    assert(zone.filter(col("ingest_day").cast("string") === "2026-08-01").count() == 64,
+      "the backfilled day must re-own exactly its partition")
+    assert(spark.read.parquet(s"$live/centroids").collect().map(_.toSeq).toSet == centsBefore,
+      "the frozen geometry must survive the backfill")
+    assert(spark.read.parquet(s"$live/state").agg(sum("n")).head().getLong(0) == 96L,
+      "state mass must track the full zone")
+  }
+
   test("bootstrap + hostile input: tiny day 1 clamps k, null vectors drop, re-ingested id survives retrain unsquared") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_indexrun_boot").toFile.getAbsolutePath
     val wh = s"$tmp/wh"
