@@ -17,9 +17,9 @@ import graft.sources.Zones
   * Zone builds from the standing corpus are UNTIMED setup; only the
   * daily-path calls are timed. Inputs come from
   * `scripts/make_scale_corpus.py` (sf0.1 replicated with id offsets,
-  * vowel-rotated text and direction-shifted embeddings so replicas are
-  * not near-duplicates — the increment is byte-identical across corpus
-  * sizes).
+  * two-letter-set-rotated text and hash-sign-flipped embeddings so up
+  * to 100 replicas are pairwise non-duplicates — the increment is
+  * byte-identical across corpus sizes).
   *
   * Usage: runMain graft.ScaleProbe <genDir> <workDir>
   *   genDir:  make_scale_corpus.py output (corpus_ / inc_ parquet pairs)
@@ -32,6 +32,16 @@ object ScaleProbe {
     val a = body
     (a, (System.nanoTime() - t0) / 1e9)
   }
+
+  /** min-of-N for the PURE daily probes (d9/e3/e5 — pair computations
+    * with no zone writes, so re-running is sound): the repo's standing
+    * adjudication protocol, SPARK_GRAFT_PROBE_RUNS (default 3). The
+    * mutating probes (k5 append, the CorpusRun days) stay single-run —
+    * a re-run would append again / hit the ranToday gate.
+    */
+  private val ProbeRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
+  private def timedMin(body: => Unit): Double =
+    (1 to math.max(1, ProbeRuns)).map(_ => timed(body)._2).min
 
   def main(args: Array[String]): Unit = {
     val Array(genDir, workDir) = args.take(2)
@@ -57,23 +67,23 @@ object ScaleProbe {
     val sigZone = s"$workDir/sig_index"
     Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
       n = 3, numHashes = 32, mode = "overwrite", bands = 16)
-    sec("d9_incremental_dedup") = timed {
+    sec("d9_incremental_dedup") = timedMin {
       Dedup.minhashLshPairsIncremental(
         Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
         3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
         .count()
-    }._2
+    }
 
     // ── e3: embedding signature index ───────────────────────────────────
     val embZone = s"$workDir/emb_sig"
     Dedup.writeEmbeddingSignatureIndex(spark, embZone, corpusEmbs, "vec_id", "e",
       mode = "overwrite")
-    sec("e3_embedding_neardup_incremental") = timed {
+    sec("e3_embedding_neardup_incremental") = timedMin {
       Dedup.embeddingNearDupIncremental(
         Dedup.readEmbeddingSignatureIndex(spark, embZone), incEmbs, "vec_id", "e",
         0.99, indexCounts = Dedup.readBucketCounts(spark, embZone))
         .count()
-    }._2
+    }
 
     // ── e5: standing semantic assignment zone ───────────────────────────
     val semZone = s"$workDir/sem_assign"
@@ -82,11 +92,11 @@ object ScaleProbe {
       .select(col("vec_id").as("id"), col("cluster"))
       .join(corpusEmbs.select(col("vec_id").as("id"), col("e").as("v")), Seq("id"))
       .write.mode("overwrite").parquet(semZone)
-    sec("e5_semantic_dedup_incremental") = timed {
+    sec("e5_semantic_dedup_incremental") = timedMin {
       Dedup.semanticDedupIncremental(
         spark.read.parquet(semZone), incEmbs, "vec_id", "e", 0.95)
         .count()
-    }._2
+    }
 
     // ── k5: persisted IVF index append ──────────────────────────────────
     val ivfZone = s"$workDir/ivf"

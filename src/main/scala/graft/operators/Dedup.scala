@@ -667,9 +667,6 @@ object Dedup {
       indexCounts: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
     val inc = incrementIndex.cache()
-    // the increment's size gates the zone-probe prune below; counting the
-    // cached frame here also materializes it once for its ~4 consumers
-    val nInc = inc.count()
     val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
     // ONE bucket-count pass per distinct frame, shared by the three join
     // sides below (increment appears three times, the index once), and ONE
@@ -679,22 +676,29 @@ object Dedup {
     // entirely (see [[readBucketCounts]]).
     val incCounts = bucketCounts(incBanded)
     // the INDEX side is pruned to the increment's band keys BEFORE any
-    // exchange (broadcast left-semi on the scan): whole buckets are kept,
-    // so candidates / bucket counts / grid factors are bit-identical, but
-    // the daily shuffle moves O(touched-bucket rows), never the corpus
-    // index (ZoneProbes — the round-10 d9 10×-ratio term)
-    val idxBanded = ZoneProbes.pruneByKeys(
-      bandedFromSigs(index, numHashes, bands),
-      incBanded, Seq("band", "key"),
-      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+    // exchange: whole buckets are kept, so candidates / bucket counts /
+    // grid factors are bit-identical, but the daily shuffle moves
+    // O(touched-bucket rows), never the corpus index (ZoneProbes — the
+    // round-10 d9 10×-ratio term). ONE bloom shared by both zone-side
+    // prunes, riding the plans as a literal: the round-11 broadcast-semi
+    // form cost two ~1 s broadcast builds per call plus a gating count()
+    // pass over the increment signatures, and re-paid the broadcasts on
+    // every lineage re-execution (the d9/d12 sf0.1 regression). The bloom
+    // is one small agg job over the increment bands — which also
+    // materializes their cache for the ~4 consumers below — and needs no
+    // size gate: a key set past the bloom's 1M-item sizing only raises
+    // its fpp, pruning less but never wrongly.
+    val probeBloom = Some(ZoneProbes.keyBloom(incBanded, Seq("band", "key")))
+    val idxBanded = ZoneProbes.pruneByBloom(
+      bandedFromSigs(index, numHashes, bands), probeBloom, Seq("band", "key"))
     // stored counts pruned the same way: oversizedBuckets inner-joins the
     // two count frames on (band, key), so an index bucket the increment
-    // never probes can't produce an oversized entry — pruning is exact,
-    // and the counts-side join stops growing with the corpus
-    val idxCounts = ZoneProbes.pruneByKeys(
-      indexCounts.getOrElse(bucketCounts(idxBanded)),
-      incBanded, Seq("band", "key"),
-      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+    // never probes can't produce an oversized entry — pruning is exact
+    // (bloom false positives keep whole extra buckets, which the inner
+    // join then ignores), and the counts-side join stops growing with
+    // the corpus
+    val idxCounts = ZoneProbes.pruneByBloom(
+      indexCounts.getOrElse(bucketCounts(idxBanded)), probeBloom, Seq("band", "key"))
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
     val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
@@ -1271,11 +1275,15 @@ object Dedup {
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
     // zone-probe prune (see minhashLshPairsIncrementalFromSigs): the
-    // stored index's band rows are semi-filtered to the increment's keys
-    // on the scan, so the band-join exchange moves touched buckets only
-    val idxBand = ZoneProbes.pruneByKeys(
-      bandRows(index, "id_y"), incBandX, Seq("band", "key"),
-      engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+    // stored index's band rows are bloom-filtered to the increment's keys
+    // on the scan, so the band-join exchange moves touched buckets only —
+    // one bloom shared with the counts prune below
+    val probeBloom =
+      if (nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+        Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key")))
+      else None
+    val idxBand = ZoneProbes.pruneByBloom(
+      bandRows(index, "id_y"), probeBloom, Seq("band", "key"))
     // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
     // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
     // candidates — without a counting pass or driver probe. The index
@@ -1315,10 +1323,8 @@ object Dedup {
         // stored counts prune to the increment's band keys (exact — the
         // oversized list inner-joins the two count frames)
         val incCounts = bucketCounts(incBandX)
-        val idxCounts = ZoneProbes.pruneByKeys(
-          indexCounts.getOrElse(bucketCounts(idxBand)),
-          incBandX, Seq("band", "key"),
-          engage = nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+        val idxCounts = ZoneProbes.pruneByBloom(
+          indexCounts.getOrElse(bucketCounts(idxBand)), probeBloom, Seq("band", "key"))
         val oc = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
         val ow = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
         val Seq(cd, wd) = emptiness(Seq(oc, ow))

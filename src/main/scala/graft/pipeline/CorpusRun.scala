@@ -674,79 +674,20 @@ object CorpusRun {
         // (boilerplate-rep, semantic-dup) coincidence, which requires
         // the pair to be within ε while only ONE of them is fully prior
         // boilerplate.
-        // meta rides last in every version build/rebuild — its parquet
-        // commit marker is the version-complete signal resolveCurrent
-        // trusts, so a crash mid-build can never expose a half-version
-        def writeSemMeta(vPath: String, n: Long, k: Int, dim: Int): Unit = {
-          import spark.implicits._
-          Seq((n, k, dim, cfg.targetOccupancy))
-            .toDF("n_vectors", "k", "dim", "target_occupancy")
-            .write.mode("overwrite").parquet(s"$vPath/meta")
-        }
-        // materialize a version: geometry = per-label means of `labeled`,
-        // FROZEN as the version's centroid artifact; the stored assignment
-        // is the RELABEL of every row by argmin over that geometry (the
-        // same assignFused kernel, same ties-to-lower-cid, that daily
-        // appends use) — so zone labels and probe assignments can never
-        // disagree. meta k = the realized centroid count (labels may
-        // occupy fewer clusters than requested), keeping the occupancy
-        // signal honest.
-        def buildVersion(vPath: String, labeled: DataFrame, dim: Int): (Long, Int) = {
-          val cents = Clustering.centroids(labeled, "v", "cluster", dim)
-            .localCheckpoint()
-          val relabeled = Clustering.assignFused(labeled.drop("cluster"), "id", "v", cents)
-            .select(col("id"), col("cluster"))
-            .join(labeled.select("id", "v", "ingest_day"), Seq("id"))
-            .localCheckpoint()
-          dayOverwrite(relabeled, s"$vPath/assign")
-          dayOverwrite(
-            Clustering.centroidState(
-              relabeled, "v", "cluster", dim, carryCols = Seq("ingest_day")),
-            s"$vPath/state")
-          cents.write.mode("overwrite").parquet(s"$vPath/centroids")
-          val n = relabeled.count()
-          val k = cents.count().toInt
-          writeSemMeta(vPath, n, k, dim)
-          (n, k)
-        }
-        // occupancy-tripped RE-CLUSTER (IndexRun.semStage's protocol on
-        // the production zone): mean occupancy Σn/k is one kilobyte agg
-        // over the state zone; past target×inflation the FULL assignment
-        // relabels at k′ = ⌈N/target⌉ into the next version — ingest_day
-        // preserved row-for-row so the prior-days probe filter, day
-        // ownership and month folds survive the flip — then the pointer
-        // flips atomically. The relabel is the one deliberate O(corpus)
-        // event in this stage, amortized over the growth that tripped it
-        // (occupancy must grow by ×inflation again before the next).
-        def reclusterIfTripped(lv: String): String = {
-          val meta = spark.read.parquet(s"$lv/meta").head()
-          val k = meta.getAs[Int]("k")
-          val dim = meta.getAs[Int]("dim")
-          val total = spark.read.parquet(s"$lv/state")
-            .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-          val occupancy = if (k <= 0) 0.0 else total.toDouble / k
-          val trip = cfg.targetOccupancy * cfg.occupancyInflation
-          if (total == 0 || occupancy <= trip) ""
-          else {
-            val nextV = s"v${IndexRun.versionOf(lv) + 1}"
-            val fs = new org.apache.hadoop.fs.Path(semBase)
-              .getFileSystem(spark.sessionState.newHadoopConf())
-            fs.delete(new org.apache.hadoop.fs.Path(s"$semBase/$nextV"), true)
-            val all = spark.read.parquet(s"$lv/assign")
-              .select(col("id"), col("v"),
-                col("ingest_day").cast("string").as("ingest_day"))
-              .localCheckpoint()
-            val k2 = math.max(1L, math.min(
-              math.ceil(total.toDouble / cfg.targetOccupancy).toLong, all.count())).toInt
-            val labeled = Clustering.kmeansLite(all, "id", "v", k2, cfg.iters)
-              .select(col("id"), col("cluster"))
-              .join(all, Seq("id"))
-            val (_, kNew) = buildVersion(s"$semBase/$nextV", labeled, dim)
-            IndexRun.writePointer(spark, semBase, nextV)
-            f" SEM-INDEX re-clustered $nextV: k $k%d→$kNew%d " +
-              f"(occupancy $occupancy%.1f > $trip%.1f)."
+        // version materialization + occupancy-tripped re-cluster are the
+        // SHARED lifecycle ([[SemVersions]] — frozen geometry, realized
+        // meta k, meta-last completeness marker, k′ = ⌈N/target⌉ relabel
+        // with ingest_day preserved row-for-row, atomic pointer flip);
+        // this stage owns only the ledger text
+        def reclusterIfTripped(lv: String): String =
+          SemVersions.reclusterIfTripped(
+            spark, semBase, lv,
+            cfg.targetOccupancy, cfg.occupancyInflation, cfg.iters) match {
+            case None => ""
+            case Some((occupancy, k, kNew, _, nextV)) =>
+              f" SEM-INDEX re-clustered $nextV: k $k%d→$kNew%d " +
+                f"(occupancy $occupancy%.1f > ${cfg.targetOccupancy * cfg.occupancyInflation}%.1f)."
           }
-        }
         val write = (published: DataFrame) => {
           // checkpoint: consumed by BOTH zone writes, and the second must
           // not re-execute the join against the just-mutated sem zone
@@ -763,10 +704,8 @@ object CorpusRun {
               if (dayRows.isEmpty) ""
               else {
                 val v1 = s"$semBase/v1"
-                val fs = new org.apache.hadoop.fs.Path(semBase)
-                  .getFileSystem(spark.sessionState.newHadoopConf())
-                fs.delete(new org.apache.hadoop.fs.Path(v1), true)
-                buildVersion(v1, dayRows, semDim)
+                SemVersions.materializeVersion(
+                  spark, v1, dayRows, semDim, cfg.targetOccupancy)
                 IndexRun.writePointer(spark, semBase, "v1")
                 reclusterIfTripped(v1)
               }
@@ -787,7 +726,8 @@ object CorpusRun {
               // pointer never resolves past its completeness filter)
               if (dayRows.isEmpty) ""
               else {
-                buildVersion(lv, dayRows, semDim)
+                SemVersions.materializeVersion(
+                  spark, lv, dayRows, semDim, cfg.targetOccupancy)
                 IndexRun.repairPointer(spark, semBase, lv)
                 reclusterIfTripped(lv)
               }

@@ -333,56 +333,16 @@ object IndexRun {
   }
 
   /** Build one semantic-cluster index version from (id, v, ingest_day)
-    * rows: deterministic k-means at the given k, assignment + per-day
-    * mergeable centroid state + meta (written LAST — the completeness
-    * marker). The target dir is truncated first (an incomplete dir here
-    * is a crashed build; orphan partitions must not survive inside a
-    * fresh version). Returns (n, k).
+    * rows at k = ⌈n/targetOccupancy⌉ — the SHARED lifecycle
+    * ([[SemVersions]]: frozen geometry, realized meta k, meta-last
+    * completeness marker, target dir truncated first). Returns (n, k).
     */
   private def buildSemVersion(
       spark: SparkSession, vPath: String,
       rows: org.apache.spark.sql.DataFrame, targetOccupancy: Int): (Long, Int) = {
-    import graft.operators.Clustering
-    fsFor(spark, vPath).delete(new org.apache.hadoop.fs.Path(vPath), true)
     val v = rows.localCheckpoint()
-    val n = v.count()
     val dim = v.select(first(size(col("v")))).head().getInt(0)
-    val k = math.max(1L, math.min(
-      math.ceil(n.toDouble / targetOccupancy).toLong, n)).toInt
-    val labeled = Clustering.kmeansLite(v, "id", "v", k, SemIters)
-      .select(col("id"), col("cluster"))
-      // ingest_day + vector ride back by id: ids are unique within the
-      // build input (the zone's append discipline), so the join is 1:1
-      .join(v, Seq("id"))
-    // the version's geometry is FROZEN here: centroids = per-label means,
-    // written as a k-row artifact, and the stored assignment is the
-    // RELABEL of every row by argmin over them — the same kernel daily
-    // appends use, so a stored representative and an identical future
-    // increment vector can never disagree on a cluster. (Deriving append
-    // centroids from the state zone instead — means of the CURRENT
-    // assignment, one Lloyd step ahead of the labels — shifts boundaries
-    // between appends and lets boundary twins separate.)
-    val cents = Clustering.centroids(labeled, "v", "cluster", dim).localCheckpoint()
-    val assigned = Clustering.assignFused(v, "id", "v", cents)
-      .select(col("id"), col("cluster"))
-      .join(v, Seq("id"))
-    dayOverwrite(assigned, s"$vPath/assign")
-    dayOverwrite(
-      Clustering.centroidState(
-        spark.read.parquet(s"$vPath/assign"), "v", "cluster", dim,
-        carryCols = Seq("ingest_day")),
-      s"$vPath/state")
-    cents.write.mode("overwrite").parquet(s"$vPath/centroids")
-    // meta k = the REALIZED centroid count, not the requested one:
-    // kmeansLite + relabel can leave clusters empty, and an overstated k
-    // understates occupancy Σn/k, delaying the re-cluster trip (the
-    // CorpusRun.buildVersion discipline)
-    val kReal = cents.count().toInt
-    import spark.implicits._
-    Seq((n, kReal, dim, targetOccupancy))
-      .toDF("n_vectors", "k", "dim", "target_occupancy")
-      .write.mode("overwrite").parquet(s"$vPath/meta")
-    (n, kReal)
+    SemVersions.buildVersionAtTargetK(spark, vPath, v, dim, targetOccupancy, SemIters)
   }
 
   /** The semantic-cluster leg of the nightly run: build day 1 at
@@ -488,23 +448,19 @@ object IndexRun {
               carryCols = Seq("ingest_day")),
             s"$live/state")
         }
-        // occupancy from the state zone: Σn / k — one kilobyte agg
-        val n = spark.read.parquet(s"$live/state")
-          .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-        val occupancy = n.toDouble / k
+        // occupancy from the state zone: Σn / k — one kilobyte agg; the
+        // re-cluster itself is the SHARED lifecycle ([[SemVersions]])
+        val (_, _, occupancy) = SemVersions.occupancyOf(spark, live)
         val trip = targetOccupancy * occupancyInflation
         val head = f"SEM: appended $nApp vector(s), occupancy $occupancy%.1f " +
           f"(k=$k, re-cluster at $trip%.1f)."
-        if (occupancy > trip) {
-          val nextV = s"v${versionOf(live) + 1}"
-          val all = spark.read.parquet(s"$live/assign")
-            .select(col("id"), col("v"),
-              col("ingest_day").cast("string").as("ingest_day"))
-          val (nR, kR) = buildSemVersion(spark, s"$base/$nextV", all, targetOccupancy)
-          writePointer(spark, base, nextV)
-          head + f" RECLUSTERED: $nextV rebuilt ($nR vector(s)) at k=$kR, " +
-            "pointer flipped."
-        } else head
+        SemVersions.reclusterIfTripped(
+          spark, base, live, targetOccupancy, occupancyInflation, SemIters) match {
+          case None => head
+          case Some((_, _, kR, nR, nextV)) =>
+            head + f" RECLUSTERED: $nextV rebuilt ($nR vector(s)) at k=$kR, " +
+              "pointer flipped."
+        }
     }
   }
 

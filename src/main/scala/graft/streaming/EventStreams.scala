@@ -179,6 +179,13 @@ object EventStreams {
         f"_${idRow.getLong(2)}%016x_$n%x"
     val batchDir = s"$outZone/batch_fp=$bfp"
     val fpKeys = (df: DataFrame) => df.select(keyCols.map(col): _*)
+    // a batch whose partition was absorbed by [[foldDedupZones]] keeps
+    // refusing replays through the compact applied-set file (the fold
+    // already converged its keys into the fingerprint zone, so unlike the
+    // marker path below there is nothing left to re-converge)
+    val appliedDir = s"$outZone/$AppliedSetDir"
+    if (graft.sources.Zones.exists(spark, appliedDir) &&
+        !spark.read.parquet(appliedDir).filter(col("bfp") === bfp).isEmpty) return
     if (graft.sources.Zones.exists(spark, s"$batchDir/_SUCCESS")) {
       // output already committed — converge the fp zone only. The anti
       // join keeps the common retry from re-appending the whole batch;
@@ -200,6 +207,141 @@ object EventStreams {
     fresh.write.mode("overwrite").parquet(batchDir)
     fpKeys(fresh).write.mode("append").parquet(fpZone)
     ()
+  }
+
+  /** Underscore-prefixed (invisible to Spark's partition discovery, like
+    * `_SUCCESS`): the compact applied-set file holding the `batch_fp`
+    * values of every batch partition a fold has absorbed.
+    */
+  private[graft] val AppliedSetDir = "_applied"
+  private[graft] val FoldPartition = "batch_fp=__folded__"
+
+  /** Retention/compaction for the cross-run dedup zones — the corpus
+    * zones' fold discipline applied to [[commitDedupBatch]]'s state,
+    * which otherwise accretes one `batch_fp=…` directory per batch and
+    * one small fp-zone file per append FOREVER (at one batch per minute
+    * that is ~1.4k directories a day: the scan becomes listing-bound,
+    * the one stream-side cost that grows with history instead of data).
+    *
+    * What folds, and why each replay guarantee survives:
+    *
+    *  - COMMITTED batch partitions (marker present) consolidate into the
+    *    single [[FoldPartition]]; their `batch_fp` values move into the
+    *    compact [[AppliedSetDir]] parquet, which [[commitDedupBatch]]
+    *    consults before the marker — so a redelivered batch refuses
+    *    ACROSS the fold exactly as it did against its marker. Readers of
+    *    the zone see the same rows (partition value coarsens, data
+    *    columns untouched). Half-written attempts (no marker) are left
+    *    for their batch's retry.
+    *  - The fp zone's keys are CONVERGED from the staged fold rows before
+    *    any directory dies: a batch that committed output but crashed
+    *    before its fp append loses its per-batch convergence path when
+    *    its partition folds, so the fold closes that hole itself (one
+    *    anti-join, amortized over the fold cadence).
+    *  - The fp zone then file-compacts (distinct keys, staged atomic
+    *    swap) — duplicate keys were always tolerated by the anti-join,
+    *    so dropping them is pure compaction.
+    *
+    * Durability (the compactZones pattern): the consolidated fold stages
+    * to a dot-hidden tmp, the applied-set swap and fp convergence land
+    * while every source directory still exists, and only then does an
+    * atomically-renamed manifest commit the swap — recovery replays a
+    * manifest-committed fold (delete listed dirs, rename the stage in)
+    * and discards anything earlier, so a crash at any point leaves either
+    * the old layout or the completed fold. Single-writer discipline as
+    * with every zone: run from the maintenance slot, not concurrently
+    * with the stream.
+    *
+    * Returns a human summary ("" = no zones exist yet).
+    */
+  def foldDedupZones(
+      spark: SparkSession,
+      keyCols: Seq[String],
+      fpZone: String,
+      outZone: String): String = {
+    import org.apache.spark.sql.functions._
+    val hconf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val outPath = p(outZone)
+    val fs = outPath.getFileSystem(hconf)
+    if (!fs.exists(outPath)) return ""
+    val tmp = s"$outZone/.fold_tmp"
+    val stagedData = s"$tmp/data"
+    val manifest = p(s"$tmp/_DIRS")
+    // RECOVERY: the manifest is the commit point. Present → the staged
+    // fold is authoritative for the listed dirs: delete them (idempotent),
+    // rename the stage in if the target is missing. Absent → the stage is
+    // an uncommitted draft; the old layout stands.
+    if (fs.exists(manifest)) {
+      val listed = {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+        finally in.close()
+      }
+      listed.foreach(d => fs.delete(p(s"$outZone/$d"), true))
+      if (!fs.exists(p(s"$outZone/$FoldPartition")) && fs.exists(p(stagedData)))
+        fs.rename(p(stagedData), p(s"$outZone/$FoldPartition"))
+    }
+    if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
+
+    val dirs = fs.listStatus(outPath).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_fp="))
+    val batchDirs = dirs.filter(d =>
+      d != FoldPartition && fs.exists(p(s"$outZone/$d/_SUCCESS"))).sorted
+    val haveFold = dirs.contains(FoldPartition)
+    val note =
+      if (batchDirs.isEmpty) ""
+      else {
+        val absorbed = batchDirs ++ (if (haveFold) Seq(FoldPartition) else Nil)
+        // [1] stage the consolidated partition content durably (reading
+        // the dirs directly keeps `batch_fp` out of the data files, as
+        // the per-batch writes did)
+        val rows = spark.read
+          .parquet(absorbed.map(d => s"$outZone/$d"): _*)
+          .localCheckpoint()
+        rows.write.mode("overwrite").parquet(stagedData)
+        // [2] applied set FIRST — from here every absorbed batch refuses
+        // replays with no marker needed; a crash before the manifest
+        // leaves dirs AND set entries, which is merely redundant
+        import spark.implicits._
+        val appliedDir = s"$outZone/$AppliedSetDir"
+        val newBfps = batchDirs.map(_.stripPrefix("batch_fp=")).toDF("bfp")
+        val applied =
+          if (graft.sources.Zones.exists(spark, appliedDir))
+            spark.read.parquet(appliedDir).unionByName(newBfps).distinct()
+          else newBfps
+        graft.sources.Zones.overwriteSwap(applied, appliedDir)
+        // [2b] fp-zone convergence from the staged rows (see scaladoc)
+        val foldKeys = spark.read.parquet(stagedData)
+          .select(keyCols.map(col): _*).distinct()
+        val missing =
+          if (graft.sources.Zones.exists(spark, fpZone))
+            foldKeys.join(spark.read.parquet(fpZone), keyCols, "left_anti")
+          else foldKeys
+        if (!missing.isEmpty) missing.write.mode("append").parquet(fpZone)
+        // [3] manifest — atomically renamed; the commit point
+        val mTmp = p(s"$tmp/_DIRS.tmp")
+        val out = fs.create(mTmp, true)
+        try out.write(absorbed.mkString("\n").getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(mTmp, manifest))
+          throw new java.io.IOException(s"fold manifest rename failed: $manifest")
+        // [4] swap: exactly the manifested dirs die, the stage renames in
+        absorbed.foreach(d => fs.delete(p(s"$outZone/$d"), true))
+        if (!fs.rename(p(stagedData), p(s"$outZone/$FoldPartition")))
+          throw new java.io.IOException(s"fold rename failed: $outZone/$FoldPartition")
+        fs.delete(p(tmp), true)
+        spark.catalog.refreshByPath(outZone)
+        s"folded ${batchDirs.size} batch partition(s)"
+      }
+    // fp-zone compaction: distinct keys, staged atomic swap
+    val fpNote =
+      if (!graft.sources.Zones.exists(spark, fpZone)) ""
+      else {
+        graft.sources.Zones.overwriteSwap(
+          spark.read.parquet(fpZone).distinct(), fpZone)
+        "fp zone compacted"
+      }
+    Seq(note, fpNote).filter(_.nonEmpty).mkString("; ")
   }
 
   case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)

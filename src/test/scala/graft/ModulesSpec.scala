@@ -434,6 +434,86 @@ class ModulesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() == 20)
   }
 
+  test("streaming: dedup-zone fold — partitions consolidate, replays refuse across the fold, fp zone converges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedupfold").toFile.getAbsolutePath
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"payload_$i")).toDF("event_id", "payload")
+    def commit(df: org.apache.spark.sql.DataFrame): Unit =
+      EventStreams.commitDedupBatch(spark, df, Seq("event_id"), s"$tmp/fp", s"$tmp/out")
+    def fold(): String =
+      EventStreams.foldDedupZones(spark, Seq("event_id"), s"$tmp/fp", s"$tmp/out")
+    def content(): Set[(Long, String)] = spark.read.parquet(s"$tmp/out")
+      .select("event_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def census(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    def partitions(): Seq[String] = new java.io.File(s"$tmp/out")
+      .listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_fp=")).sorted
+
+    // two overlapping batches publish 15 once-ever rows in 2 partitions
+    commit(batch(1 to 10))
+    commit(batch(6 to 15))
+    val pre = content()
+    assert(pre.size == 15 && partitions().size == 2)
+
+    val note1 = fold()
+    assert(note1.contains("folded 2 batch partition(s)"), s"unexpected: $note1")
+    assert(partitions() == Seq("batch_fp=__folded__"),
+      s"fold must leave exactly the consolidated partition: ${partitions()}")
+    assert(content() == pre, "fold must not change the published rows")
+
+    // a redelivered batch whose partition (and marker) the fold absorbed
+    // must STILL no-op the output byte-for-byte — via the applied set
+    val afterFold = census(s"$tmp/out")
+    commit(batch(1 to 10))
+    assert(census(s"$tmp/out") == afterFold,
+      "redelivered folded batch must refuse through the applied set")
+
+    // output-committed-but-fp-crashed batch, then the FOLD runs before
+    // any retry: the fold itself must converge the fp zone, because the
+    // absorbed batch's replay (above) skips the marker convergence path
+    commit(batch(16 to 20))
+    val fpWithout = spark.read.parquet(s"$tmp/fp")
+      .filter(col("event_id") < 16L).localCheckpoint()
+    graft.sources.Zones.delete(spark, s"$tmp/fp")
+    fpWithout.write.parquet(s"$tmp/fp")
+    fold()
+    assert(spark.read.parquet(s"$tmp/fp").filter(col("event_id") >= 16L).count() == 5,
+      "the fold must converge crash-orphaned keys into the fp zone")
+    val afterFold2 = census(s"$tmp/out")
+    commit(batch(16 to 20))
+    assert(census(s"$tmp/out") == afterFold2,
+      "replay of a fold-converged batch must no-op")
+    // and those keys now stand as prior corpus for FUTURE batches
+    commit(batch(18 to 23))
+    assert(content().size == 23, "only the 3 genuinely new keys may publish")
+
+    // crash RECOVERY: simulate a fold that died between its manifest and
+    // the swap — staged data present, manifest listing the target, the
+    // live fold partition already deleted
+    fold() // consolidate everything first
+    val preCrash = content()
+    val outDir = new java.io.File(s"$tmp/out")
+    val tmpDir = new java.io.File(s"$tmp/out/.fold_tmp")
+    tmpDir.mkdirs()
+    assert(new java.io.File(outDir, "batch_fp=__folded__")
+      .renameTo(new java.io.File(tmpDir, "data")), "test setup rename failed")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/out/.fold_tmp/_DIRS"), "batch_fp=__folded__")
+    val note3 = fold() // recovery must complete the swap, then no-op
+    assert(partitions() == Seq("batch_fp=__folded__"),
+      s"recovery must rename the staged fold in: ${partitions()}")
+    assert(content() == preCrash, s"recovery changed the rows (note: $note3)")
+
+    // fp zone compacted to one distinct key set
+    assert(spark.read.parquet(s"$tmp/fp").count() == 23)
+  }
+
   test("stats zone: incremental merges equal the one-shot build; replayed batches no-op") {
     import spark.implicits._
     import graft.operators.Profiling

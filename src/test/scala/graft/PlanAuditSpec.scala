@@ -508,6 +508,27 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(antiShuffledZone.isEmpty,
       s"fp zone rows entered an exchange:\n${antiShuffledZone.mkString("\n")}")
+    // ── DISENGAGED broadcast arm (forced via the caller-supplied count):
+    // past BroadcastProbeMaxRows the explicit bloom must prune the zone
+    // SCAN — Spark's InjectRuntimeFilter never blooms the right side of a
+    // LEFT ANTI, so without this wiring the zone would shuffle unpruned.
+    // Result identity first, then the plan pin. ──
+    val bloomAnti = graft.operators.ZoneProbes.zoneAntiJoin(
+      incFp, spark.read.parquet(s"$root/fp"), Seq("fp"),
+      graft.operators.ZoneProbes.BroadcastProbeMaxRows + 1)
+    assert(bloomAnti.exceptAll(plainAnti).isEmpty && plainAnti.exceptAll(bloomAnti).isEmpty,
+      "bloomed (disengaged-broadcast) zone anti-join changed the result")
+    bloomAnti.collect()
+    val bloomPlan = bloomAnti.queryExecution.executedPlan
+    assert(bloomPlan.toString.contains("might_contain"),
+      s"disengaged arm lost its bloom prune entirely:\n$bloomPlan")
+    val unbloomed = expand(bloomPlan).collect {
+      case e: ShuffleExchangeExec if scansZone(e, "zoneprobe_audit") &&
+          !e.toString.contains("might_contain") => e
+    }
+    assert(unbloomed.isEmpty,
+      s"zone rows entered an exchange without the bloom prune below it:\n" +
+        unbloomed.mkString("\n"))
     // ── banded probe join: zone rows shuffle only AFTER the broadcast
     // semi prune (d9 shape) ──
     (0L until 2000L).map(i => (i % 16, i % 97, i)).toDF("band", "key", "id")
@@ -532,6 +553,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(offending.isEmpty,
       s"zone rows shuffled WITHOUT the broadcast semi prune below the exchange:\n" +
         offending.mkString("\n"))
+    // ── bloom probe prune (the band-key form d9/e3 use — one plan-literal
+    // bloom instead of a per-prune broadcast build): result identity, and
+    // the might_contain filter must sit below the zone's exchange ──
+    val bloom = Some(graft.operators.ZoneProbes.keyBloom(probe, Seq("band", "key")))
+    val bloomJoined = graft.operators.ZoneProbes.pruneByBloom(
+        spark.read.parquet(s"$root/bands"), bloom, Seq("band", "key"))
+      .withColumnRenamed("id", "id_y").join(probe, Seq("band", "key"))
+    assert(bloomJoined.exceptAll(plainJoined).isEmpty &&
+        plainJoined.exceptAll(bloomJoined).isEmpty,
+      "bloom probe prune changed the join result")
+    bloomJoined.collect()
+    val unbloomedZone = expand(bloomJoined.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if scansZone(e, "zoneprobe_audit") &&
+          !e.toString.contains("might_contain") => e
+    }
+    assert(unbloomedZone.isEmpty,
+      s"zone rows shuffled WITHOUT the bloom prune below the exchange:\n" +
+        unbloomedZone.mkString("\n"))
   }
 
   test("j13: autoJoin salts only the MEASURED hot key — plain plan on uniform keys, identical results") {
