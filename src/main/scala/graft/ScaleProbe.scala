@@ -85,9 +85,18 @@ object ScaleProbe {
         .count()
     }
 
-    // ── e5: standing semantic assignment zone ───────────────────────────
+    // ── e5: standing semantic assignment zone. k follows the production
+    // occupancy policy (max(64, ⌈N/SemTargetOccupancy⌉) — the occupancy
+    // lifecycle re-clusters a live index to exactly this shape), so the
+    // zone the incremental probe faces has bounded clusters at every
+    // corpus size: x1/x10 realize k=64 (unchanged vs earlier tables);
+    // x100 realizes ⌈200k/1024⌉. A FIXED k at 100× would hand the probe
+    // a zone the production pipeline never lets stand (occupancy 3k+,
+    // trip bar 2048). ─────────────────────────────────────────────────
     val semZone = s"$workDir/sem_assign"
-    val assignment = Dedup.semanticDedup(corpusEmbs, "vec_id", "e", 64, 2, 0.95)
+    val e5K = math.max(64, math.ceil(
+      nEmbs.toDouble / graft.pipeline.IndexRun.SemTargetOccupancy).toInt)
+    val assignment = Dedup.semanticDedup(corpusEmbs, "vec_id", "e", e5K, 2, 0.95)
     assignment.filter(col("is_kept"))
       .select(col("vec_id").as("id"), col("cluster"))
       .join(corpusEmbs.select(col("vec_id").as("id"), col("e").as("v")), Seq("id"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deduplication operators for training-data pipelines, from exact to
   * near-duplicate. Beyond-reference scope (the reference has no dedup; its
@@ -977,12 +978,21 @@ object Dedup {
     *
     * Scale shape: the quadratic is confined to clusters — k is chosen
     * so E[cluster] ≈ 10⁴ at corpus scale (the paper runs k = 11k over
-    * 5B embeddings) — and the within-cluster self-join routes through
-    * [[boundedBucketJoin]] (band 0, key = cluster id), so a runaway
-    * cluster is grid-salted into bounded cells instead of putting its
-    * full candidate square on one task; typical clusters take the
-    * dormant plain-join path. The band shuffle moves (id, cluster)
-    * rows only; vectors join back once per candidate pair.
+    * 5B embeddings) — and each cluster of ≤ `maxCluster` rows runs the
+    * ε-ball marking as an IN-MEMORY per-cluster kernel
+    * ([[semDropsKernel]]): every vector shuffles exactly once (keyed by
+    * cluster), candidate PAIRS are never materialized as rows and no
+    * vector ever rides a pair-join exchange — at N vectors × occupancy
+    * t the old pair-row plan shuffled O(N·t) fat (idᵃ, idᵇ, vᵃ, vᵇ)
+    * rows (measured: a 200k × 64-dim corpus at k=64 spilled ~80 GB and
+    * died), where the kernel shuffles O(N) vectors total. Clusters
+    * LARGER than `maxCluster` (a mis-sized k — the occupancy lifecycle
+    * exists to prevent this standing) and non-integral-id corpora take
+    * the exact grid-salted pair join through [[boundedBucketJoin]]
+    * (band 0, key = cluster id): bounded per-task memory at unbounded
+    * cluster size, at pair-materialization cost. Both routes are exact
+    * and bitwise identical — the kernel's cosine replays
+    * [[graft.functions.CosineSimilarity]]'s accumulation order.
     *
     * Returns one row per input row: (idCol, cluster, is_kept) —
     * filtering `is_kept` dedups the corpus semantically.
@@ -1007,30 +1017,118 @@ object Dedup {
       return v.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
         .limit(0)
     // kmeansLite returns a localCheckpoint'ed frame: the three consumers
-    // below (two join sides + the flag join) re-read checkpoint blocks,
+    // below (the drop routes + the flag join) re-read checkpoint blocks,
     // never the Lloyd loop
     val assigned = Clustering.kmeansLite(v, "__id", "__v", k, iters)
       .select(col("__id"), col("cluster"))
-    // ids-only band frames (band 0, key = cluster): the bounded join
-    // decides salting from cluster sizes; ≤ maxCluster clusters take the
-    // dormant bitwise-identical plain join
+    val idType = v.schema("__id").dataType
+    val kernelCapable = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val dropped =
+      if (!kernelCapable) pairJoinDrops(assigned, v, threshold, maxCluster)
+      else {
+        // cluster sizes: one narrow ≤k-row agg, broadcast to route each
+        // cluster — kernel for ≤ maxCluster rows, grid join above it
+        val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+        val small = assigned
+          .join(broadcast(sizes.filter(col("__n") <= maxCluster)), Seq("cluster"), "left_semi")
+        val big = assigned
+          .join(broadcast(sizes.filter(col("__n") > maxCluster)), Seq("cluster"), "left_semi")
+        semDropsKernel(small.join(v, Seq("__id")), idType, threshold)
+          .unionByName(pairJoinDrops(big, v, threshold, maxCluster))
+      }
+    assigned
+      .join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"), col("__dup").isNull.as("is_kept"))
+  }
+
+  /** The pair-materializing ε-ball drop route of [[semanticDedup]]:
+    * ids-only band frames (band 0, key = cluster) through the exact
+    * grid-salted [[boundedBucketJoin]], vectors joined back per
+    * candidate pair. Bounded per-task memory at ANY cluster size — the
+    * route for clusters too large for one in-memory kernel group and
+    * for id types the kernel does not order. Returns dropped ids as
+    * `__id`.
+    */
+  private def pairJoinDrops(
+      assigned: DataFrame,
+      v: DataFrame,
+      threshold: Double,
+      maxCluster: Int): DataFrame = {
     val lb = assigned.select(
       lit(0).as("band"), col("cluster").cast("long").as("key"), col("__id").as("id_a"))
     val rb = lb.withColumnRenamed("id_a", "id_b")
     val counts = Some(bucketCounts(lb))
-    val cand = boundedBucketJoin(lb, rb, "id_a", "id_b", maxCluster,
+    boundedBucketJoin(lb, rb, "id_a", "id_b", maxCluster,
         xCounts = counts, yCounts = counts)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val dropped = cand
       .join(v.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(v.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .filter(SimilaritySearch.cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as("__id"))
       .distinct()
-    assigned
-      .join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("cluster"), col("__dup").isNull.as("is_kept"))
+  }
+
+  /** In-memory per-cluster ε-ball kernel: each cluster's (id, vector)
+    * rows gather into ONE task (groupByKey on cluster — every vector
+    * crosses the wire exactly once), sort by id, and each row drops iff
+    * some smaller-id row of the cluster sits within the cosine ball —
+    * the pairwise SemDeDup rule, computed without materializing a
+    * single candidate-pair row. Peak task memory is one cluster
+    * (callers bound it to `maxCluster` rows ≈ maxCluster × 8·dim
+    * bytes); compute is the irreducible Σ n_c²·dim/2 with early exit on
+    * first hit. The cosine replays [[graft.functions.CosineSimilarity]]
+    * bit-for-bit (same accumulation order, dot/√na/√nb), so verdicts
+    * are identical to the pair-join route; null ids and vectors with
+    * null elements are excluded up front — in the pair route their
+    * cosine is NULL against everything, so they can neither drop nor be
+    * dropped.
+    */
+  private def semDropsKernel(
+      withV: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double): DataFrame = {
+    val spark = withV.sparkSession
+    import spark.implicits._
+    def cosineExact(a: Array[Double], b: Array[Double]): Double = {
+      if (a.length != b.length) return Double.NaN // mismatch = NULL = never ≥ θ
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    withV
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        !exists(col("__v"), e => e.isNull))
+      .select(col("cluster").cast("long"), col("__id").cast("long"), col("__v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray
+        scala.util.Sorting.stableSort(rows, (p: (Long, Array[Double]), q: (Long, Array[Double])) => p._1 < q._1)
+        val out = Array.newBuilder[Long]
+        var j = 1
+        while (j < rows.length) {
+          val vj = rows(j)._2
+          var i = 0
+          var hit = false
+          while (i < j && !hit) {
+            if (cosineExact(rows(i)._2, vj) >= threshold) hit = true
+            i += 1
+          }
+          if (hit) out += rows(j)._1
+          j += 1
+        }
+        out.result().iterator
+      }
+      .toDF("__id")
+      .select(col("__id").cast(idType).as("__id"))
   }
 
   /** Daily companion of [[semanticDedup]] — the e3/d9 shape for the

@@ -486,10 +486,63 @@ class DedupSimilaritySpec extends SparkSpec {
     val nDropped = droppedIds.count()
     assert(nDropped >= (nPlanted * 9) / 10 && nDropped <= nPlanted,
       s"planted-copy recall: $nDropped of $nPlanted dropped")
-    // grid-salted path (maxCluster below every cluster size) is bitwise
-    // identical — the decomposition is exact
+    // grid-salted pair-join path (maxCluster below every cluster size —
+    // the kernel disengages entirely) is bitwise identical — the
+    // decomposition is exact
     val saltedPath = Dedup.semanticDedup(salted, "vec_id", "e", 16, 2, 0.95, maxCluster = 8)
     assertSameRows(saltedPath, want, "semanticDedup salted vs dormant")
+  }
+
+  test("semanticDedup mixed routing: kernel and grid clusters in one call agree with kernel-only") {
+    import spark.implicits._
+    // two planted ε-pairs (ids 100<101 and 200<201, cosine ≈ 1) plus
+    // orthogonal fillers; k=2 under init id % k splits ids by parity, so
+    // both pairs land whole in one cluster each. maxCluster=6 routes the
+    // 8-row even cluster through the grid pair join and the 5-row odd
+    // cluster through the in-memory kernel — the union must equal the
+    // kernel-only default (maxCluster=4096) bitwise.
+    val base = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)), (101L, Seq(1.0, 1e-9, 0.0, 0.0)),
+      (200L, Seq(0.0, 1.0, 0.0, 0.0)), (201L, Seq(0.0, 1.0, 1e-9, 0.0)),
+      (102L, Seq(0.0, 0.0, 1.0, 0.0)), (103L, Seq(0.0, 0.0, 0.0, 1.0)),
+      (104L, Seq(0.5, 0.5, 0.5, 0.5)), (105L, Seq(-1.0, 0.5, 0.0, 0.0)),
+      (106L, Seq(0.0, -1.0, 0.5, 0.0)), (107L, Seq(0.3, 0.0, -0.9, 0.0)),
+      (108L, Seq(0.0, 0.4, 0.0, -0.8)), (109L, Seq(-0.5, -0.5, 0.5, 0.5)),
+      (110L, Seq(0.9, 0.0, 0.0, -0.4))
+    ).toDF("vec_id", "e")
+    val mixed = Dedup.semanticDedup(base, "vec_id", "e", 2, 2, 0.95, maxCluster = 6)
+    val kernelOnly = Dedup.semanticDedup(base, "vec_id", "e", 2, 2, 0.95)
+    assertSameRows(mixed, kernelOnly, "mixed kernel+grid routing vs kernel-only")
+    // sanity: the routing split actually happened (cluster sizes straddle 6)
+    val sizes = kernelOnly.groupBy("cluster").count().select("count")
+      .collect().map(_.getLong(0)).sorted
+    assert(sizes.exists(_ <= 6) && sizes.exists(_ > 6),
+      s"fixture no longer straddles maxCluster=6: ${sizes.mkString(",")}")
+    // both planted larger ids dropped, nothing else
+    val droppedIds = kernelOnly.filter(!col("is_kept"))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(droppedIds.sameElements(Array(101L, 201L)),
+      s"expected drops 101,201 — got ${droppedIds.mkString(",")}")
+  }
+
+  test("semanticDedup non-integral ids take the pair-join route and honor string ordering") {
+    import spark.implicits._
+    // numeric-string ids (the only non-integral ids kmeansLite's id % k
+    // init accepts): the kernel cannot order them — dispatch must fall
+    // back to the pair join, whose id_a < id_b is LEXICOGRAPHIC on
+    // strings. "10" < "9" lexicographically, so the ε-pair keeps "10"
+    // and drops "9" — the long-standing string-id semantics, preserved
+    // exactly by the fallback (a kernel that compared longs would keep
+    // "9").
+    val v = Seq(
+      ("9", Seq(1.0, 0.0)), ("10", Seq(1.0, 1e-9)), ("77", Seq(0.0, 1.0))
+    ).toDF("vec_id", "e")
+    val out = Dedup.semanticDedup(v, "vec_id", "e", 1, 1, 0.95)
+    val kept = out.filter(col("is_kept")).select("vec_id")
+      .collect().map(_.getString(0)).sorted
+    assert(kept.sameElements(Array("10", "77")),
+      s"string-id ε-ball: expected keeps 10,77 — got ${kept.mkString(",")}")
+    assert(out.count() == 3)
   }
 
   test("semanticDedupIncremental: probes vs a persisted assignment zone equal the plain replay") {
