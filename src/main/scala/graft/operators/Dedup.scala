@@ -552,7 +552,7 @@ object Dedup {
     * of the persisted `sig` array, so index-side candidates never
     * recompute shingles or hashes.
     */
-  private def bandedFromSigs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandedFromSigs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     // same contract as every pair operator — a non-dividing bands value
     // would silently truncate r and publish counts keyed on band keys no
     // reader produces (the defense would never engage, with no error)
