@@ -1267,6 +1267,16 @@ object Dedup {
     * crashing the dimension lookup; rows with a NULL vector are dropped
     * (nothing to hash — a corrupt upstream embed must not crash the
     * nightly index run).
+    *
+    * Geometry at corpus scale: (bands, bitsPerBand) trades recall
+    * against the RANDOM-pair candidate rate ≈ bands × 2^−bitsPerBand,
+    * which prices the incremental probe linearly in corpus size. The
+    * 8×8 default keeps ~0.9999 recall at θ=0.99 but admits ~3% of all
+    * increment×corpus pairs as candidates; 16×16 holds the same recall
+    * at a 1/65536 per-band rate — measured at a 200k-vector zone:
+    * 74× fewer candidates, 6× less probe wall (BASELINE.md round-12
+    * scale table, `graft.ScaleDiag e3ab`). Pick the geometry at index
+    * build time; the zone format (bkeys array) carries any shape.
     */
   def embeddingSignatureRows(
       df: DataFrame,
