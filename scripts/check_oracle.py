@@ -35,6 +35,11 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # spill-enabled: heavy oracle replays (c9's per-day brute-force chain
+    # at sf1) exceed the default in-memory budget; a temp dir lets DuckDB
+    # spill instead of dying on a bad allocation
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
