@@ -266,7 +266,17 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int,
-      kernelFrom: Int = 64): DataFrame = {
+      kernelFrom: Int = 64,
+      // keepVector: return (id, vecCol, cluster, dist) instead of
+      // (id, cluster, dist) — the loop already carries the vector with
+      // the assignment (the keep-forms), so a consumer that needs
+      // labeled VECTORS (batch SemDeDup's per-cluster kernel) can read
+      // them straight off the checkpoint instead of re-joining the
+      // corpus by id (one full vector shuffle + sort saved). The
+      // checkpoint then stores the vectors once (executor-local
+      // MEMORY_AND_DISK — the same order as one shuffle write of the
+      // corpus, paid only by callers that opt in).
+      keepVector: Boolean = false): DataFrame = {
     // AQE is pinned OFF for the loop's own jobs: a Lloyd round is a fixed
     // micro-topology (hash agg → ≤k output rows → driver collect) where
     // adaptive re-planning has nothing to decide — the shuffle output
@@ -281,8 +291,11 @@ object Clustering {
     try {
       val base = vecs.select(col(idCol), col(vecCol)).cache()
       val dim = base.select(size(col(vecCol))).head().getInt(0)
+      val outCols =
+        if (keepVector) Seq(col(idCol), col(vecCol), col("cluster"), col("dist"))
+        else Seq(col(idCol), col("cluster"), col("dist"))
       var assigned = base.withColumn("cluster", col(idCol) % k)
-      var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(idCol, "cluster", "dist")
+      var result: DataFrame = assigned.withColumn("dist", lit(0.0)).select(outCols: _*)
       for (_ <- 1 to iters) {
         val cents = centroids(assigned, vecCol, "cluster", dim)
         // the keep-forms carry the vector with the assignment, so the next
@@ -291,7 +304,7 @@ object Clustering {
         val keep =
           if (k >= kernelFrom) assignFusedKeep(base, idCol, vecCol, cents)
           else assignKeep(base, idCol, vecCol, cents)
-        result = keep.select(col(idCol), col("cluster"), col("dist"))
+        result = keep.select(outCols: _*)
         assigned = keep.select(col(idCol), col(vecCol), col("cluster"))
       }
       // evaluate the final assignment while the cache is hot, then release

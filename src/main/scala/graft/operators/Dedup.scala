@@ -1016,11 +1016,15 @@ object Dedup {
     if (v.isEmpty)
       return v.select(col("__id").as(idCol), lit(0L).as("cluster"), lit(true).as("is_kept"))
         .limit(0)
-    // kmeansLite returns a localCheckpoint'ed frame: the three consumers
-    // below (the drop routes + the flag join) re-read checkpoint blocks,
-    // never the Lloyd loop
-    val assigned = Clustering.kmeansLite(v, "__id", "__v", k, iters)
-      .select(col("__id"), col("cluster"))
+    // kmeansLite returns a localCheckpoint'ed frame — with the vectors
+    // kept aboard: the kernel route reads labeled vectors straight off
+    // the checkpoint (no corpus re-join by id), so a vector's ONLY
+    // exchange in the whole batch plan is the group-by-cluster gather
+    // (plan-audited). The drop routes and the flag join re-read
+    // checkpoint blocks, never the Lloyd loop.
+    val labeled = Clustering.kmeansLite(v, "__id", "__v", k, iters, keepVector = true)
+      .select(col("__id"), col("__v"), col("cluster"))
+    val assigned = labeled.select(col("__id"), col("cluster"))
     val idType = v.schema("__id").dataType
     val kernelCapable = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -1029,15 +1033,23 @@ object Dedup {
     val dropped =
       if (!kernelCapable) pairJoinDrops(assigned, v, threshold, maxCluster)
       else {
-        // cluster sizes: one narrow ≤k-row agg, broadcast to route each
-        // cluster — kernel for ≤ maxCluster rows, grid join above it
+        // cluster sizes: one narrow ≤k-row agg over the checkpoint. The
+        // common case — no cluster above maxCluster — takes the kernel
+        // for EVERYTHING and skips the grid leg entirely (its bucket
+        // counting and broadcast machinery would otherwise run real
+        // jobs against an empty route); the eager emptiness probe costs
+        // one ≤k-row job.
         val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
-        val small = assigned
-          .join(broadcast(sizes.filter(col("__n") <= maxCluster)), Seq("cluster"), "left_semi")
-        val big = assigned
-          .join(broadcast(sizes.filter(col("__n") > maxCluster)), Seq("cluster"), "left_semi")
-        semDropsKernel(small.join(v, Seq("__id")), idType, threshold)
-          .unionByName(pairJoinDrops(big, v, threshold, maxCluster))
+        val oversized = sizes.filter(col("__n") > maxCluster)
+        if (oversized.isEmpty) semDropsKernel(labeled, idType, threshold)
+        else {
+          val small = labeled
+            .join(broadcast(sizes.filter(col("__n") <= maxCluster)), Seq("cluster"), "left_semi")
+          val big = assigned
+            .join(broadcast(oversized), Seq("cluster"), "left_semi")
+          semDropsKernel(small, idType, threshold)
+            .unionByName(pairJoinDrops(big, v, threshold, maxCluster))
+        }
       }
     assigned
       .join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")

@@ -457,6 +457,41 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("batch SemDeDup kernel route: vector payloads cross exactly one exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    // integral ids, every cluster ≤ maxCluster → the kernel route handles
+    // the whole corpus. The Lloyd loop is checkpoint-severed and the
+    // labeled vectors ride the checkpoint, so the ONLY exchange allowed
+    // to carry an array<double> payload in the final adaptive plan is
+    // the group-by-cluster gather feeding the in-memory kernel — the
+    // pair-row plan this replaced shipped vectors through every
+    // candidate join (~80 GB of spill at the 100× probe scale).
+    val rnd = new scala.util.Random(12)
+    val vecs = (0L until 400L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "e")
+    val out = graft.operators.Dedup.semanticDedup(vecs, "vec_id", "e", 8, 2, 0.95)
+    out.collect() // finalize the adaptive plan
+    val vectorExchanges = expand(out.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if e.output.exists(a => a.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) => e
+    }
+    assert(vectorExchanges.size == 1,
+      s"expected exactly ONE vector-carrying exchange (the kernel gather), " +
+        s"got ${vectorExchanges.size}:\n${vectorExchanges.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("e4/t16: semantic dedup and BPE tokenize plans stay equi-join only") {
     import spark.implicits._
     val rnd = new scala.util.Random(6)
