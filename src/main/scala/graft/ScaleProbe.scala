@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, SimilaritySearch}
-import graft.pipeline.CorpusRun
+import graft.operators.{Clustering, Curation, Dedup, SimilaritySearch}
+import graft.pipeline.{CorpusRun, IndexRun}
 import graft.sources.Zones
 
 /** The O(increment) scale probe — the measurement behind BASELINE.md's
@@ -74,6 +74,25 @@ object ScaleProbe {
         .count()
     }
 
+    // ── d12: incremental cluster maintenance — the standing assignment
+    // zone (dupClusters over the corpus's own pair closure) is untimed
+    // setup; the timed path is the day's new pairs + the star-edge
+    // incremental relabel against the zone. This is the d12 gate's shape
+    // at probe scale (the round-11 `weak` path, post-bloom-fix). ───────
+    val clustersZone = s"$workDir/clusters"
+    Curation.dupClusters(
+        Dedup.minhashLshPairsFromIndex(
+          Dedup.readSignatureIndex(spark, sigZone), 32, 16, 0.6),
+        "id_a", "id_b")
+      .write.mode("overwrite").parquet(clustersZone)
+    sec("d12_incremental_clusters") = timedMin {
+      val newPairs = Dedup.minhashLshPairsIncremental(
+        Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
+        3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+      Curation.dupClustersIncremental(
+        spark.read.parquet(clustersZone), newPairs, "id_a", "id_b").count()
+    }
+
     // ── e3: embedding signature index ───────────────────────────────────
     val embZone = s"$workDir/emb_sig"
     Dedup.writeEmbeddingSignatureIndex(spark, embZone, corpusEmbs, "vec_id", "e",
@@ -82,6 +101,23 @@ object ScaleProbe {
       Dedup.embeddingNearDupIncremental(
         Dedup.readEmbeddingSignatureIndex(spark, embZone), incEmbs, "vec_id", "e",
         0.99, indexCounts = Dedup.readBucketCounts(spark, embZone))
+        .count()
+    }
+
+    // ── e3 under the PRODUCTION geometry policy: the zone built at
+    // IndexRun.sigGeometry(n) — the band width a lifecycle-managed index
+    // realizes at this corpus size. The default-geometry probe above
+    // measures the fixed-8×8 linear collision term; this one measures
+    // what the policy pins (N·2⁻ᵇ ≤ 16 per probe row per band). ────────
+    val (pBands, pBits) = IndexRun.sigGeometry(nEmbs)
+    val embZoneP = s"$workDir/emb_sig_policy"
+    Dedup.writeEmbeddingSignatureIndex(spark, embZoneP, corpusEmbs, "vec_id", "e",
+      bands = pBands, bitsPerBand = pBits, mode = "overwrite")
+    sec("e3_policy_geometry") = timedMin {
+      Dedup.embeddingNearDupIncremental(
+        Dedup.readEmbeddingSignatureIndex(spark, embZoneP), incEmbs, "vec_id", "e",
+        0.99, bands = pBands, bitsPerBand = pBits,
+        indexCounts = Dedup.readBucketCounts(spark, embZoneP))
         .count()
     }
 

@@ -389,9 +389,19 @@ object Dedup {
       numHashes: Int,
       mode: String = "append",
       bands: Int = 0): Unit = {
+    // bands guarded only when BOTH sides maintain counts: a counts-less
+    // append (bands = 0) leaves the stored counts zone merely stale,
+    // which the staleness machinery already tolerates — but merging
+    // counts BANDED DIFFERENTLY would silently desync the oversized
+    // list from the index forever
+    val geometry =
+      Seq("shingle_n" -> n.toLong, "num_hashes" -> numHashes.toLong) ++
+        (if (bands > 0) Seq("bands" -> bands.toLong) else Nil)
+    guardZoneGeometry(spark, path, mode, geometry)
     val idx = signatureIndex(df, idCol, textCol, n, numHashes)
     val toWrite = if (bands > 0) idx.cache() else idx
     toWrite.write.mode(mode).parquet(path)
+    recordZoneGeometry(spark, path, geometry)
     if (bands > 0) {
       mergeBucketCountsZone(
         spark, path,
@@ -404,6 +414,73 @@ object Dedup {
       toWrite.unpersist()
       ()
     }
+  }
+
+  /** Verify an append's declared signature geometry against the zone's
+    * recorded one — the version-meta discipline of the IndexRun
+    * lifecycles, applied to the raw zone writers. "Rows written on
+    * different days are directly joinable" is only true when every day
+    * shingled/hashed/banded identically; without this guard a binary
+    * whose constants moved (or a caller passing a different seed) would
+    * append keys from DIFFERENT hash functions into one zone — every
+    * cross-day probe then silently under-matches, which no per-day gate
+    * can see. A zone predating the side-meta (or created by a bare
+    * parquet write) verifies vacuously and is adopted by the next
+    * append's [[recordZoneGeometry]]; an `overwrite` starts a fresh
+    * contract by definition.
+    */
+  private[graft] def guardZoneGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      mode: String,
+      fields: Seq[(String, Long)],
+      subject: String = "signature zone"): Unit = {
+    import graft.sources.Zones
+    if (mode == "overwrite") return
+    val metaPath = s"$path/_geometry"
+    if (!Zones.exists(spark, metaPath)) return
+    val stored = Zones.read(spark, metaPath).head()
+    val clashes = fields.flatMap { case (name, want) =>
+      // a field the stored meta predates (e.g. bands recorded only by
+      // counts-maintaining writes) can't clash — adopt, don't refuse
+      if (!stored.schema.fieldNames.contains(name)) None
+      else {
+        val have = stored.getAs[Long](name)
+        if (have != want) Some(s"$name: zone has $have, append supplies $want")
+        else None
+      }
+    }
+    require(clashes.isEmpty,
+      s"$subject at $path was written under a different geometry — " +
+        clashes.mkString("; ") + ". Rebuild the zone, don't mix hash functions.")
+  }
+
+  /** Record (or refresh) the zone's geometry side-meta — see
+    * [[guardZoneGeometry]]. Underscore-prefixed, so invisible to the
+    * zone's parquet readers, like `_counts`. Unioned with any stored
+    * fields so a counts-less append can't erase a previously recorded
+    * `bands`.
+    */
+  private[graft] def recordZoneGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fields: Seq[(String, Long)]): Unit = {
+    import graft.sources.Zones
+    val metaPath = s"$path/_geometry"
+    val stored: Seq[(String, Long)] =
+      if (!Zones.exists(spark, metaPath)) Nil
+      else {
+        val row = Zones.read(spark, metaPath).head()
+        row.schema.fieldNames.toSeq.map(f => f -> row.getAs[Long](f))
+      }
+    val merged = (stored.toMap ++ fields.toMap).toSeq.sortBy(_._1)
+    val out = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(merged.map(_._2))),
+      org.apache.spark.sql.types.StructType(merged.map { case (nm, _) =>
+        org.apache.spark.sql.types.StructField(nm, org.apache.spark.sql.types.LongType)
+      }))
+    Zones.overwriteSwap(out, metaPath)
   }
 
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -1336,7 +1413,15 @@ object Dedup {
     val keyed = embeddingSignatureRows(df, idCol, vecCol, bands, bitsPerBand, seed)
       .cache()
     if (keyed.isEmpty) { keyed.unpersist(); return }
+    // dim is part of the hash function: same seed at a different
+    // dimensionality draws different hyperplanes (see [[guardZoneGeometry]])
+    val geometry = Seq(
+      "bands" -> bands.toLong, "bits_per_band" -> bitsPerBand.toLong,
+      "seed" -> seed,
+      "dim" -> keyed.select(size(col("v"))).head().getInt(0).toLong)
+    guardZoneGeometry(spark, path, mode, geometry)
     keyed.write.mode(mode).parquet(path)
+    recordZoneGeometry(spark, path, geometry)
     // bucket counts ride next to the index (hidden _counts side-file):
     // daily probes then never recount the corpus — see [[readBucketCounts]]
     mergeBucketCountsZone(

@@ -265,6 +265,24 @@ object CorpusRun {
     val paraFpPath = s"$whDir/corpus/para_fp"
     val statsPath = s"$whDir/corpus/stats"
 
+    // MinHash geometry guard — the raw-zone writers' discipline
+    // ([[Dedup.guardZoneGeometry]]) applied to the warehouse's own sig
+    // zones, which this pipeline writes directly: the standing signatures
+    // and band counts are joinable across days ONLY under one
+    // (ShingleN, NumHashes, Bands); a binary whose constants moved would
+    // append keys from a different hash function and every cross-day
+    // probe would silently under-match — no per-day gate can see it.
+    // Thresholds and quality rules are POLICY (legitimately evolvable
+    // mid-corpus) and deliberately not pinned. A pre-guard warehouse
+    // verifies vacuously and is adopted; the refusal lands as this run's
+    // FAILED ledger row (the ops surface).
+    val geometry = Seq(
+      "shingle_n" -> ShingleN.toLong, "num_hashes" -> NumHashes.toLong,
+      "bands" -> Bands.toLong)
+    Dedup.guardZoneGeometry(spark, s"$whDir/corpus", "append", geometry,
+      subject = "corpus warehouse")
+    Dedup.recordZoneGeometry(spark, s"$whDir/corpus", geometry)
+
     // A day whose MONTH has already been folded cannot be (re)run: its
     // prior-days probe filter (`ingest_day < runDate`) would admit the
     // whole month partition — including sibling days AFTER this date —

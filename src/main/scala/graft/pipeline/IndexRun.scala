@@ -60,8 +60,36 @@ object IndexRun {
     */
   val SigBands = 8
   val SigBitsPerBand = 8
+  val SigMaxBitsPerBand = 16
   val SigSeed = 42L
   val SigRetrainInflation = 4.0
+
+  /** Size-driven signature geometry, FROZEN per index version: square
+    * b×b with b = clamp(8, 16, ⌈log₂n⌉ − 4). Even with perfectly
+    * balanced buckets (concentration at its floor — the drift signal
+    * can't see this), a band probe against an N-row zone collides with
+    * N·2⁻ᵇ random vectors per increment row: at a FIXED 8-bit geometry
+    * that term grows linearly with the corpus (measured: 14.9M
+    * candidates / 15.4 s at the 100× probe scale vs 200k / 2.6 s under
+    * 16-bit bands — BASELINE.md "Round-12 scale table", the e3ab A/B).
+    * This policy pins it: b tracks log₂n, so N·2⁻ᵇ ≤ 2⁴ = 16 expected
+    * random collisions per probe row per band across the whole ladder,
+    * until the 16-bit cap (n > 2²⁰) past which the linear term resumes
+    * at a 4096×-reduced slope. Recall at the b×b square geometries is
+    * flat-high: for cosine ≥ 0.99 (p = 1 − acos(0.99)/π ≈ 0.955),
+    * 1−(1−p^b)^b ≥ 0.9999 for every b ∈ [8,16] — more selective bands,
+    * but more of them. The geometry is a BUILD-time decision stored in
+    * meta; appends and probes always ride the stored geometry (mixing
+    * band keys from different geometries in one index is meaningless),
+    * and corpus growth across a policy step trips a REBUILD into the
+    * next version — the occupancy-trip discipline of the semantic index,
+    * applied to band width.
+    */
+  def sigGeometry(n: Long): (Int, Int) = {
+    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val b = math.max(SigBitsPerBand, math.min(SigMaxBitsPerBand, ceilLog2 - 4))
+    (b, b)
+  }
 
   /** Semantic-cluster index stage (the SemDeDup-zone analog of the IVF
     * stage; CorpusRun's corpus/sem_index zone runs the same lifecycle
@@ -205,15 +233,16 @@ object IndexRun {
     * the day-partitioned counts zone (Σ over bands of bucket sizes is
     * bands·N, so no index scan even for the denominator).
     */
-  private def sigConcentration(spark: SparkSession, versionPath: String): (Long, Double) = {
+  private def sigConcentration(
+      spark: SparkSession, versionPath: String, bands: Int): (Long, Double) = {
     val totals = spark.read.parquet(s"$versionPath/counts")
       .groupBy("band", "key").agg(sum("__n").as("n"))
     val row = totals.agg(
       sum(expr("n * (n - 1)")), sum(col("n"))).head()
     if (row.isNullAt(1)) return (0L, 0.0)
     val mass = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val n = row.getLong(1) / SigBands
-    (n, if (n < 2) 0.0 else mass.toDouble / (SigBands.toDouble * n * (n - 1)))
+    val n = row.getLong(1) / bands
+    (n, if (n < 2) 0.0 else mass.toDouble / (bands.toDouble * n * (n - 1)))
   }
 
   /** Day-partitioned (band, key) counts of one keyed batch — shared by
@@ -238,18 +267,19 @@ object IndexRun {
     */
   private def buildSigVersion(
       spark: SparkSession, vPath: String,
-      rows: org.apache.spark.sql.DataFrame, seed: Long): (Long, Double) = {
+      rows: org.apache.spark.sql.DataFrame, seed: Long,
+      bands: Int, bitsPerBand: Int): (Long, Double) = {
     import graft.operators.Dedup
     fsFor(spark, vPath).delete(new org.apache.hadoop.fs.Path(vPath), true)
     val keyed = Dedup.embeddingSignatureRows(
-        rows, "id", "v", SigBands, SigBitsPerBand, seed, carryCols = Seq("ingest_day"))
+        rows, "id", "v", bands, bitsPerBand, seed, carryCols = Seq("ingest_day"))
       .localCheckpoint()
     val dim = keyed.agg(first(size(col("v")))).head().getInt(0)
     dayOverwrite(keyed, s"$vPath/index")
     dayOverwrite(sigCounts(keyed), s"$vPath/counts")
-    val (n, c) = sigConcentration(spark, vPath)
+    val (n, c) = sigConcentration(spark, vPath, bands)
     import spark.implicits._
-    Seq((n, seed, SigBands, SigBitsPerBand, dim, c))
+    Seq((n, seed, bands, bitsPerBand, dim, c))
       .toDF("n_vectors", "seed", "bands", "bits_per_band", "dim", "baseline_concentration")
       .write.mode("overwrite").parquet(s"$vPath/meta")
     (n, c)
@@ -275,12 +305,14 @@ object IndexRun {
     currentSigIndexPath(spark, base) match {
       case None =>
         // emptiness judged AFTER the null-vector filter (an all-null
-        // increment must not crash the dim lookup inside the build)
-        if (v.filter(col("v").isNotNull).isEmpty)
-          return "SIG: empty increment, nothing to build."
-        val (n, c) = buildSigVersion(spark, s"$base/v1", v, SigSeed)
+        // increment must not crash the dim lookup inside the build);
+        // the count doubles as the geometry policy's input
+        val n0 = v.filter(col("v").isNotNull).count()
+        if (n0 == 0) return "SIG: empty increment, nothing to build."
+        val (gBands, gBits) = sigGeometry(n0)
+        val (n, c) = buildSigVersion(spark, s"$base/v1", v, SigSeed, gBands, gBits)
         writePointer(spark, base, "v1")
-        f"SIG: BUILT lsh(${SigBands}x$SigBitsPerBand) v1 from $n vector(s), " +
+        f"SIG: BUILT lsh(${gBands}x$gBits) v1 from $n vector(s), " +
           f"concentration $c%.5f."
       case Some(live) =>
         repairPointer(spark, base, live)
@@ -288,18 +320,16 @@ object IndexRun {
         val meta = spark.read.parquet(s"$live/meta").head()
         val seed = meta.getAs[Long]("seed")
         val c0 = meta.getAs[Double]("baseline_concentration")
-        // the stored geometry is the APPEND CONTRACT, not decoration: a
-        // binary whose band constants moved (or an increment of a
-        // different embedding dimension → different hyperplanes for the
-        // same seed) would silently mix incompatible keys into one index
-        require(
-          meta.getAs[Int]("bands") == SigBands &&
-            meta.getAs[Int]("bits_per_band") == SigBitsPerBand,
-          s"signature index at $live was built as lsh(${meta.getAs[Int]("bands")}x" +
-            s"${meta.getAs[Int]("bits_per_band")}) but this build appends " +
-            s"lsh(${SigBands}x$SigBitsPerBand) — rebuild, don't mix geometries")
+        // the STORED geometry is the append contract — band keys from a
+        // different (bands, bitsPerBand, dim) are meaningless against the
+        // standing ones (same seed, different hyperplanes), so the
+        // increment is keyed under what the version was BUILT with, never
+        // under this binary's defaults; growth past a policy step is the
+        // geometry trip's job below, not a silent re-key
+        val bands = meta.getAs[Int]("bands")
+        val bits = meta.getAs[Int]("bits_per_band")
         val keyed = Dedup.embeddingSignatureRows(
-            v, "id", "v", SigBands, SigBitsPerBand, seed)
+            v, "id", "v", bands, bits, seed)
           .withColumn("ingest_day", lit(runDate))
           .localCheckpoint()
         val nApp = keyed.count()
@@ -312,23 +342,79 @@ object IndexRun {
           dayOverwrite(keyed, s"$live/index")
           dayOverwrite(sigCounts(keyed), s"$live/counts")
         }
-        val (n, c) = sigConcentration(spark, live)
+        val (n, c) = sigConcentration(spark, live, bands)
         // reference = max(baseline, random-hash floor): below 2^-r the
         // buckets are balanced by construction and differences are noise
-        val floor = math.pow(2.0, -SigBitsPerBand)
+        val floor = math.pow(2.0, -bits)
         val ref = math.max(c0, floor)
         val ratio = if (ref > 0) c / ref else 1.0
+        // two independent rebuild trips: CONCENTRATION (bucket imbalance
+        // — the data moved under the planes; cured by re-seeding) and
+        // GEOMETRY (the corpus outgrew the band width — concentration is
+        // blind to this: balanced 2^-b buckets at 2^(b+5) rows sit at the
+        // floor while every probe row drags 2⁵ random candidates per
+        // band; cured by wider bands, same seed). Both rebuild into the
+        // next version at the policy geometry for the corpus as it now
+        // stands, so one rebuild settles both signals.
+        val (gBands, gBits) = sigGeometry(n)
+        val geomTrip = gBits > bits
         val head = f"SIG: appended $nApp vector(s), concentration $c%.5f " +
           f"(ratio $ratio%.2f vs ref $ref%.5f, retrain at $retrainInflation%.1fx)."
-        if (ratio > retrainInflation) {
+        if (ratio > retrainInflation || geomTrip) {
           val nextV = s"v${versionOf(live) + 1}"
           val all = spark.read.parquet(s"$live/index")
             .select(col("id"), col("v"), col("ingest_day").cast("string").as("ingest_day"))
-          val (nR, cR) = buildSigVersion(spark, s"$base/$nextV", all, seed + 1)
+          val nextSeed = if (ratio > retrainInflation) seed + 1 else seed
+          val (nR, cR) = buildSigVersion(
+            spark, s"$base/$nextV", all, nextSeed, gBands, gBits)
           writePointer(spark, base, nextV)
-          head + f" RETRAINED: $nextV rebuilt ($nR vector(s)) under re-seeded planes " +
-            f"(seed ${seed + 1}), baseline reset to $cR%.5f, pointer flipped."
+          val why =
+            if (ratio > retrainInflation && geomTrip)
+              f"concentration + corpus growth (re-seeded to ${nextSeed}, " +
+                f"widened to lsh(${gBands}x$gBits))"
+            else if (ratio > retrainInflation)
+              f"concentration (re-seeded planes, seed $nextSeed, lsh(${gBands}x$gBits))"
+            else
+              f"corpus growth (lsh(${bands}x$bits) → lsh(${gBands}x$gBits), seed kept)"
+          head + f" RETRAINED: $nextV rebuilt ($nR vector(s)) — $why, " +
+            f"baseline reset to $cR%.5f, pointer flipped."
         } else head
+    }
+  }
+
+  /** Probe the live signature index for near-duplicates of `increment`
+    * under the version's OWN stored geometry and seed — the only correct
+    * way to query a size-policy index (a caller passing this binary's
+    * default geometry against a version built wider would compute keys
+    * from different hyperplanes and silently match nothing). Reads meta
+    * (kilobytes) + the stored counts zone (the hot-bucket defense's
+    * input, no index counting scan); returns (id_a < id_b) pairs at
+    * cosine ≥ `threshold`, or an empty pair frame when no version is
+    * live yet.
+    */
+  def sigQuery(
+      spark: SparkSession,
+      base: String,
+      increment: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucket: Int = graft.operators.Dedup.DefaultMaxBucket): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    currentSigIndexPath(spark, base) match {
+      case None =>
+        increment.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
+      case Some(live) =>
+        val meta = spark.read.parquet(s"$live/meta").head()
+        val counts = spark.read.parquet(s"$live/counts")
+          .groupBy("band", "key").agg(sum("__n").as("__n"))
+        Dedup.embeddingNearDupIncremental(
+          spark.read.parquet(s"$live/index"), increment, idCol, vecCol, threshold,
+          bands = meta.getAs[Int]("bands"),
+          bitsPerBand = meta.getAs[Int]("bits_per_band"),
+          seed = meta.getAs[Long]("seed"),
+          maxBucket = maxBucket,
+          indexCounts = Some(counts))
     }
   }
 

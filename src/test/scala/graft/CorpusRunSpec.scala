@@ -733,4 +733,55 @@ class CorpusRunSpec extends SparkSpec {
       "ledger published total diverges from the docs zone")
     pub.unpersist(); led.unpersist()
   }
+
+  test("warehouse geometry guard: a binary with moved MinHash constants refuses the standing corpus; legacy warehouses adopt") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_whgeom").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val in1 = drop("d1", docs((1L to 4L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i", "web"))))
+    assert(CorpusRun.run(spark, in1, wh, "2026-03-01 02:00:00") == "SUCCESS")
+    val metaDir = s"$wh/corpus/_geometry"
+    assert(Zones.exists(spark, metaDir), "day 1 must record the warehouse geometry")
+    assert(Zones.read(spark, metaDir).head().getAs[Long]("num_hashes") ==
+      CorpusRun.NumHashes.toLong)
+
+    // a "binary whose constants moved": tamper the recorded geometry so
+    // the standing warehouse disagrees with this build's constants — the
+    // next run must refuse BEFORE touching any zone, and the refusal
+    // must land as the day's FAILED ledger row (the ops surface)
+    graft.operators.Dedup.recordZoneGeometry(
+      spark, s"$wh/corpus", Seq("num_hashes" -> 16L))
+    val docsCensus = fileCensus(s"$wh/corpus/docs")
+    val in2 = drop("d2", docs(Seq((10L, "iota kappa lambda mu nu xi omicron", "web"))))
+    val e = intercept[IllegalArgumentException] {
+      CorpusRun.run(spark, in2, wh, "2026-03-02 02:00:00")
+    }
+    assert(e.getMessage.contains("different geometry") &&
+      e.getMessage.contains("num_hashes"), e.getMessage)
+    assert(fileCensus(s"$wh/corpus/docs") == docsCensus,
+      "a refused run must not have published docs")
+    val lastRow = Zones.read(spark, s"$wh/control/corpus_log")
+      .orderBy(col("id").desc).head()
+    assert(lastRow.getAs[String]("status") == "FAILED" &&
+      lastRow.getAs[String]("message").contains("different geometry"),
+      s"the refusal must be a FAILED ledger row: $lastRow")
+
+    // restore → the same day runs clean (the FAILED row does not gate)
+    graft.operators.Dedup.recordZoneGeometry(
+      spark, s"$wh/corpus", Seq("num_hashes" -> CorpusRun.NumHashes.toLong))
+    assert(CorpusRun.run(spark, in2, wh, "2026-03-02 03:00:00") == "SUCCESS")
+
+    // legacy warehouse (predates the side-meta): verifies vacuously and
+    // is adopted by the next run
+    Zones.delete(spark, metaDir)
+    val in3 = drop("d3", docs(Seq((20L, "pi rho sigma tau upsilon phi chi", "web"))))
+    assert(CorpusRun.run(spark, in3, wh, "2026-03-03 02:00:00") == "SUCCESS")
+    assert(Zones.exists(spark, metaDir), "the next run must adopt a legacy warehouse")
+  }
 }

@@ -614,4 +614,73 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"small-self fast path must still confirm pairs: $pairs")
   }
+
+  test("signature zone geometry guard: mixed-hash-function appends refuse, legacy zones adopt") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zonegeom").toFile.getAbsolutePath
+
+    // ── MinHash zone ─────────────────────────────────────────────────────
+    val docs1 = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs2 = Seq((2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val mz = s"$tmp/minhash"
+    Dedup.writeSignatureIndex(spark, mz, docs1, "doc_id", "text", 3, 32,
+      mode = "overwrite", bands = 16)
+    // same geometry appends fine; the _geometry side-file is invisible to
+    // the zone's readers
+    Dedup.writeSignatureIndex(spark, mz, docs2, "doc_id", "text", 3, 32, bands = 16)
+    assert(Dedup.readSignatureIndex(spark, mz).count() == 2)
+    // different num_hashes / shingle_n / banding each refuse before writing
+    for ((n, h, b) <- Seq((3, 16, 16), (4, 32, 16), (3, 32, 8))) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(spark, mz, docs2, "doc_id", "text", n, h, bands = b)
+      }
+      assert(e.getMessage.contains("different geometry"), e.getMessage)
+    }
+    assert(Dedup.readSignatureIndex(spark, mz).count() == 2,
+      "a refused append must not have written rows")
+    // a counts-less append under the same hash function is allowed (the
+    // counts zone goes stale, which the staleness machinery tolerates) —
+    // and must not erase the recorded banding
+    Dedup.writeSignatureIndex(spark, mz, docs2.withColumn("doc_id", lit(3L)),
+      "doc_id", "text", 3, 32)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(spark, mz, docs2, "doc_id", "text", 3, 32, bands = 8)
+    }
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
+
+    // ── legacy zone (predates the side-meta): verifies vacuously, adopts ─
+    val lz = s"$tmp/legacy"
+    Dedup.signatureIndex(docs1, "doc_id", "text", 3, 32).write.parquet(lz)
+    Dedup.writeSignatureIndex(spark, lz, docs2, "doc_id", "text", 3, 32, bands = 16)
+    assert(Dedup.readSignatureIndex(spark, lz).count() == 2)
+    intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(spark, lz, docs2, "doc_id", "text", 3, 16, bands = 16)
+    }
+
+    // ── embedding zone: seed and dim are part of the hash function ──────
+    val ez = s"$tmp/emb"
+    val v1 = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    val v2 = Seq((2L, Seq(4.0, 3.0, 2.0, 1.0))).toDF("id", "v")
+    Dedup.writeEmbeddingSignatureIndex(spark, ez, v1, "id", "v", mode = "overwrite")
+    Dedup.writeEmbeddingSignatureIndex(spark, ez, v2, "id", "v")
+    assert(Dedup.readEmbeddingSignatureIndex(spark, ez).count() == 2)
+    val eSeed = intercept[IllegalArgumentException] {
+      Dedup.writeEmbeddingSignatureIndex(spark, ez, v2, "id", "v", seed = 43L)
+    }
+    assert(eSeed.getMessage.contains("seed"), eSeed.getMessage)
+    val vDim = Seq((3L, Seq(1.0, 2.0))).toDF("id", "v")
+    val eDim = intercept[IllegalArgumentException] {
+      Dedup.writeEmbeddingSignatureIndex(spark, ez, vDim, "id", "v")
+    }
+    assert(eDim.getMessage.contains("dim"), eDim.getMessage)
+    val eGeom = intercept[IllegalArgumentException] {
+      Dedup.writeEmbeddingSignatureIndex(spark, ez, v2, "id", "v", bands = 16, bitsPerBand = 16)
+    }
+    assert(eGeom.getMessage.contains("bands"), eGeom.getMessage)
+    // an OVERWRITE legitimately starts a new contract
+    Dedup.writeEmbeddingSignatureIndex(spark, ez, v2, "id", "v",
+      bands = 16, bitsPerBand = 16, mode = "overwrite")
+    assert(Dedup.readEmbeddingSignatureIndex(spark, ez)
+      .select(size(col("bkeys"))).head().getInt(0) == 16)
+  }
 }

@@ -224,6 +224,95 @@ class IndexRunSpec extends SparkSpec {
       "retried day must replace its own signature partition, not double-append")
   }
 
+  test("signature index: size-policy geometry frozen per version, appends under stored geometry, growth-tripped widening rebuild") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_siggeom").toFile.getAbsolutePath
+    val wh = s"$tmp/wh"
+    val base = s"$wh/index/sig"
+    def sig: String = IndexRun.currentSigIndexPath(spark, base)
+      .getOrElse(fail("no live signature index version"))
+    def drop(day: String, df: DataFrame): String = {
+      val dir = s"$tmp/in_$day"
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def spread(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, (0 until 6).map(j => ((i * 31 + j * 7) % 97) / 97.0 - 0.5)))
+
+    // the policy itself: floor, ladder, cap — and its collision invariant
+    // n·2^-b ≤ 16 on the ladder's interior
+    assert(IndexRun.sigGeometry(64L) == ((8, 8)), "small corpora sit at the 8x8 floor")
+    assert(IndexRun.sigGeometry(4096L) == ((8, 8)), "2^12 is the floor's last size")
+    assert(IndexRun.sigGeometry(4097L) == ((9, 9)), "one past 2^12 steps to 9x9")
+    assert(IndexRun.sigGeometry(1L << 20) == ((16, 16)), "2^20 realizes the 16x16 cap")
+    assert(IndexRun.sigGeometry(1L << 40) == ((16, 16)), "the cap holds past it")
+    for (n <- Seq(5000L, 60000L, 300000L, 1000000L)) {
+      val (_, b) = IndexRun.sigGeometry(n)
+      assert(n.toDouble / (1L << b) <= 16.0,
+        s"policy invariant violated at n=$n: ${n.toDouble / (1L << b)} > 16 " +
+          "expected random collisions per probe row per band")
+    }
+
+    // ── day 1: 5000 vectors → policy realizes 9x9, frozen in meta ───────
+    val in1 = drop("g1", vecs(spread(0 until 5000)))
+    assert(IndexRun.run(spark, in1, wh, "2026-07-01 03:00:00", nCells = 4) == "SUCCESS")
+    assert(lastMessage(wh).contains("SIG: BUILT lsh(9x9) v1 from 5000 vector(s)"),
+      s"unexpected: ${lastMessage(wh)}")
+    val meta1 = spark.read.parquet(s"$sig/meta").head()
+    assert(meta1.getAs[Int]("bands") == 9 && meta1.getAs[Int]("bits_per_band") == 9)
+    assert(spark.read.parquet(s"$sig/index").select(size(col("bkeys"))).head().getInt(0) == 9,
+      "stored rows must carry one key per policy band")
+
+    // ── day 2: small append — the version's stored 9x9 geometry rules,
+    // NOT this binary's 8x8 default; no trip at n=5100 ──────────────────
+    val in2 = drop("g2", vecs(spread(10000 until 10100)))
+    assert(IndexRun.run(spark, in2, wh, "2026-07-02 03:00:00", nCells = 4) == "SUCCESS")
+    assert(!lastMessage(wh).split("SIG:")(1).contains("RETRAINED"),
+      s"a same-step append must not trip: ${lastMessage(wh)}")
+    assert(sig == s"$base/v1")
+    val day2Keys = spark.read.parquet(s"$sig/index")
+      .filter(col("ingest_day") === "2026-07-02")
+    assert(day2Keys.select(size(col("bkeys"))).head().getInt(0) == 9,
+      "appended rows must be keyed under the STORED geometry")
+    // an exact twin of a day-1 vector is found through the stored keys by
+    // sigQuery — which reads geometry and seed from meta, so a caller
+    // can't desynchronize from the version
+    val twin = vecs(spread(42 until 43)).withColumn("vec_id", lit(999999L))
+    val hits = IndexRun.sigQuery(spark, base, twin, "vec_id", "embedding", 0.99)
+    assert(hits.filter(col("id_a") === 42L || col("id_b") === 42L).count() >= 1,
+      "sigQuery under the stored 9x9 geometry must find the planted twin")
+
+    // ── day 3: growth crosses the 2^13 step — geometry trip widens the
+    // index to 10x10 in a NEW version, seed unchanged (no concentration
+    // signal fired), pointer flipped ────────────────────────────────────
+    val in3 = drop("g3", vecs(spread(20000 until 23200)))
+    assert(IndexRun.run(spark, in3, wh, "2026-07-03 03:00:00", nCells = 4) == "SUCCESS")
+    val msg3 = lastMessage(wh)
+    assert(msg3.split("SIG:")(1).contains("RETRAINED") &&
+      msg3.contains("corpus growth") && msg3.contains("lsh(9x9) → lsh(10x10)"),
+      s"crossing a policy step must widen the geometry: $msg3")
+    assert(sig == s"$base/v2", "geometry rebuild must advance the version")
+    val meta2 = spark.read.parquet(s"$sig/meta").head()
+    assert(meta2.getAs[Int]("bands") == 10 && meta2.getAs[Int]("bits_per_band") == 10)
+    assert(meta2.getAs[Long]("seed") == IndexRun.SigSeed,
+      "a growth-only rebuild keeps the seed — re-seeding is the concentration cure")
+    assert(spark.read.parquet(s"$sig/index").count() == 5000 + 100 + 3200,
+      "the widening rebuild must preserve every vector")
+    assert(spark.read.parquet(s"$sig/index").select(size(col("bkeys"))).head().getInt(0) == 10)
+
+    // ── the widened version still answers: the day-1 twin is found under
+    // 10x10 through sigQuery's meta-driven probe ────────────────────────
+    val hits2 = IndexRun.sigQuery(spark, base, twin, "vec_id", "embedding", 0.99)
+    assert(hits2.filter(col("id_a") === 42L || col("id_b") === 42L).count() >= 1,
+      "post-widening sigQuery must still find the planted twin")
+
+    // ── day 4: append inside the new step — calm ────────────────────────
+    val in4 = drop("g4", vecs(spread(30000 until 30100)))
+    assert(IndexRun.run(spark, in4, wh, "2026-07-04 03:00:00", nCells = 4) == "SUCCESS")
+    assert(!lastMessage(wh).split("SIG:")(1).contains("RETRAINED"),
+      s"post-widening same-step append must not re-trip: ${lastMessage(wh)}")
+  }
+
   test("semantic index: build, frozen-geometry append, occupancy re-cluster at grown k, retry idempotent, e5 contract post-retrain") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_semrun").toFile.getAbsolutePath
