@@ -121,8 +121,104 @@ object Curation {
     * (`sparkContext.setCheckpointDir`), rounds checkpoint there instead —
     * durable blocks that survive executor loss mid-loop on a cluster.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponentsCounted(pairs, aCol, bCol)._1
+  /** Edge sets at or below this take the single-task union-find kernel
+    * (~100 MB peak in that task); above it, the iterative O(log n)-round
+    * label propagation stands. The bound is on EDGES — nodes ≤ 2·edges.
+    */
+  private[graft] val CcKernelMaxEdges = 4L * 1000 * 1000
+
+  /** Connected components: every node that appears in `pairs` labeled
+    * with its component's minimum id.
+    *
+    * Bounded dispatch (the [[graft.operators.Dedup.semanticDedup]]
+    * kernel pattern): dup-pair graphs are the SPARSE residue of banded
+    * candidate generation — at any corpus size the pair count is a tiny
+    * fraction of the corpus — so the common case fits one task. Edge
+    * sets ≤ [[CcKernelMaxEdges]] with integral ids run an exact
+    * union-find in a single `mapPartitions` task (one job, executor-side
+    * — never a driver collect) instead of O(log diameter) rounds of
+    * checkpointed joins at ~4 jobs each. Larger graphs and non-integral
+    * id types take the iterative route unchanged. Both routes emit the
+    * identical (id, label = component min) relation; the upstream pair
+    * plan executes exactly once either way (the raw edge checkpoint
+    * doubles as the dispatch count's materialization — the iterative
+    * route previously re-executed the pair plan for the reversed union
+    * leg).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema(aCol).dataType
+    val kernelCapable = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!kernelCapable) return connectedComponentsCounted(pairs, aCol, bCol)._1
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val raw = materialize(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    if (raw.count() <= CcKernelMaxEdges) ccKernel(raw, idType)
+    else connectedComponentsCounted(raw, "src", "dst")._1
+  }
+
+  /** The single-task exact route of [[connectedComponents]]: gather the
+    * (already-materialized) edge list into one task, union-find with
+    * path halving over index-compressed ids, label = ids[root] — roots
+    * always point at the smaller index and ids are sorted, so the root's
+    * id IS the component minimum. Primitive arrays throughout: at the
+    * 4M-edge bound the task peaks near 100 MB.
+    */
+  private def ccKernel(
+      raw: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val labeled = raw
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val srcB = new scala.collection.mutable.ArrayBuilder.ofLong
+        val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) { val e = it.next(); srcB += e._1; dstB += e._2 }
+        val src = srcB.result(); val dst = dstB.result()
+        if (src.isEmpty) Iterator.empty
+        else {
+          val all = new Array[Long](src.length * 2)
+          System.arraycopy(src, 0, all, 0, src.length)
+          System.arraycopy(dst, 0, all, src.length, dst.length)
+          java.util.Arrays.sort(all)
+          var n = 0
+          var i = 0
+          while (i < all.length) {
+            if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+            i += 1
+          }
+          val ids = java.util.Arrays.copyOf(all, n)
+          val parent = Array.tabulate(n)(identity)
+          def find(x0: Int): Int = {
+            var x = x0
+            while (parent(x) != x) {
+              parent(x) = parent(parent(x)) // path halving
+              x = parent(x)
+            }
+            x
+          }
+          i = 0
+          while (i < src.length) {
+            val ra = find(java.util.Arrays.binarySearch(ids, src(i)))
+            val rb = find(java.util.Arrays.binarySearch(ids, dst(i)))
+            // attach the larger-index root under the smaller: the root's
+            // index (hence id, ids sorted) is the component minimum
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+            i += 1
+          }
+          (0 until n).iterator.map(j => (ids(j), ids(find(j))))
+        }
+      }
+      .toDF("id", "label")
+    labeled.select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+  }
 
   /** [[connectedComponents]] plus the number of propagation rounds it
     * took — exposed so the scale spec can assert the O(log diameter)
@@ -141,10 +237,15 @@ object Curation {
     var labels = materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
-    // min-propagation only ever DECREASES labels, so the label sum is a
-    // strictly decreasing integer convergence witness: one cheap
+    // min-propagation only ever DECREASES labels, so for NUMERIC ids the
+    // label sum is a strictly decreasing convergence witness: one cheap
     // aggregation per round instead of a joined changed-row count.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // Non-numeric ids order fine under min/least but don't sum — they
+    // take the exact changed-row count (one checkpoint-to-checkpoint
+    // join per round, on what is in practice the rare id shape).
+    val numericLabels = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    var prevSum: Any = if (numericLabels) labels.agg(sum(col("label"))).head().get(0) else null
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -163,9 +264,16 @@ object Curation {
             propM.select(col("id").as("label"), col("label").as("parent")).alias("p"),
             Seq("label"), "left")
           .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label")))
-      val s = next.agg(sum(col("label"))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      if (numericLabels) {
+        val s = next.agg(sum(col("label"))).head().get(0)
+        converged = s == prevSum
+        prevSum = s
+      } else {
+        converged = next.alias("n")
+          .join(labels.alias("o"), Seq("id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+      }
       labels = next
     }
     (labels, rounds)

@@ -16,6 +16,39 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("union-find kernel ≡ iterative propagation, and non-numeric ids route iterative") {
+    import spark.implicits._
+    // adversarial mix for the kernel: a chain whose edges arrive in
+    // descending order (the union-by-min worst case for tree depth),
+    // stars, a merge edge bridging two components, self edges
+    // (dupClustersIncremental emits them for canonicals), duplicate and
+    // reversed duplicates of the same edge
+    val edges =
+      (0L until 200L).reverse.map(i => (i + 1L, i)) ++ // descending chain 0..200
+        (0L until 5L).flatMap(h => (1L to 8L).map(l => (1000L + h, 2000L + h * 10 + l))) ++
+        Seq((200L, 1000L), (3000L, 3000L), (10L, 11L), (11L, 10L), (10L, 11L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaKernel = Curation.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaIterative = Curation.connectedComponentsCounted(pairs, "id_a", "id_b")._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaKernel.sameElements(viaIterative),
+      "kernel and iterative routes disagree")
+    // the bridged chain+star component is labeled by the global min 0
+    val m = viaKernel.toMap
+    assert(m(1000L) == 0L && m(200L) == 0L && m(2000L + 0L * 10 + 3L) == 0L)
+    assert(m(3000L) == 3000L, "self-edge singleton keeps its own label")
+    // string ids are outside the kernel's order — the iterative route
+    // must carry them and agree with the long-id answer
+    val strPairs = pairs.select(
+      format_string("doc_%04d", col("id_a")).as("id_a"),
+      format_string("doc_%04d", col("id_b")).as("id_b"))
+    val viaStr = Curation.connectedComponents(strPairs, "id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val expected = viaKernel.map { case (id, l) => (f"doc_$id%04d", f"doc_$l%04d") }.sorted
+    assert(viaStr.sameElements(expected), "string-id route disagrees with long-id labels")
+  }
+
   test("connectedComponents: 50k chain + stars converge in O(log n) rounds, flat plan") {
     import spark.implicits._
     val n = 50000L

@@ -244,14 +244,24 @@ class IndexRunSpec extends SparkSpec {
     assert(IndexRun.sigGeometry(64L) == ((8, 8)), "small corpora sit at the 8x8 floor")
     assert(IndexRun.sigGeometry(4096L) == ((8, 8)), "2^12 is the floor's last size")
     assert(IndexRun.sigGeometry(4097L) == ((9, 9)), "one past 2^12 steps to 9x9")
-    assert(IndexRun.sigGeometry(1L << 20) == ((16, 16)), "2^20 realizes the 16x16 cap")
-    assert(IndexRun.sigGeometry(1L << 40) == ((16, 16)), "the cap holds past it")
-    for (n <- Seq(5000L, 60000L, 300000L, 1000000L)) {
+    assert(IndexRun.sigGeometry(1L << 20) == ((16, 16)), "2^20 sits mid-ladder at 16x16")
+    assert(IndexRun.sigGeometry(1L << 30) == ((26, 26)),
+      "2^30 (~10^9 rows — the 100 TB decade) realizes the 26x26 cap")
+    assert(IndexRun.sigGeometry(1L << 40) == ((26, 26)), "the cap holds past it")
+    for (n <- Seq(5000L, 60000L, 300000L, 1000000L, 1L << 24, 1L << 30)) {
       val (_, b) = IndexRun.sigGeometry(n)
       assert(n.toDouble / (1L << b) <= 16.0,
         s"policy invariant violated at n=$n: ${n.toDouble / (1L << b)} > 16 " +
           "expected random collisions per probe row per band")
     }
+    // the cap is the recall floor's choice: every rung clears recall ≥
+    // 0.9999 at cosine 0.99 under the square-geometry formula, and the
+    // NEXT rung (27) would not — 26 is maximal, not arbitrary
+    val p = 1.0 - math.acos(0.99) / math.Pi
+    def recall(b: Int): Double = 1.0 - math.pow(1.0 - math.pow(p, b), b)
+    for (b <- 8 to 26)
+      assert(recall(b) >= 0.9999, f"rung $b recall ${recall(b)}%.6f below the 0.9999 bar")
+    assert(recall(27) < 0.9999, "b=27 clears the bar — the cap should be raised")
 
     // ── day 1: 5000 vectors → policy realizes 9x9, frozen in meta ───────
     val in1 = drop("g1", vecs(spread(0 until 5000)))
