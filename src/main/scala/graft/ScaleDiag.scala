@@ -26,6 +26,7 @@ object ScaleDiag {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 2 && args(2) == "e3ab") { e3GeometryAB(spark, genDir, workDir); return }
+    if (args.length > 2 && args(2) == "ccinc") { ccIncrementalAB(spark, workDir); return }
 
     def census(cand: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val c = cand.distinct().cache()
@@ -107,6 +108,66 @@ object ScaleDiag {
       s""""${bands}x$bits":{"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"candidates":$candidates}"""
     }
     println(s"""{"probe":"e3ab","zone_embeddings":$nZone,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** Star-relabel vs affected-component A/B behind
+    * [[graft.operators.Curation.CcIncPruneMinAssignmentRows]]: a
+    * synthetic parquet assignment zone (clusters of 4) at 1M/4M/16M
+    * rows takes a fixed 2k-pair day (1k cluster bridges + 1k brand-new
+    * nodes) through both [[graft.operators.Curation.dupClustersIncremental]]
+    * routes, min-of-3 each, with an exact order-independent checksum
+    * equality check (count + decimal sum of row hashes). This measures
+    * the crossover the engagement threshold claims: below ~1M rows the
+    * pruned path's fixed job overhead loses; above it, the star
+    * relabel's full-zone component search does.
+    */
+  private def ccIncrementalAB(
+      spark: org.apache.spark.sql.SparkSession, workDir: String): Unit = {
+    import spark.implicits._
+    import graft.operators.Curation
+    def minOf3(body: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("id"), col("cluster_id"), col("cluster_size"),
+          col("is_canonical")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val parts = Seq(1000000L, 4000000L, 16000000L).map { n =>
+      val zonePath = s"$workDir/diag_cc_assignment_$n"
+      graft.sources.Zones.delete(spark, zonePath)
+      spark.range(n).select(
+        col("id"),
+        ((col("id") / 4).cast("long") * 4).as("cluster_id"),
+        lit(4L).as("cluster_size"),
+        (col("id") % 4 === 0).as("is_canonical"))
+        .write.mode("overwrite").parquet(zonePath)
+      val zone = spark.read.parquet(zonePath)
+      val stride = n / 1000 / 4 * 4
+      val pairs = ((0L until 1000L).map(i => (i * stride, i * stride + 4)) ++
+        (0L until 1000L).map(i => (n + 2 * i, n + 2 * i + 1)))
+        .toDF("id_a", "id_b")
+      val star = minOf3 {
+        Curation.dupClustersIncremental(zone, pairs, "id_a", "id_b").count()
+      }
+      val pruned = minOf3 {
+        Curation.dupClustersIncremental(zone, pairs, "id_a", "id_b",
+          assignmentRows = Some(n), maxNewNodes = Curation.CcIncMaxNewNodes,
+          minAssignmentRows = 0L).count()
+      }
+      val ok = checksum(Curation.dupClustersIncremental(zone, pairs, "id_a", "id_b")) ==
+        checksum(Curation.dupClustersIncremental(zone, pairs, "id_a", "id_b",
+          assignmentRows = Some(n), maxNewNodes = Curation.CcIncMaxNewNodes,
+          minAssignmentRows = 0L))
+      graft.sources.Zones.delete(spark, zonePath)
+      s""""x$n":{"star_sec":${BigDecimal(star).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+        s""""pruned_sec":${BigDecimal(pruned).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"match":$ok}"""
+    }
+    println(s"""{"probe":"ccinc",${parts.mkString(",")}}""")
     spark.stop()
   }
 }

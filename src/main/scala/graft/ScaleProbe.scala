@@ -89,8 +89,11 @@ object ScaleProbe {
       val newPairs = Dedup.minhashLshPairsIncremental(
         Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
         3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+      val zone = spark.read.parquet(clustersZone)
+      // the zone count is the production engagement signal (CorpusRun
+      // pays it too) — timed as part of the day cost
       Curation.dupClustersIncremental(
-        spark.read.parquet(clustersZone), newPairs, "id_a", "id_b").count()
+        zone, newPairs, "id_a", "id_b", assignmentRows = Some(zone.count())).count()
     }
 
     // ── e3: embedding signature index ───────────────────────────────────

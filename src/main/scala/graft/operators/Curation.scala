@@ -294,16 +294,51 @@ object Curation {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** New-pair node sets at or below this broadcast against the standing
+    * assignment in the affected-component path; above it, the full
+    * star-edge relabel stands (at that increment size a corpus-wide
+    * relabel is the honest cost anyway).
+    */
+  private[graft] val CcIncMaxNewNodes = 1L * 1000 * 1000
+
+  /** Assignments SMALLER than this never engage affected-component
+    * pruning: the path's fixed overhead (a new-pair checkpoint + node
+    * count, the affected-cluster derivation, two extra assignment scans)
+    * costs ~1-2 s of job scheduling whatever the data size — the same
+    * trap the round-11 broadcast probes fell into (BASELINE.md "d9/d12
+    * sf0.1 regression"). The `ScaleDiag ccinc` A/B measures the
+    * crossover on a synthetic zone with a fixed 2k-pair day: star wins
+    * at 1M rows (1.4 vs 2.4 s), pruned wins at 4M (4.2 vs 10.0 s) and
+    * is ~17× at 16M (4.6 vs 80.7 s, near-flat) — so engagement starts
+    * at the ~2M midpoint of the measured crossover.
+    */
+  private[graft] val CcIncPruneMinAssignmentRows = 2L * 1000 * 1000
+
   /** Incremental cluster maintenance: fold NEW dup pairs into an existing
     * cluster assignment without re-propagating the old pair set — the
     * daily companion of [[graft.operators.Dedup.minhashLshPairsIncremental]].
-    * The old assignment already realizes its components as STARS (every
-    * id points at its component's min id), so the merged graph is just
-    * (id → cluster_id) star edges ∪ the new pairs: connectivity and min
-    * labels are identical to oldPairs ∪ newPairs, but propagation starts
-    * depth-1 — rounds scale with the NEW pairs' diameter, not with
-    * anything about the (arbitrarily large) old components. Self edges
-    * keep canonical/singleton ids in the node set.
+    *
+    * Affected-component pruning: a day's new pairs can only change the
+    * clusters they TOUCH. The standing assignment scans once against the
+    * broadcast new-node set to name the affected cluster ids (≤ one per
+    * new node), then once more to split members from untouched rows —
+    * both scans broadcast-joined, so the assignment zone never enters an
+    * exchange (the [[graft.operators.ZoneProbes]] discipline). Only the
+    * affected members' (id → cluster_id) star edges — whose connectivity
+    * and min labels equal the old pairs restricted to those components —
+    * join the new pairs in a component search that is O(increment +
+    * affected members) whatever the corpus size; untouched rows pass
+    * through byte-identical (their STORED cluster_size/is_canonical are
+    * re-emitted — which is why pruning needs the full [[dupClusters]]
+    * relation; an (id, cluster_id)-only assignment routes around it).
+    * Pruning ENGAGES only when the caller reports the standing zone at
+    * `assignmentRows` ≥ [[CcIncPruneMinAssignmentRows]] — below that
+    * the path's fixed job overhead loses to the star relabel (see the
+    * constant's note) — and new-node sets past [[CcIncMaxNewNodes]]
+    * fall back likewise: star edges over the FULL assignment ∪ new
+    * pairs, the pre-pruning shape, still O(assignment), never O(old
+    * pairs). Self edges keep canonical/singleton ids in the node set on
+    * both routes.
     *
     * Contract: `assignment` is [[dupClusters]] output over the old pairs
     * (or this function's own output — it composes day over day); result
@@ -314,12 +349,57 @@ object Curation {
       assignment: DataFrame,
       newPairs: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
-    val starEdges = assignment.select(col("id").as("a"), col("cluster_id").as("b"))
-    val edges = starEdges.unionByName(
-      newPairs.select(col(aCol).cast(starEdges.schema("a").dataType).as("a"),
-        col(bCol).cast(starEdges.schema("b").dataType).as("b")))
-    dupClusters(edges, "a", "b")
+      bCol: String,
+      assignmentRows: Option[Long] = None): DataFrame =
+    dupClustersIncremental(assignment, newPairs, aCol, bCol, assignmentRows,
+      CcIncMaxNewNodes, CcIncPruneMinAssignmentRows)
+
+  private[graft] def dupClustersIncremental(
+      assignment: DataFrame,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      assignmentRows: Option[Long],
+      maxNewNodes: Long,
+      minAssignmentRows: Long): DataFrame = {
+    val idType = assignment.schema("id").dataType
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val np = newPairs.select(
+      col(aCol).cast(idType).as("a"), col(bCol).cast(idType).as("b"))
+    // the untouched pass-through re-emits the STORED sizes/canonicals —
+    // an (id, cluster_id)-only assignment can't ride it (recomputing
+    // sizes would re-aggregate exactly the rows pruning avoids) and
+    // takes the star-edge route instead. Engagement needs the CALLER's
+    // zone row count (metadata-cheap for a parquet zone; counting an
+    // arbitrary assignment plan here would execute it a second time).
+    val engageable =
+      assignmentRows.exists(_ >= minAssignmentRows) &&
+        Seq("cluster_size", "is_canonical").forall(assignment.columns.contains)
+    if (!engageable) {
+      val starEdges = assignment.select(col("id").as("a"), col("cluster_id").as("b"))
+      return dupClusters(starEdges.unionByName(np), "a", "b")
+    }
+    // one execution of the (typically LSH-shaped) new-pair plan, consumed
+    // by the node set and the component-search edges
+    val npM = materialize(np)
+    val newNodes = npM.select(col("a").as("id"))
+      .unionByName(npM.select(col("b").as("id"))).distinct()
+    if (newNodes.count() <= maxNewNodes) {
+      val affected = assignment
+        .join(broadcast(newNodes), Seq("id"), "left_semi")
+        .select("cluster_id").distinct()
+      val members = assignment.join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      val untouched = assignment.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      val miniEdges = members.select(col("id").as("a"), col("cluster_id").as("b"))
+        .unionByName(npM)
+      dupClusters(miniEdges, "a", "b")
+        .unionByName(untouched.select("id", "cluster_id", "cluster_size", "is_canonical"))
+    } else {
+      val starEdges = assignment.select(col("id").as("a"), col("cluster_id").as("b"))
+      dupClusters(starEdges.unionByName(npM), "a", "b")
+    }
   }
 
   /** Test-set decontamination: (train id, test id, containment) for every

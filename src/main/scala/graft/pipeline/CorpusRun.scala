@@ -515,11 +515,15 @@ object CorpusRun {
     // rewrite).
     if (!newPairs.isEmpty) {
       val assignment =
-        if (Zones.exists(spark, clustersPath))
+        if (Zones.exists(spark, clustersPath)) {
+          // zone row count = the pruning engagement signal (a footer-
+          // metadata job, not a data scan); small zones ride the star
+          // relabel, large ones the affected-component path
+          val zone = Zones.read(spark, clustersPath)
+            .select("id", "cluster_id", "cluster_size", "is_canonical")
           Curation.dupClustersIncremental(
-            Zones.read(spark, clustersPath).select("id", "cluster_id"),
-            newPairs, "id_a", "id_b")
-        else Curation.dupClusters(newPairs, "id_a", "id_b")
+            zone, newPairs, "id_a", "id_b", assignmentRows = Some(zone.count()))
+        } else Curation.dupClusters(newPairs, "id_a", "id_b")
       Zones.overwriteSwap(assignment, clustersPath)
     }
 

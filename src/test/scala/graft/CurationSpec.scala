@@ -88,8 +88,11 @@ class CurationSpec extends SparkSpec {
 
   test("dupClustersIncremental folds new pairs into an assignment, merges included") {
     import spark.implicits._
-    // old pairs: two clusters {1,2,3} and {10,11}, plus {20,21}
-    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    // old pairs: clusters {1,2,3}, {10,11}, {20,21} — and {50,51,52},
+    // which no new pair touches: it must ride the affected-component
+    // path's untouched pass-through unchanged
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (50L, 51L), (51L, 52L)).toDF("id_a", "id_b")
     val assignment = Curation.dupClusters(oldPairs, "id_a", "id_b")
     // new pairs: 3-10 BRIDGES two old clusters; 30-31 is a brand-new
     // cluster; 21-22 extends an old one
@@ -99,6 +102,23 @@ class CurationSpec extends SparkSpec {
     assertSameRows(got, full, "incremental clusters vs full recompute")
     // the bridge really merged: 11's label is now 1
     assert(got.filter(col("id") === 11L && col("cluster_id") === 1L).count() == 1)
+    // the untouched cluster survived with size and canonical intact
+    assert(got.filter(col("id") === 52L && col("cluster_id") === 50L &&
+      col("cluster_size") === 3L && !col("is_canonical")).count() == 1)
+    // the default call above rode the star relabel (no assignmentRows →
+    // pruning disengaged); force BOTH pruning arms and compare row for
+    // row: the affected-component path (engagement thresholds zeroed)
+    // and the oversized-new-node star fallback inside an engaged call
+    val viaPruned = Curation.dupClustersIncremental(
+      assignment, newPairs, "id_a", "id_b",
+      assignmentRows = Some(assignment.count()),
+      maxNewNodes = Curation.CcIncMaxNewNodes, minAssignmentRows = 0L)
+    assertSameRows(got, viaPruned, "star relabel vs affected-component path")
+    val viaEngagedFallback = Curation.dupClustersIncremental(
+      assignment, newPairs, "id_a", "id_b",
+      assignmentRows = Some(assignment.count()),
+      maxNewNodes = 0L, minAssignmentRows = 0L)
+    assertSameRows(got, viaEngagedFallback, "pruned path vs oversized-new-node fallback")
     // and composition holds: a second day over the first day's output
     val day3 = Seq((31L, 32L)).toDF("id_a", "id_b")
     val got2 = Curation.dupClustersIncremental(got, day3, "id_a", "id_b")
