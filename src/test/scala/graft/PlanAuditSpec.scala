@@ -608,6 +608,64 @@ class PlanAuditSpec extends SparkSpec {
         unbloomedZone.mkString("\n"))
   }
 
+  test("d12 pruned path: assignment zone rows never shuffle in the final plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    def scansZone(p: SparkPlan): Boolean = expand(p).exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("ccprune_audit"))
+      case _ => false
+    }
+    val root = java.nio.file.Files.createTempDirectory("ccprune_audit")
+      .toFile.getAbsolutePath
+    // a standing assignment zone: 10k nodes in clusters of 4
+    spark.range(10000L).select(
+      col("id"),
+      ((col("id") / 4).cast("long") * 4).as("cluster_id"),
+      org.apache.spark.sql.functions.lit(4L).as("cluster_size"),
+      (col("id") % 4 === 0).as("is_canonical"))
+      .write.parquet(s"$root/assignment")
+    val zone = spark.read.parquet(s"$root/assignment")
+    val pairs = Seq((0L, 8L), (100L, 20000L), (20002L, 20003L)).toDF("id_a", "id_b")
+    // engagement forced via the private thresholds — the production call
+    // engages past CcIncPruneMinAssignmentRows with the same plan shape
+    val got = graft.operators.Curation.dupClustersIncremental(
+      zone, pairs, "id_a", "id_b",
+      assignmentRows = Some(10000L),
+      maxNewNodes = graft.operators.Curation.CcIncMaxNewNodes,
+      minAssignmentRows = 0L)
+    // identity vs the star relabel first
+    val star = graft.operators.Curation.dupClustersIncremental(zone, pairs, "id_a", "id_b")
+    assert(got.exceptAll(star).isEmpty && star.exceptAll(got).isEmpty,
+      "pruned path changed the result")
+    got.collect() // finalize the adaptive plan
+    // Zone rows may ride an exchange ONLY below a broadcast semi prune
+    // (the affected-cluster-id distinct: touched rows only, bounded by
+    // the increment's reach — the pruneByKeys discipline); the untouched
+    // pass-through and members legs must carry the zone scans straight
+    // into broadcast joins, never an unpruned shuffle.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val shuffledZone = expand(got.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec if scansZone(e) &&
+          !expand(e).exists {
+            case b: BroadcastHashJoinExec => b.joinType == LeftSemi
+            case _ => false
+          } => e
+    }
+    assert(shuffledZone.isEmpty,
+      s"assignment zone rows entered an exchange without a broadcast semi prune below it:\n" +
+        shuffledZone.mkString("\n"))
+  }
+
   test("j13: autoJoin salts only the MEASURED hot key — plain plan on uniform keys, identical results") {
     import org.apache.spark.sql.functions._
     import graft.operators.SkewJoin
