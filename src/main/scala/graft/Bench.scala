@@ -96,6 +96,18 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The prior artifact's `calib_min` — the host-calibration floor of the
+    * run the drift audit compares against. With both runs' floors in
+    * hand the audit normalizes per query (v/calib vs prior/calib_prior)
+    * instead of flagging every query on a slower host.
+    */
+  private def parsePriorCalib(path: String): Option[Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      """"calib_min":(-?[0-9.Ee+-]+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+
   /** The artifact's `"sf"` field, if the (possibly head-truncated) line
     * still carries one — used to reject priors measured at a different
     * scale, whose every number would otherwise read as drift.
@@ -193,8 +205,21 @@ object Bench {
       .filter(_.nonEmpty)
       .orElse(newestPriorArtifact(sfDir))
     val prior = priorPath.map(parsePrior).getOrElse(Map.empty)
+    // drift is judged CALIB-NORMALIZED (the round-12 watch item: four
+    // untouched queries flagged on a host the calibration kernel read at
+    // 1.35× the prior run). calibFactor = this run's calib floor over the
+    // prior's — >1 means this host is slower, and a query merely tracking
+    // it is not drift. The factor only ever RAISES the trigger (min 1.0):
+    // a faster host must not mask a real regression.
+    val priorCalib = priorPath.flatMap(parsePriorCalib)
+    val passCalibMin = if (calibs.isEmpty) -1.0 else calibs.min
+    val calibFactor = priorCalib match {
+      case Some(pc) if passCalibMin > 0 => passCalibMin / pc
+      case _ => 1.0
+    }
+    val driftBar = 1.25 * math.max(1.0, calibFactor)
     val drifted = best.collect {
-      case (n, v) if v > 0 && prior.get(n).exists(p => p > 0 && v > p * 1.25) => n
+      case (n, v) if v > 0 && prior.get(n).exists(p => p > 0 && v > p * driftBar) => n
     }.toSeq
     val slowestK = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_K", "16").toInt
     val slowQueries = best.toSeq.filter(_._2 > 0).sortBy(-_._2).take(slowestK).map(_._1)
@@ -235,8 +260,18 @@ object Bench {
       .mkString("[", ",", "]")
     val calibMin = if (calibs.isEmpty) -1.0
       else BigDecimal(calibs.min).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-query host-normalized minima (query_min / calib_min): the
+    // cross-round comparable number — two rounds' queries_calib entries
+    // divide out each run's host, so a mover is a mover, not a noisy box
+    val qsCalib =
+      if (calibMin <= 0) "{}"
+      else results.collect { case (k, v) if v >= 0 =>
+        s"\"" + k + "\":" + BigDecimal(v / calibMin).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+    val priorCalibJson = priorCalib.map(_.toString).getOrElse("null")
+    val calibFactorR = BigDecimal(calibFactor).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson,"calib_sec":$calibJson,"calib_min":$calibMin}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson,"calib_sec":$calibJson,"calib_min":$calibMin,"prior_calib_min":$priorCalibJson,"calib_factor_vs_prior":$calibFactorR,"queries_calib":$qsCalib}"""
     // full line first: complete record for anyone reading the whole log
     println(line)
     // identical JSON at a liftable path — the artifact of record for judges.
@@ -269,7 +304,7 @@ object Bench {
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson,"calib_min":$calibMin}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson,"calib_min":$calibMin,"calib_factor_vs_prior":$calibFactorR}""")
   }
 
   private def fnTime(spark: SparkSession, sfDir: String,

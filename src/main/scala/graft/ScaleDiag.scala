@@ -37,11 +37,18 @@ object ScaleDiag {
       (total, same)
     }
 
-    // e3: increment embedding band keys vs the stored sign-bit zone
+    // e3: increment embedding band keys vs the stored sign-bit zone —
+    // keyed under the zone's RECORDED geometry (the probes' own
+    // discipline; the writer default is the size policy now, so the
+    // census cannot assume any fixed shape)
     val embZone = spark.read.parquet(s"$workDir/emb_sig")
+    val g = Dedup.readZoneGeometry(spark, s"$workDir/emb_sig").getOrElse(Map.empty)
     val incEmb = spark.read.parquet(s"$genDir/inc_embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-    val incEmbBands = Dedup.embeddingSignatureRows(incEmb, "id", "v")
+    val incEmbBands = Dedup.embeddingSignatureRows(incEmb, "id", "v",
+        bands = g.getOrElse("bands", 8L).toInt,
+        bitsPerBand = g.getOrElse("bits_per_band", 8L).toInt,
+        seed = g.getOrElse("seed", 42L))
       .select(col("id").as("id_x"), posexplode(col("bkeys")).as(Seq("band", "key")))
     val zoneEmbBands = embZone
       .select(col("id").as("id_y"), posexplode(col("bkeys")).as(Seq("band", "key")))

@@ -96,31 +96,31 @@ object ScaleProbe {
         zone, newPairs, "id_a", "id_b", assignmentRows = Some(zone.count())).count()
     }
 
-    // ── e3: embedding signature index ───────────────────────────────────
+    // ── e3 under writer DEFAULTS (= the size policy since round 13:
+    // `Dedup.AutoGeometry` routes a fresh build through sigGeometry(n),
+    // and the probe keys itself under the zone's recorded geometry via
+    // the path-based entry). This row is the VERDICT #1 done-bar: a
+    // direct writer-default caller must land ≤~1.6×/decade at x100,
+    // where the old fixed-8×8 default measured 8.78×. ───────────────────
     val embZone = s"$workDir/emb_sig"
     Dedup.writeEmbeddingSignatureIndex(spark, embZone, corpusEmbs, "vec_id", "e",
       mode = "overwrite")
     sec("e3_embedding_neardup_incremental") = timedMin {
-      Dedup.embeddingNearDupIncremental(
-        Dedup.readEmbeddingSignatureIndex(spark, embZone), incEmbs, "vec_id", "e",
-        0.99, indexCounts = Dedup.readBucketCounts(spark, embZone))
-        .count()
+      Dedup.embeddingNearDupIncrementalAt(
+        spark, embZone, incEmbs, "vec_id", "e", 0.99).count()
     }
 
-    // ── e3 under the PRODUCTION geometry policy: the zone built at
-    // IndexRun.sigGeometry(n) — the band width a lifecycle-managed index
-    // realizes at this corpus size. The default-geometry probe above
-    // measures the fixed-8×8 linear collision term; this one measures
-    // what the policy pins (N·2⁻ᵇ ≤ 16 per probe row per band). ────────
-    val (pBands, pBits) = IndexRun.sigGeometry(nEmbs)
-    val embZoneP = s"$workDir/emb_sig_policy"
-    Dedup.writeEmbeddingSignatureIndex(spark, embZoneP, corpusEmbs, "vec_id", "e",
-      bands = pBands, bitsPerBand = pBits, mode = "overwrite")
-    sec("e3_policy_geometry") = timedMin {
+    // ── e3 at the FIXED 8×8 rung (the pre-round-13 writer default, and
+    // the gates' pinned geometry): kept as the reference row measuring
+    // the linear collision term the policy removes. ─────────────────────
+    val embZoneF = s"$workDir/emb_sig_8x8"
+    Dedup.writeEmbeddingSignatureIndex(spark, embZoneF, corpusEmbs, "vec_id", "e",
+      bands = 8, bitsPerBand = 8, mode = "overwrite")
+    sec("e3_fixed_8x8") = timedMin {
       Dedup.embeddingNearDupIncremental(
-        Dedup.readEmbeddingSignatureIndex(spark, embZoneP), incEmbs, "vec_id", "e",
-        0.99, bands = pBands, bitsPerBand = pBits,
-        indexCounts = Dedup.readBucketCounts(spark, embZoneP))
+        Dedup.readEmbeddingSignatureIndex(spark, embZoneF), incEmbs, "vec_id", "e",
+        0.99, bands = 8, bitsPerBand = 8,
+        indexCounts = Dedup.readBucketCounts(spark, embZoneF))
         .count()
     }
 

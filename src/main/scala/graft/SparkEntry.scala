@@ -2002,7 +2002,12 @@ object SparkEntry {
         concat(
           array(element_at(col("e"), 1) + lit(0.01)),
           slice(col("e"), 2, 10000)).as("pe"))
-      Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99)
+      // geometry pinned 8x8: the rung this gate's brute-force oracle
+      // certifies, stable whatever sf the gate runs at (the AutoGeometry
+      // default would size from the corpus — same 8x8 below 4097 rows,
+      // but the gate's contract shouldn't move with the data)
+      Dedup.embeddingNearDupJoin(probes, "probe_id", "pe", v, "vec_id", "e", 0.99,
+          bands = 8, bitsPerBand = 8)
         .select(col("id_a").as("probe_id"), col("id_b").as("match_id"))
     }),
     // e1's INCREMENTAL form: the corpus's sign-bit band keys are persisted
@@ -2023,15 +2028,17 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir"), s"graft_e3_sigzone_${zoneKey(dir)}").getAbsolutePath
       if (!Zones.exists(s, s"$zone/_SUCCESS")) {
         Zones.delete(s, zone)
-        Dedup.writeEmbeddingSignatureIndex(s, zone, v, "vec_id", "e", mode = "overwrite")
+        // geometry pinned 8x8 (the e1 note): the gate certifies this
+        // rung; production writers default through the size policy
+        Dedup.writeEmbeddingSignatureIndex(s, zone, v, "vec_id", "e",
+          bands = 8, bitsPerBand = 8, mode = "overwrite")
       }
       // probe ids are offset above every corpus id, so id_a is always the
       // corpus match and id_b the probe (no within-probe pair reaches
       // 0.99 — distinct sources are near-orthogonal; one would fail the
-      // oracle hash loudly)
-      Dedup.embeddingNearDupIncremental(
-          Dedup.readEmbeddingSignatureIndex(s, zone), probes, "probe_id", "pe", 0.99,
-          indexCounts = Dedup.readBucketCounts(s, zone))
+      // oracle hash loudly). The probe keys itself under the zone's
+      // recorded geometry/seed (the production path).
+      Dedup.embeddingNearDupIncrementalAt(s, zone, probes, "probe_id", "pe", 0.99)
         .select(col("id_b").as("probe_id"), col("id_a").as("match_id"))
     }),
     // deterministic k-means (init vec_id%k, 2 Lloyd rounds, decimal-mean
@@ -4459,10 +4466,24 @@ object SparkEntry {
     *   exact    — first (day, doc_id) occurrence per normalized-token md5
     *              (the fp zone holds each fp's first day; within-day ties
     *              break on min id — one window covers both)
-    *   near-dup — brute-force 3-gram-shingle Jaccard ≥ 0.6 pairs (the d3
+    *   near-dup — EXACT 3-gram-shingle Jaccard ≥ 0.6 pairs (the d3
     *              recall-1 equivalence) + transitive closure, min-id
-    *              canonical. The closure is DAY-SLICED (e{d}/r{d}/k{d}):
-    *              a doc's verdict uses only pairs whose BOTH endpoints had
+    *              canonical. Candidate generation applies the PUBLIC
+    *              lossless prefix bound (Chaudhuri et al. SSJoin /
+    *              PPJoin: under any fixed global token order, J ≥ t ⟹
+    *              overlap ≥ ⌈t·|x|⌉ on BOTH sides, so the first
+    *              |x|−⌈t·|x|⌉+1 tokens of each doc must share one) —
+    *              every candidate is then verified by the full exact
+    *              Jaccard, so the pair set is IDENTICAL to the naive
+    *              Σ postings² self-join this replaced; the naive form
+    *              spilled >72 GB and died at sf1 (round-12 BASELINE
+    *              adjudication) without the bound. Independence note:
+    *              the bound is textbook math applied in SQL, the df
+    *              order is the oracle's own; the engine's PPJoin arm
+    *              additionally uses positional filtering, minhash
+    *              banding and zone pruning the oracle never sees.
+    *              The closure is DAY-SLICED (e{d}/r{d}/k{d}): a doc's
+    *              verdict uses only pairs whose BOTH endpoints had
     *              arrived by its day — a later day's pair merging two
     *              clusters must not retract an earlier day's publish.
     *   semantic — at k=1/θ=0.999 the SemDeDup rule is exactly "drop iff a
@@ -4533,15 +4554,27 @@ object SparkEntry {
        |      PARTITION BY md5(array_to_string(tkn, ' ')) ORDER BY day, doc_id) AS rn
        |    FROM q)
        |  WHERE rn = 1),
-       |inv AS (
+       |inv AS MATERIALIZED (
        |  SELECT doc_id, day, len(gs) AS sz, unnest(gs) AS g FROM (
        |    SELECT doc_id, day, list_distinct(list_transform(
        |      range(1, greatest(len(tkn) - 1, 1)),
        |      i -> array_to_string(tkn[i:i+2], ' '))) AS gs
        |    FROM ex)),
-       |prs AS (
+       |gdf AS MATERIALIZED (SELECT g, count(*) AS df FROM inv GROUP BY g),
+       |pref AS MATERIALIZED (
+       |  SELECT doc_id, g FROM (
+       |    SELECT i.doc_id, i.g, i.sz,
+       |      row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g) AS rn
+       |    FROM inv i JOIN gdf d ON d.g = i.g)
+       |  WHERE rn <= sz - CEIL(0.6 * sz) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |prs AS MATERIALIZED (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, greatest(a.day, b.day) AS pday
-       |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM cand c
+       |  JOIN inv a ON a.doc_id = c.id_a
+       |  JOIN inv b ON b.doc_id = c.id_b AND b.g = a.g
        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz, a.day, b.day
        |  HAVING CAST(count(*) AS DOUBLE) / (a.sz + b.sz - count(*)) >= 0.6),
        |embk AS (

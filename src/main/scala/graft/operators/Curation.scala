@@ -147,16 +147,27 @@ object Curation {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val idType = pairs.schema(aCol).dataType
-    val kernelCapable = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    // kernel dispatch needs BOTH pair columns integral: labels are
+    // emitted in the id type, and with mixed widths (e.g. an Int aCol
+    // against a Long bCol holding values past Int range) casting back to
+    // the narrower side would silently overflow dst-derived ids — so the
+    // kernel runs in the WIDER of the two and emits that type
+    def width(t: org.apache.spark.sql.types.DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => 0
     }
-    if (!kernelCapable) return connectedComponentsCounted(pairs, aCol, bCol)._1
+    val (wa, wb) = (width(pairs.schema(aCol).dataType), width(pairs.schema(bCol).dataType))
+    if (wa == 0 || wb == 0) return connectedComponentsCounted(pairs, aCol, bCol)._1
+    val idType =
+      if (wa >= wb) pairs.schema(aCol).dataType else pairs.schema(bCol).dataType
     def materialize(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val raw = materialize(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val raw = materialize(pairs.select(
+      col(aCol).cast(idType).as("src"), col(bCol).cast(idType).as("dst")))
     if (raw.count() <= CcKernelMaxEdges) ccKernel(raw, idType)
     else connectedComponentsCounted(raw, "src", "dst")._1
   }
@@ -165,8 +176,13 @@ object Curation {
     * (already-materialized) edge list into one task, union-find with
     * path halving over index-compressed ids, label = ids[root] — roots
     * always point at the smaller index and ids are sorted, so the root's
-    * id IS the component minimum. Primitive arrays throughout: at the
-    * 4M-edge bound the task peaks near 100 MB.
+    * id IS the component minimum. Primitive arrays throughout; peak task
+    * memory at the 4M-edge bound is ~250 MB TRANSIENT, not 100: src+dst
+    * (64 MB) live through the whole union pass, alongside the merged
+    * sort array (64 MB, dead after dedup), the deduped ids (≤ 64 MB) and
+    * the parent ints (≤ 32 MB), plus row-decode overhead — size
+    * executors (or lower [[CcKernelMaxEdges]]) accordingly; the
+    * iterative route has no such single-task spike.
     */
   private def ccKernel(
       raw: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -237,15 +253,29 @@ object Curation {
     var labels = materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
-    // min-propagation only ever DECREASES labels, so for NUMERIC ids the
-    // label sum is a strictly decreasing convergence witness: one cheap
-    // aggregation per round instead of a joined changed-row count.
-    // Non-numeric ids order fine under min/least but don't sum — they
-    // take the exact changed-row count (one checkpoint-to-checkpoint
-    // join per round, on what is in practice the rare id shape).
-    val numericLabels = labels.schema("label").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    var prevSum: Any = if (numericLabels) labels.agg(sum(col("label"))).head().get(0) else null
+    // min-propagation only ever DECREASES labels, so for EXACT numeric
+    // ids (integral / decimal) the label sum is a strictly decreasing
+    // convergence witness: one cheap aggregation per round instead of a
+    // joined changed-row count. The sum accumulates in decimal(38,0)
+    // regardless of id width — a long sum of long ids can wrap, and a
+    // wrapped collision would falsely signal convergence. FLOAT/DOUBLE
+    // ids are excluded on purpose: a small label decrease can be
+    // absorbed by FP rounding inside a large sum (falsely converging
+    // with wrong labels), so they take the exact changed-row count with
+    // strings and other shapes (one checkpoint-to-checkpoint join per
+    // round, on what is in practice the rare id shape).
+    val sumWitness = labels.schema("label").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      // scale-0 decimals cast losslessly into the accumulator; fractional
+      // decimals would truncate and two changed labels could alias
+      case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 && d.precision <= 38 => true
+      case _ => false
+    }
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().get(0)
+    var prevSum: Any = if (sumWitness) labelSum(labels) else null
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -264,8 +294,8 @@ object Curation {
             propM.select(col("id").as("label"), col("label").as("parent")).alias("p"),
             Seq("label"), "left")
           .select(col("id"), least(col("label"), coalesce(col("parent"), col("label"))).as("label")))
-      if (numericLabels) {
-        val s = next.agg(sum(col("label"))).head().get(0)
+      if (sumWitness) {
+        val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
       } else {
@@ -300,6 +330,16 @@ object Curation {
     * relabel is the honest cost anyway).
     */
   private[graft] val CcIncMaxNewNodes = 1L * 1000 * 1000
+
+  /** Byte companion of [[CcIncMaxNewNodes]]: the row cap alone is blind
+    * to id WIDTH — 1M long string ids can be hundreds of MB, and the
+    * node set is broadcast (and the affected-cluster set derived from it
+    * broadcast twice more). Estimated id bytes past this bound fall back
+    * to the star relabel. 64 MB keeps the three broadcasts within a
+    * comfortable executor-memory share; fixed-width integral ids never
+    * approach it (8 B × 1M = 8 MB).
+    */
+  private[graft] val CcIncMaxBroadcastBytes = 64L * 1024 * 1024
 
   /** Assignments SMALLER than this never engage affected-component
     * pruning: the path's fixed overhead (a new-pair checkpoint + node
@@ -384,12 +424,33 @@ object Curation {
     // one execution of the (typically LSH-shaped) new-pair plan, consumed
     // by the node set and the component-search edges
     val npM = materialize(np)
-    val newNodes = npM.select(col("a").as("id"))
-      .unionByName(npM.select(col("b").as("id"))).distinct()
-    if (newNodes.count() <= maxNewNodes) {
-      val affected = assignment
+    val newNodes = materialize(npM.select(col("a").as("id"))
+      .unionByName(npM.select(col("b").as("id"))).distinct())
+    // one agg prices the broadcast in rows AND bytes: the row cap alone
+    // is blind to id width (see [[CcIncMaxBroadcastBytes]]). Fixed-width
+    // ids are priced at their storage width without a per-row cast; only
+    // variable-width shapes (strings, binary) pay the length scan.
+    val fixedWidth = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+             DateType | TimestampType | BooleanType => Some(idType.defaultSize.toLong)
+        case d: DecimalType => Some(d.defaultSize.toLong)
+        case _ => None
+      }
+    }
+    val nnStats = newNodes.agg(
+      count(lit(1)),
+      coalesce(sum(octet_length(col("id").cast("string"))), lit(0L))).head()
+    val nNew = nnStats.getLong(0)
+    val estBytes = fixedWidth.map(_ * nNew).getOrElse(nnStats.getLong(1))
+    if (nNew <= maxNewNodes && estBytes <= CcIncMaxBroadcastBytes) {
+      // materialized ONCE: both the members and untouched legs broadcast
+      // this set — unmaterialized, each would re-run the newNodes
+      // semi-join scan over the assignment zone
+      val affected = materialize(assignment
         .join(broadcast(newNodes), Seq("id"), "left_semi")
-        .select("cluster_id").distinct()
+        .select("cluster_id").distinct())
       val members = assignment.join(broadcast(affected), Seq("cluster_id"), "left_semi")
       val untouched = assignment.join(broadcast(affected), Seq("cluster_id"), "left_anti")
       val miniEdges = members.select(col("id").as("a"), col("cluster_id").as("b"))

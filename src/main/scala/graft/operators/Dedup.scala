@@ -941,8 +941,8 @@ object Dedup {
       rightId: String,
       rightVec: String,
       threshold: Double,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = AutoGeometry,
+      bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // self-join (the embeddingNearDupPairsLsh shape): signatures, band
@@ -974,7 +974,12 @@ object Dedup {
     val dim = stats.getInt(1)
     val smallBoth = nRight <= maxBucket &&
       (self || l.select(lit(1)).limit(maxBucket + 1).count() <= maxBucket)
-    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    // auto geometry sizes from the RIGHT side's count — the corpus side
+    // of the bipartite shape (probes-vs-corpus), and the whole input on
+    // a self-join. The left count is only known cheaply when small; the
+    // right bound is what prices the random-collision term anyway.
+    val (bands0, bitsPerBand0) = resolveGeometry(bands, bitsPerBand, nRight)
+    val planes = SimilaritySearch.hyperplanes(dim, bands0 * bitsPerBand0, seed)
     // cached only when read twice: the counting path feeds each band
     // frame to its bucket-count pass AND the join (uncached, the
     // hyperplane signature math — bands × bitsPerBand dot products per
@@ -984,7 +989,7 @@ object Dedup {
     val needCache = self || !smallBoth
     val lb0 = l.select(
       col("id_a"),
-      explode(bandedSignatures(col("va"), planes, bands, bitsPerBand)).as("bk"))
+      explode(bandedSignatures(col("va"), planes, bands0, bitsPerBand0)).as("bk"))
       .select(col("id_a"), col("bk.band").as("band"), col("bk.key").as("key"))
     val lb = if (needCache) lb0.cache() else lb0
     val rb =
@@ -992,7 +997,7 @@ object Dedup {
       else {
         val rb0 = r.select(
           col("id_b"),
-          explode(bandedSignatures(col("vb"), planes, bands, bitsPerBand)).as("bk"))
+          explode(bandedSignatures(col("vb"), planes, bands0, bitsPerBand0)).as("bk"))
           .select(col("id_b"), col("bk.band").as("band"), col("bk.key").as("key"))
         if (needCache) rb0.cache() else rb0
       }
@@ -1032,8 +1037,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = AutoGeometry,
+      bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     embeddingNearDupJoin(
@@ -1345,6 +1350,75 @@ object Dedup {
       }: _*)
   }
 
+  /** Sentinel default for `bands` / `bitsPerBand` on the raw embedding
+    * signature APIs: resolve the geometry from data instead of shipping
+    * a fixed shape. Writers building a fresh zone resolve through
+    * [[sigGeometry]] (the size policy); appenders and probes resolve
+    * from what the zone was BUILT with (`_geometry` side-meta, or the
+    * stored `bkeys` width) — never from this binary's constants. The
+    * round-12 scale census measured exactly why a fixed default cannot
+    * stand: a direct writer call at the 100× probe scale re-created the
+    * 14.9M-candidate / 8.78×-per-decade collision term the lifecycle's
+    * policy had already fixed (BASELINE.md round-12 scale table).
+    */
+  val AutoGeometry = 0
+
+  /** Hard bits-per-band cap of the size policy — the last b×b rung whose
+    * recall at θ=0.99 still clears 0.9999 (see [[sigGeometry]]).
+    */
+  val SigMaxBitsPerBand = 26
+  private val SigMinBitsPerBand = 8
+
+  /** Size-driven signature geometry: square b×b with
+    * b = clamp(8, 26, ⌈log₂n⌉ − 4). Even with perfectly balanced buckets
+    * a band probe against an N-row zone collides with N·2⁻ᵇ random
+    * vectors per increment row: at a FIXED 8-bit geometry that term
+    * grows linearly with the corpus (measured: 14.9M candidates / 15.4 s
+    * at the 100× probe scale vs 200k / 2.6 s under 16-bit bands —
+    * BASELINE.md "Round-12 scale table", the e3ab A/B). This policy pins
+    * it: b tracks log₂n, so N·2⁻ᵇ ≤ 2⁴ = 16 expected random collisions
+    * per probe row per band across the whole ladder, through the 26-bit
+    * cap at n = 2³⁰ ≈ 1.07×10⁹ rows — the 100 TB decade itself (10⁹
+    * documents at ~100 KB/doc); past it the linear term resumes at a
+    * 2⁻²⁶ ≈ 67M×-reduced slope. Recall at the b×b square geometries is
+    * flat-high: for cosine ≥ 0.99 (p = 1 − acos(0.99)/π ≈ 0.955),
+    * 1−(1−p^b)^b ≥ 0.9999 for every b ∈ [8,26] — more selective bands,
+    * but more of them (the worst rung is the cap:
+    * 1−(1−0.955²⁶)²⁶ ≈ 0.99991; b = 27 would dip below, so 26 is the
+    * LAST rung that clears the bar — the cap is the recall floor's
+    * choice, not an arbitrary stop). Signature compute grows as b²·dim
+    * hyperplane dot products per vector — 676 planes at the cap,
+    * embarrassingly parallel, paid once per row at build or append. Band
+    * keys stay one Long through the whole ladder (bits ≤ 63). The
+    * geometry is a BUILD-time decision frozen per zone/version
+    * ([[guardZoneGeometry]], `IndexRun` version meta); appends and
+    * probes always ride the stored geometry (mixing band keys from
+    * different geometries in one index is meaningless), and corpus
+    * growth across a policy step trips a REBUILD
+    * ([[graft.pipeline.IndexRun.sigStage]]'s geometry trip).
+    */
+  def sigGeometry(n: Long): (Int, Int) = {
+    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val b = math.max(SigMinBitsPerBand, math.min(SigMaxBitsPerBand, ceilLog2 - 4))
+    (b, b)
+  }
+
+  /** The zone's recorded `_geometry` side-meta as (field → value), or
+    * None for a zone predating the side-meta (or a bare parquet dir).
+    * Public so probes/diagnostics can key themselves under what a zone
+    * was BUILT with instead of assuming this binary's defaults.
+    */
+  def readZoneGeometry(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Map[String, Long]] = {
+    import graft.sources.Zones
+    val metaPath = s"$path/_geometry"
+    if (!Zones.exists(spark, metaPath)) None
+    else {
+      val row = Zones.read(spark, metaPath).head()
+      Some(row.schema.fieldNames.map(f => f -> row.getAs[Long](f)).toMap)
+    }
+  }
+
   /** The computation leg of [[writeEmbeddingSignatureIndex]]: a batch's
     * (id, v[, carryCols…], bkeys) rows, for writers that manage their
     * own zone layout (day partitions, versioned rebuilds —
@@ -1359,20 +1433,20 @@ object Dedup {
     *
     * Geometry at corpus scale: (bands, bitsPerBand) trades recall
     * against the RANDOM-pair candidate rate ≈ bands × 2^−bitsPerBand,
-    * which prices the incremental probe linearly in corpus size. The
-    * 8×8 default keeps ~0.9999 recall at θ=0.99 but admits ~3% of all
-    * increment×corpus pairs as candidates; 16×16 holds the same recall
-    * at a 1/65536 per-band rate — measured at a 200k-vector zone:
-    * 74× fewer candidates, 6× less probe wall (BASELINE.md round-12
-    * scale table, `graft.ScaleDiag e3ab`). Pick the geometry at index
-    * build time; the zone format (bkeys array) carries any shape.
+    * which prices the incremental probe linearly in corpus size —
+    * measured at a 200k-vector zone: 16×16 vs 8×8 is 74× fewer
+    * candidates, 6× less probe wall (BASELINE.md round-12 scale table,
+    * `graft.ScaleDiag e3ab`). The [[AutoGeometry]] default therefore
+    * sizes the shape from THIS batch via [[sigGeometry]]; version
+    * lifecycles pass their frozen stored shape explicitly. The zone
+    * format (bkeys array) carries any shape.
     */
   def embeddingSignatureRows(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = AutoGeometry,
+      bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
       carryCols: Seq[String] = Nil): DataFrame = {
     val v = df
@@ -1382,9 +1456,22 @@ object Dedup {
     val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
     if (vstats.getLong(0) == 0)
       return v.withColumn("bkeys", typedlit(Seq.empty[Long])).limit(0)
+    val (b0, r0) = resolveGeometry(bands, bitsPerBand, vstats.getLong(0))
     val planes = SimilaritySearch.hyperplanes(
-      vstats.getInt(1), bands * bitsPerBand, seed)
-    v.withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+      vstats.getInt(1), b0 * r0, seed)
+    v.withColumn("bkeys", bandKeyArray(col("v"), planes, b0, r0))
+  }
+
+  /** Resolve an (bands, bitsPerBand) pair where [[AutoGeometry]] means
+    * "size from n via the policy". Mixing one explicit half with one
+    * auto half is refused — the policy is square, and silently pairing a
+    * caller's 16 bands with a size-derived bit width would key vectors
+    * under a shape nobody chose.
+    */
+  private def resolveGeometry(bands: Int, bitsPerBand: Int, n: Long): (Int, Int) = {
+    require((bands == AutoGeometry) == (bitsPerBand == AutoGeometry),
+      s"pass both of (bands, bitsPerBand) explicitly or neither — got ($bands, $bitsPerBand)")
+    if (bands == AutoGeometry) sigGeometry(n) else (bands, bitsPerBand)
   }
 
   /** Persist an embedding signature index: one row per vector —
@@ -1394,6 +1481,16 @@ object Dedup {
     * instead of re-hashing the whole corpus through the hyperplanes.
     * Keys are deterministic in (dim, bands, bitsPerBand, seed) — rows
     * written on different days are directly joinable.
+    *
+    * Geometry defaults ([[AutoGeometry]]): an append to a zone with
+    * recorded `_geometry` keys under the STORED shape (the only shape
+    * joinable against the standing rows — a default that ignored it
+    * would trip [[guardZoneGeometry]] at best, silently under-match at
+    * worst); a fresh zone (or overwrite) sizes itself from this batch
+    * via [[sigGeometry]]. Growth past a policy step on an append-managed
+    * raw zone is the caller's rebuild to schedule — the versioned
+    * lifecycle ([[graft.pipeline.IndexRun.sigStage]]) automates that
+    * trip.
     */
   def writeEmbeddingSignatureIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1401,10 +1498,38 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = AutoGeometry,
+      bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
       mode: String = "append"): Unit = {
+    val stored =
+      if (bands == AutoGeometry && mode != "overwrite")
+        readZoneGeometry(spark, path)
+          .flatMap(g => g.get("bands").zip(g.get("bits_per_band")))
+          .map { case (gb, gr) => (gb.toInt, gr.toInt) }
+      else None
+    val (b0, r0) = stored.getOrElse {
+      // auto on a fresh zone/overwrite prices the batch once (a count
+      // over the null-filtered select — explicit callers skip it)
+      val n =
+        if (bands != AutoGeometry) 0L
+        else df.select(col(vecCol).as("v")).filter(col("v").isNotNull).count()
+      resolveGeometry(bands, bitsPerBand, n)
+    }
+    writeEmbeddingSignatureIndexAt(spark, path, df, idCol, vecCol, b0, r0, seed, mode)
+  }
+
+  /** [[writeEmbeddingSignatureIndex]] with the geometry fully resolved. */
+  private def writeEmbeddingSignatureIndexAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long,
+      mode: String): Unit = {
     // ONE owner of the select/dim-lookup/hyperplane/band-key derivation:
     // [[embeddingSignatureRows]] — re-implementing it here would let the
     // key geometry silently desynchronize from IndexRun's sigStage rows.
@@ -1449,6 +1574,17 @@ object Dedup {
     * beyond the index zone). Ids-only candidates shuffle first;
     * vectors join back once per distinct pair. Output: (id_a < id_b),
     * matching [[embeddingNearDupPairsLsh]]'s contract.
+    *
+    * Geometry defaults ([[AutoGeometry]]): the increment's keys must
+    * come from the SAME (bands, bitsPerBand, seed, dim) hash family the
+    * index was built with, so the default derives `bands` from the
+    * stored rows themselves (one limit-1 `size(bkeys)` probe) and
+    * assumes the square shape every policy-built zone has (bits =
+    * bands). An explicitly non-square zone must be probed with its
+    * explicit shape — its writer already knows it. Prefer
+    * [[embeddingNearDupIncrementalAt]] where the zone PATH is at hand:
+    * it reads the full recorded `_geometry` (including a non-default
+    * seed) and the stored counts, so nothing is assumed.
     */
   def embeddingNearDupIncremental(
       index: DataFrame,
@@ -1456,8 +1592,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bands: Int = 8,
-      bitsPerBand: Int = 8,
+      bands: Int = AutoGeometry,
+      bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
@@ -1472,10 +1608,20 @@ object Dedup {
       return inc.select(col("id").as("id_a"), col("id").as("id_b")).limit(0)
     val nInc = istats.getLong(0)
     val dim = istats.getInt(1)
-    val planes = SimilaritySearch.hyperplanes(dim, bands * bitsPerBand, seed)
+    val (bands0, bitsPerBand0) =
+      if (bands != AutoGeometry || bitsPerBand != AutoGeometry)
+        resolveGeometry(bands, bitsPerBand, nInc)
+      else {
+        val head = index.select(size(col("bkeys"))).limit(1).collect()
+        // an EMPTY index leaves only within-increment pairs — size the
+        // square shape from the increment (the policy a fresh zone of
+        // these rows would get)
+        if (head.isEmpty) sigGeometry(nInc) else { val b = head(0).getInt(0); (b, b) }
+      }
+    val planes = SimilaritySearch.hyperplanes(dim, bands0 * bitsPerBand0, seed)
     // no cache: incSig's one consumer is incBandX, which caches itself
     val incSig = inc
-      .withColumn("bkeys", bandKeyArray(col("v"), planes, bands, bitsPerBand))
+      .withColumn("bkeys", bandKeyArray(col("v"), planes, bands0, bitsPerBand0))
     def bandRows(df: DataFrame, as: String): DataFrame =
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
     val incBandX = bandRows(incSig, "id_x").cache()
@@ -1484,7 +1630,7 @@ object Dedup {
     // on the scan, so the band-join exchange moves touched buckets only —
     // one bloom shared with the counts prune below
     val probeBloom =
-      if (nInc * bands <= ZoneProbes.BroadcastProbeMaxRows)
+      if (nInc * bands0 <= ZoneProbes.BroadcastProbeMaxRows)
         Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key")))
       else None
     val idxBand = ZoneProbes.pruneByBloom(
@@ -1556,5 +1702,31 @@ object Dedup {
       .withColumn("sim", SimilaritySearch.cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** [[embeddingNearDupIncremental]] against a zone PATH: the probe keys
+    * itself under the zone's recorded `_geometry` — bands, bits AND seed,
+    * so even a non-default or re-seeded writer is matched exactly — and
+    * rides the stored `_counts` for the hot-bucket defense (no index
+    * counting scan). The production daily entry point for raw
+    * (non-versioned) signature zones; a zone predating the side-meta
+    * falls back to the rows-derived square shape.
+    */
+  def embeddingNearDupIncrementalAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      increment: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val g = readZoneGeometry(spark, path).getOrElse(Map.empty)
+    embeddingNearDupIncremental(
+      readEmbeddingSignatureIndex(spark, path), increment, idCol, vecCol, threshold,
+      bands = g.get("bands").map(_.toInt).getOrElse(AutoGeometry),
+      bitsPerBand = g.get("bits_per_band").map(_.toInt).getOrElse(AutoGeometry),
+      seed = g.getOrElse("seed", 42L),
+      maxBucket = maxBucket,
+      indexCounts = readBucketCounts(spark, path))
   }
 }

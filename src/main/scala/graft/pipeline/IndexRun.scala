@@ -60,44 +60,19 @@ object IndexRun {
     */
   val SigBands = 8
   val SigBitsPerBand = 8
-  val SigMaxBitsPerBand = 26
+  val SigMaxBitsPerBand = graft.operators.Dedup.SigMaxBitsPerBand
   val SigSeed = 42L
   val SigRetrainInflation = 4.0
 
-  /** Size-driven signature geometry, FROZEN per index version: square
-    * b×b with b = clamp(8, 26, ⌈log₂n⌉ − 4). Even with perfectly
-    * balanced buckets (concentration at its floor — the drift signal
-    * can't see this), a band probe against an N-row zone collides with
-    * N·2⁻ᵇ random vectors per increment row: at a FIXED 8-bit geometry
-    * that term grows linearly with the corpus (measured: 14.9M
-    * candidates / 15.4 s at the 100× probe scale vs 200k / 2.6 s under
-    * 16-bit bands — BASELINE.md "Round-12 scale table", the e3ab A/B).
-    * This policy pins it: b tracks log₂n, so N·2⁻ᵇ ≤ 2⁴ = 16 expected
-    * random collisions per probe row per band across the whole ladder,
-    * through the 26-bit cap at n = 2³⁰ ≈ 1.07×10⁹ rows — the 100 TB
-    * decade itself (10⁹ documents at ~100 KB/doc); past it the linear
-    * term resumes at a 2⁻²⁶ ≈ 67M×-reduced slope. Recall at the b×b
-    * square geometries is flat-high: for cosine ≥ 0.99
-    * (p = 1 − acos(0.99)/π ≈ 0.955), 1−(1−p^b)^b ≥ 0.9999 for every
-    * b ∈ [8,26] — more selective bands, but more of them (the worst
-    * rung is the cap: 1−(1−0.955²⁶)²⁶ ≈ 0.99991; b = 27 would dip to
-    * 0.99990−ε, so 26 is the LAST rung that clears the bar — the cap is
-    * the recall floor's choice, not an arbitrary stop). Signature compute
-    * grows as b²·dim hyperplane dot products per vector — 676 planes at
-    * the cap, embarrassingly parallel, paid once per row at build or
-    * append. Band keys stay one Long through the whole ladder (bits ≤
-    * 63). The geometry is a BUILD-time decision stored in meta; appends
-    * and probes always ride the stored geometry (mixing band keys from
-    * different geometries in one index is meaningless), and corpus
-    * growth across a policy step trips a REBUILD into the next version
-    * — the occupancy-trip discipline of the semantic index, applied to
-    * band width.
+  /** Size-driven signature geometry, FROZEN per index version. The
+    * policy itself (b = clamp(8, 26, ⌈log₂n⌉ − 4), valid to n = 2³⁰ and
+    * the 100 TB decade — derivation and measured decade costs in the
+    * owner's doc) lives with the raw zone writers it also defaults:
+    * [[graft.operators.Dedup.sigGeometry]]. This alias keeps the
+    * lifecycle call sites (and the published `IndexRun.sigGeometry`
+    * spec/citation surface) stable.
     */
-  def sigGeometry(n: Long): (Int, Int) = {
-    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    val b = math.max(SigBitsPerBand, math.min(SigMaxBitsPerBand, ceilLog2 - 4))
-    (b, b)
-  }
+  def sigGeometry(n: Long): (Int, Int) = graft.operators.Dedup.sigGeometry(n)
 
   /** Semantic-cluster index stage (the SemDeDup-zone analog of the IVF
     * stage; CorpusRun's corpus/sem_index zone runs the same lifecycle

@@ -40,6 +40,37 @@ import graft.operators.Clustering
   */
 private[pipeline] object SemVersions {
 
+  /** Shared resolve-live harness for EVERY versioned index leg (ivf /
+    * sig / sem): resolve the live version (meta-last completeness
+    * marker), self-heal the pointer, sweep versions retired a full
+    * cycle ago, then hand the leg its live path — or run the leg's
+    * bootstrap when no version exists. One owner of the
+    * resolve→repair→sweep ordering, so a leg cannot forget the sweep
+    * (which reclaims crashed builds) or repair before resolving.
+    */
+  def withLive[T](spark: SparkSession, base: String)(onEmpty: => T)(onLive: String => T): T =
+    IndexRun.resolveCurrent(spark, base, "meta/_SUCCESS") match {
+      case None => onEmpty
+      case Some(live) =>
+        IndexRun.repairPointer(spark, base, live)
+        IndexRun.sweepRetired(spark, base, live)
+        onLive(live)
+    }
+
+  /** Shared retrain/re-cluster COMMIT primitive: build `v<N+1>`
+    * completely (the builder owns truncate-first + meta-last), then flip
+    * the pointer in one rename — the old version keeps serving until the
+    * flip and survives one cycle as the grace copy. Returns the new
+    * version's name with the builder's result.
+    */
+  def flipToNext[T](spark: SparkSession, base: String, live: String)(
+      build: String => T): (String, T) = {
+    val nextV = s"v${IndexRun.versionOf(live) + 1}"
+    val result = build(s"$base/$nextV")
+    IndexRun.writePointer(spark, base, nextV)
+    (nextV, result)
+  }
+
   private def fsFor(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 

@@ -117,21 +117,63 @@ object EventStreams {
     * the zone anti-join itself: every key is already fingerprinted, the
     * fresh set is empty, nothing publishes.
     */
+  /** Committed batch partitions accumulate one `batch_fp=…` dir each;
+    * once their count reaches this, [[dedupAgainstZone]] folds them
+    * ([[foldDedupZones]]) before the next batch commits — so a
+    * long-running stream compacts itself instead of waiting for an
+    * operator to remember the maintenance call. 64 bounds the zone's
+    * directory listing (the cost that grows with HISTORY, not data) at
+    * ~an hour of one-per-minute batches while keeping the fold — an
+    * O(committed rows) consolidation — amortized over that window.
+    */
+  val DedupFoldEveryBatches = 64
+
   def dedupAgainstZone(
       spark: SparkSession,
       events: DataFrame,
       keyCols: Seq[String],
       fpZone: String,
       outZone: String,
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      foldEvery: Int = DedupFoldEveryBatches): Unit = {
     val q = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         commitDedupBatch(spark, batch, keyCols, fpZone, outZone)
+        // fold cadence: foreachBatch runs serially for this query, so the
+        // single-writer discipline holds — the fold runs in the same slot
+        // the batch commits in, never concurrently with another writer.
+        // The dir count is read from the listing the anti-join's own scan
+        // already pays for at this zone size.
+        maybeFoldDedupZones(spark, keyCols, fpZone, outZone, foldEvery)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Fold when the committed `batch_fp=…` partition count has reached
+    * `foldEvery` (the [[FoldPartition]] itself never counts — it is the
+    * fold's output). Returns the fold summary, or "" when under cadence.
+    */
+  private[graft] def maybeFoldDedupZones(
+      spark: SparkSession,
+      keyCols: Seq[String],
+      fpZone: String,
+      outZone: String,
+      foldEvery: Int): String = {
+    if (foldEvery <= 0) return ""
+    val outPath = new org.apache.hadoop.fs.Path(outZone)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(outPath)) return ""
+    val nCommitted = fs.listStatus(outPath).count { st =>
+      val nm = st.getPath.getName
+      nm.startsWith("batch_fp=") && nm != FoldPartition &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$outZone/$nm/_SUCCESS"))
+    }
+    if (nCommitted >= foldEvery) foldDedupZones(spark, keyCols, fpZone, outZone)
+    else ""
   }
 
   /** One batch of the cross-run dedup, exactly-once. Protocol:

@@ -47,6 +47,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     val expected = viaKernel.map { case (id, l) => (f"doc_$id%04d", f"doc_$l%04d") }.sorted
     assert(viaStr.sameElements(expected), "string-id route disagrees with long-id labels")
+    // MIXED integral widths (Int aCol, Long bCol with values past Int
+    // range): labels must come out in the WIDER type, never overflow-cast
+    // into the narrower one (the round-12 ADVICE trap)
+    val mixed = Seq((1, 5000000000L), (2, 5000000001L), (1, 2L))
+      .toDF("id_a", "id_b")
+    val viaMixed = Curation.connectedComponents(mixed, "id_a", "id_b")
+    assert(viaMixed.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType, "mixed-width labels must widen")
+    val mm = viaMixed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mm == Map(1L -> 1L, 2L -> 1L, 5000000000L -> 1L, 5000000001L -> 1L),
+      s"mixed-width component labels wrong: $mm")
+    // FLOAT/DOUBLE ids: the sum witness is excluded by type (FP rounding
+    // can absorb a label decrease inside a large sum); the exact
+    // changed-row witness must still converge to the right labels —
+    // before round 12 this shape threw, and round 12's fix made it
+    // silently witness through a lossy double sum
+    val dblPairs = pairs.select(
+      (col("id_a").cast("double") + lit(0.5)).as("id_a"),
+      (col("id_b").cast("double") + lit(0.5)).as("id_b"))
+    val viaDbl = Curation.connectedComponents(dblPairs, "id_a", "id_b")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val expDbl = viaKernel.map { case (id, l) => (id + 0.5, l + 0.5) }.sorted
+    assert(viaDbl.sameElements(expDbl), "double-id route disagrees with long-id labels")
   }
 
   test("connectedComponents: 50k chain + stars converge in O(log n) rounds, flat plan") {

@@ -683,4 +683,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.readEmbeddingSignatureIndex(spark, ez)
       .select(size(col("bkeys"))).head().getInt(0) == 16)
   }
+
+  test("AutoGeometry defaults: fresh writes size via the policy, appends and probes ride the stored shape") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autogeom").toFile.getAbsolutePath
+    val zone = s"$tmp/zone"
+    // 5000 > 4096 rows: one past the policy floor — sigGeometry picks 9×9
+    // (the writer-default blowup the round-12 census measured happened
+    // exactly because a direct writer call ignored this)
+    def vec(idCol: org.apache.spark.sql.Column) = array((0 until 16).map(j =>
+      (sin(idCol * lit(0.7) + lit(j * 1.3)) + lit(0.05)).cast("double")): _*)
+    val corpus = spark.range(5000).select(col("id"), vec(col("id")).as("v"))
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, corpus, "id", "v", mode = "overwrite")
+    assert(Dedup.sigGeometry(5000L) == ((9, 9)))
+    val g = Dedup.readZoneGeometry(spark, zone).get
+    assert(g("bands") == 9L && g("bits_per_band") == 9L,
+      s"fresh auto write must record the policy shape: $g")
+    assert(Dedup.readEmbeddingSignatureIndex(spark, zone)
+      .select(size(col("bkeys"))).head().getInt(0) == 9)
+    // an auto APPEND keys under the STORED 9×9 even though its own batch
+    // (2 rows) would size to the 8×8 floor
+    val day2 = spark.range(6000, 6002).select(col("id"), vec(col("id")).as("v"))
+    Dedup.writeEmbeddingSignatureIndex(spark, zone, day2, "id", "v")
+    assert(Dedup.readEmbeddingSignatureIndex(spark, zone)
+      .filter(col("id") >= 6000).select(size(col("bkeys"))).head().getInt(0) == 9,
+      "append under AutoGeometry must ride the zone's recorded shape")
+    // probes: the path entry reads _geometry; the frame entry derives the
+    // square shape from the stored bkeys — both must find a planted
+    // IDENTICAL-vector dup against the 9×9 zone
+    val probe = corpus.filter(col("id") === 17)
+      .select((col("id") + 1000000).as("id"), col("v"))
+    val viaPath = Dedup.embeddingNearDupIncrementalAt(
+      spark, zone, probe, "id", "v", 0.99).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaPath.contains((17L, 1000017L)), s"path probe missed the planted dup: ${viaPath.toSeq}")
+    val viaFrame = Dedup.embeddingNearDupIncremental(
+      Dedup.readEmbeddingSignatureIndex(spark, zone), probe, "id", "v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFrame.contains((17L, 1000017L)), s"frame probe missed the planted dup: ${viaFrame.toSeq}")
+    // half-explicit geometry is a caller bug, not a silent square guess
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingSignatureRows(corpus, "id", "v", bands = 16)
+    }
+  }
 }

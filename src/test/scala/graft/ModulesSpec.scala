@@ -514,6 +514,53 @@ class ModulesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/fp").count() == 23)
   }
 
+  test("streaming: dedup-zone fold runs AUTOMATICALLY at the stream's cadence") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autofold").toFile.getAbsolutePath
+    def drop(dir: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"payload_$i")).toDF("event_id", "payload")
+        .write.mode("append").parquet(dir)
+    def run(inDir: String, ckpt: String): Unit = {
+      val schema = spark.read.parquet(inDir).schema
+      EventStreams.dedupAgainstZone(
+        spark, spark.readStream.schema(schema).parquet(inDir),
+        Seq("event_id"), s"$tmp/fp", s"$tmp/out", ckpt, foldEvery = 2)
+    }
+    def partitions(): Seq[String] = new java.io.File(s"$tmp/out")
+      .listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_fp=")).sorted
+    def content(): Set[Long] = spark.read.parquet(s"$tmp/out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1: under cadence — the per-batch partition stands
+    drop(s"$tmp/in1", 1 to 10)
+    run(s"$tmp/in1", s"$tmp/ckpt1")
+    assert(partitions().size == 1 && !partitions().contains("batch_fp=__folded__"))
+    // batch 2 (separate run = separate micro-batch): reaches the cadence
+    // — the stream folds itself, no operator call anywhere
+    drop(s"$tmp/in2", 8 to 15)
+    run(s"$tmp/in2", s"$tmp/ckpt2")
+    assert(partitions() == Seq("batch_fp=__folded__"),
+      s"the stream must fold at its own cadence: ${partitions()}")
+    assert(content() == (1L to 15L).toSet, "fold must not change published rows")
+    // replays still refuse ACROSS the automatic fold (fresh checkpoint,
+    // batch-1 feed redelivered): nothing republishes
+    def census(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = census(s"$tmp/out")
+    run(s"$tmp/in1", s"$tmp/ckpt3")
+    assert(census(s"$tmp/out") == before,
+      "redelivery across the automatic fold must no-op byte-for-byte")
+    // next batch under cadence again: one fresh partition beside the fold
+    drop(s"$tmp/in3", 20 to 22)
+    run(s"$tmp/in3", s"$tmp/ckpt4")
+    assert(partitions().size == 2 && partitions().contains("batch_fp=__folded__"))
+    assert(content() == ((1L to 15L) ++ (20L to 22L)).toSet)
+  }
+
   test("stats zone: incremental merges equal the one-shot build; replayed batches no-op") {
     import spark.implicits._
     import graft.operators.Profiling
