@@ -27,6 +27,12 @@ object ScaleDiag {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 2 && args(2) == "e3ab") { e3GeometryAB(spark, genDir, workDir); return }
     if (args.length > 2 && args(2) == "ccinc") { ccIncrementalAB(spark, workDir); return }
+    if (args.length > 2 && args(2) == "e5occ") {
+      e5OccupancyLadder(spark, workDir,
+        if (args.length > 3) args(3).split(",").map(_.trim.toLong).toSeq
+        else Seq(200000L, 2000000L))
+      return
+    }
 
     def census(cand: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val c = cand.distinct().cache()
@@ -115,6 +121,83 @@ object ScaleDiag {
       s""""${bands}x$bits":{"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"candidates":$candidates}"""
     }
     println(s"""{"probe":"e3ab","zone_embeddings":$nZone,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** e5 PAST the occupancy cap (round-12 verdict #3): the semantic-index
+    * lifecycle re-clusters at k′ = ⌈N/1024⌉, pinning mean cluster
+    * occupancy at the target whatever the corpus size — this probe
+    * measures the incremental semantic-dedup day cost against synthetic
+    * standing zones PINNED at exactly that shape, one (or more) decades
+    * past the x100 rung where the ⌈N/1024⌉ bound first engaged (the
+    * round-12 table's last measured point). Zone at size N: k = N/1024
+    * deterministic sign-pattern unit centers, exactly 1024 members each
+    * (member = center + ±r/8 per-coordinate hash noise, r = 0.5 — so
+    * same-cluster members sit near cosine 1/(1+r²) ≈ 0.8, below the 0.95
+    * drop bar, while assignment margins stay decisive); the frozen
+    * centroid artifact is the true center set, supplied as centroidsOpt
+    * — the production mergeable-state path, so the timed plan never
+    * aggregates the zone for centroids. The FIXED-shape increment (1k
+    * planted near-copies of members from 1k distinct clusters + 1k novel
+    * patterns) is re-planted per rung; the probe asserts EXACTLY 1k
+    * drops and 1k keeps — cost and correctness in one artifact.
+    */
+  private def e5OccupancyLadder(
+      spark: org.apache.spark.sql.SparkSession, workDir: String, sizes: Seq[Long]): Unit = {
+    val dim = 64
+    val occupancy = 1024L
+    def signCoord(idc: org.apache.spark.sql.Column, stream: Int, scale: Double) =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        when(pmod(xxhash64(idc, j, lit(stream)), lit(2)) === 0, lit(scale)).otherwise(lit(-scale)))
+    def addV(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      zip_with(a, b, (x, y) => x + y)
+    val parts = sizes.map { n =>
+      val k = n / occupancy
+      val zonePath = s"$workDir/diag_e5occ_$n"
+      graft.sources.Zones.delete(spark, zonePath)
+      spark.range(n).select(
+          col("id"),
+          (col("id") / occupancy).cast("long").as("cluster"),
+          addV(
+            signCoord((col("id") / occupancy).cast("long"), 0, 0.125),
+            signCoord(col("id"), 1, 0.5 / 8)).as("v"))
+        .write.mode("overwrite").parquet(zonePath)
+      val zone = spark.read.parquet(zonePath)
+      val cents = spark.range(k).select(
+          col("id").as("cid"), signCoord(col("id"), 0, 0.125).as("c"))
+        .localCheckpoint()
+      // planted near-copies of the first member of 1000 distinct,
+      // stride-spread clusters (must drop) + 1000 novel sign patterns
+      // from a disjoint hash stream (must keep)
+      val stride = math.max(1L, k / 1000L)
+      val plantedIds = spark.range(1000).select(
+        (col("id") * stride % k * occupancy + 7).as("src"))
+      val plantedInc = plantedIds.select(
+        (col("src") + 3000000000L).as("vec_id"),
+        addV(
+          addV(
+            signCoord((col("src") / occupancy).cast("long"), 0, 0.125),
+            signCoord(col("src"), 1, 0.5 / 8)),
+          signCoord(col("src"), 2, 0.01 / 8)).as("e"))
+      val novelInc = spark.range(1000).select(
+        (col("id") + 4000000000L).as("vec_id"),
+        signCoord(col("id") + 10000000L, 3, 0.125).as("e"))
+      val inc = plantedInc.unionByName(novelInc).localCheckpoint()
+      def day() = Dedup.semanticDedupIncremental(
+        zone.select(col("id"), col("cluster"), col("v")), inc, "vec_id", "e", 0.95,
+        centroidsOpt = Some(cents))
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); day().count(); (System.nanoTime() - t0) / 1e9
+      }.min
+      val res = day().localCheckpoint()
+      val dropped = res.filter(!col("is_kept")).count()
+      val keptNovel = res.filter(col("is_kept") && col("vec_id") >= 4000000000L).count()
+      require(dropped == 1000L && keptNovel == 1000L,
+        s"e5occ at n=$n: dropped=$dropped (want 1000), keptNovel=$keptNovel (want 1000)")
+      graft.sources.Zones.delete(spark, zonePath)
+      s""""n$n":{"k":$k,"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"dropped":$dropped,"kept_novel":$keptNovel}"""
+    }
+    println(s"""{"probe":"e5occ","occupancy":$occupancy,${parts.mkString(",")}}""")
     spark.stop()
   }
 

@@ -43,6 +43,39 @@ object ScaleProbe {
   private def timedMin(body: => Unit): Double =
     (1 to math.max(1, ProbeRuns)).map(_ => timed(body)._2).min
 
+  /** Planted-copy id offset: above every replica id (reps ≤ 100 →
+    * corpus ids < 1.0×10⁸) and below the generator's increment offset
+    * (9×10⁸), so planted ids collide with neither.
+    */
+  private val PlantOffset = 800000000L
+
+  /** Order-independent pair-set fingerprint (count, decimal hash sum) —
+    * equal fingerprints on normalized distinct pair sets = equal sets.
+    */
+  private def pairChecksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = df.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (r.getLong(0), r.getDecimal(1))
+  }
+
+  /** Planted (src, src+offset) pairs NOT found in `got` — empty proves
+    * every planted copy was caught, at this corpus scale, by this path.
+    */
+  private def missedPlants(plantedSrc: DataFrame, got: DataFrame): Long =
+    plantedSrc.select(col("src").as("id_a"), (col("src") + PlantOffset).as("id_b"))
+      .join(
+        got.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+      .count()
+
   def main(args: Array[String]): Unit = {
     val Array(genDir, workDir) = args.take(2)
     val spark = Sessions
@@ -61,18 +94,58 @@ object ScaleProbe {
     val nEmbs = corpusEmbs.count()
     val nIncDocs = incDocs.count()
     val sec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val planted = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    // PLANTED-COPY correctness increments (round-12 verdict #6: the
+    // scale ladder must certify drops, not just wall time). EXACT copies
+    // of corpus rows — one sample per replica stripe, so plants probe
+    // zone partitions across the whole standing corpus — re-id'd above
+    // every real id. An exact copy is found DETERMINISTICALLY by every
+    // family (identical text → identical signature → every band matches,
+    // estimated Jaccard 1; identical vector → identical sign bits,
+    // cosine 1), so "0 missed" is an exact obligation at any corpus
+    // size and any geometry — precisely what a silent key-geometry or
+    // zone-probe bug would break. Timed probes keep the UNAUGMENTED
+    // byte-identical increment; assertions run their own untimed calls.
+    val docPlantSrc = corpusDocs
+      .filter(pmod(col("doc_id"), lit(1000000L)) % 500 === 0)
+      .select(col("doc_id").as("src")).cache()
+    val docPlants = corpusDocs
+      .filter(pmod(col("doc_id"), lit(1000000L)) % 500 === 0)
+      .withColumn("doc_id", col("doc_id") + PlantOffset)
+    val embPlantSrc = corpusEmbs
+      .filter(pmod(col("vec_id"), lit(1000000L)) % 500 === 0)
+      .select(col("vec_id").as("src")).cache()
+    val embPlants = corpusEmbs
+      .filter(pmod(col("vec_id"), lit(1000000L)) % 500 === 0)
+      .withColumn("vec_id", col("vec_id") + PlantOffset)
+    val nDocPlants = docPlantSrc.count()
+    val nEmbPlants = embPlantSrc.count()
+    require(nDocPlants > 0 && nEmbPlants > 0, "no planted copies — sampling broke")
 
     // ── d9: MinHash signature index — build zone untimed, time the
     // increment-vs-index pair pass ──────────────────────────────────────
     val sigZone = s"$workDir/sig_index"
     Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
       n = 3, numHashes = 32, mode = "overwrite", bands = 16)
-    sec("d9_incremental_dedup") = timedMin {
-      Dedup.minhashLshPairsIncremental(
-        Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
-        3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
-        .count()
-    }
+    def d9Pairs(inc: DataFrame) = Dedup.minhashLshPairsIncremental(
+      Dedup.readSignatureIndex(spark, sigZone), inc, "doc_id", "text",
+      3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+    sec("d9_incremental_dedup") = timedMin { d9Pairs(incDocs).count() }
+    // (a) cross-zone: every planted corpus copy must pair with its source
+    val d9Missed = missedPlants(docPlantSrc, d9Pairs(incDocs.unionByName(docPlants)))
+    require(d9Missed == 0, s"d9 missed $d9Missed of $nDocPlants planted copies")
+    planted("d9_missed") = d9Missed
+    // (b) within-increment: the incremental path must return EXACTLY the
+    // batch operator's pair set over the increment alone (cross-base
+    // confirms are impossible by the generator's margins: max shared
+    // 3-gram fraction 0.11 ≪ 0.6, so any difference is a path bug)
+    val d9Within = pairChecksum(d9Pairs(incDocs))
+    val d9Batch = pairChecksum(
+      Dedup.minhashLshPairs(incDocs, "doc_id", "text", 3, 32, 16, 0.6))
+    require(d9Within == d9Batch,
+      s"d9 incremental-vs-batch pair sets differ: $d9Within vs $d9Batch")
+    planted("d9_within_pairs") = d9Within._1
 
     // ── d12: incremental cluster maintenance — the standing assignment
     // zone (dupClusters over the corpus's own pair closure) is untimed
@@ -86,14 +159,36 @@ object ScaleProbe {
         "id_a", "id_b")
       .write.mode("overwrite").parquet(clustersZone)
     sec("d12_incremental_clusters") = timedMin {
-      val newPairs = Dedup.minhashLshPairsIncremental(
-        Dedup.readSignatureIndex(spark, sigZone), incDocs, "doc_id", "text",
-        3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+      val newPairs = d9Pairs(incDocs)
       val zone = spark.read.parquet(clustersZone)
       // the zone count is the production engagement signal (CorpusRun
       // pays it too) — timed as part of the day cost
       Curation.dupClustersIncremental(
         zone, newPairs, "id_a", "id_b", assignmentRows = Some(zone.count())).count()
+    }
+    // planted cross pairs must fold into the standing assignment with
+    // both endpoints CO-LABELED, and the result must cover exactly the
+    // zone ids ∪ the pair ids (row-count identity)
+    locally {
+      val zone = spark.read.parquet(clustersZone)
+      val plantPairs = d9Pairs(incDocs.unionByName(docPlants)).localCheckpoint()
+      val res = Curation.dupClustersIncremental(
+        zone, plantPairs, "id_a", "id_b", assignmentRows = Some(zone.count()))
+        .localCheckpoint()
+      val lbl = res.select(col("id"), col("cluster_id"))
+      val split = docPlantSrc
+        .select(col("src").as("id_a"), (col("src") + PlantOffset).as("id_b"))
+        .join(lbl.select(col("id").as("id_a"), col("cluster_id").as("ca")), "id_a")
+        .join(lbl.select(col("id").as("id_b"), col("cluster_id").as("cb")), "id_b")
+        .filter(col("ca") =!= col("cb")).count()
+      require(split == 0, s"d12 left $split planted pairs split across clusters")
+      planted("d12_split") = split
+      val pairIds = plantPairs.select(col("id_a").as("id"))
+        .unionByName(plantPairs.select(col("id_b").as("id"))).distinct()
+      val expectRows = zone.count() +
+        pairIds.join(zone.select("id"), Seq("id"), "left_anti").count()
+      require(res.count() == expectRows,
+        s"d12 row-count identity broke: ${res.count()} vs $expectRows")
     }
 
     // ── e3 under writer DEFAULTS (= the size policy since round 13:
@@ -109,6 +204,11 @@ object ScaleProbe {
       Dedup.embeddingNearDupIncrementalAt(
         spark, embZone, incEmbs, "vec_id", "e", 0.99).count()
     }
+    val e3Missed = missedPlants(embPlantSrc,
+      Dedup.embeddingNearDupIncrementalAt(
+        spark, embZone, incEmbs.unionByName(embPlants), "vec_id", "e", 0.99))
+    require(e3Missed == 0, s"e3 missed $e3Missed of $nEmbPlants planted copies")
+    planted("e3_missed") = e3Missed
 
     // ── e3 at the FIXED 8×8 rung (the pre-round-13 writer default, and
     // the gates' pinned geometry): kept as the reference row measuring
@@ -123,6 +223,10 @@ object ScaleProbe {
         indexCounts = Dedup.readBucketCounts(spark, embZoneF))
         .count()
     }
+    val e3fMissed = missedPlants(embPlantSrc,
+      Dedup.embeddingNearDupIncrementalAt(
+        spark, embZoneF, incEmbs.unionByName(embPlants), "vec_id", "e", 0.99))
+    require(e3fMissed == 0, s"e3_fixed_8x8 missed $e3fMissed planted copies")
 
     // ── e5: standing semantic assignment zone. k follows the production
     // occupancy policy (max(64, ⌈N/SemTargetOccupancy⌉) — the occupancy
@@ -145,6 +249,37 @@ object ScaleProbe {
         spark.read.parquet(semZone), incEmbs, "vec_id", "e", 0.95)
         .count()
     }
+    // planted exact copies of ZONE vectors: a copy lands (by argmin over
+    // the call's derived centroids) wherever its source vector would land
+    // NOW — which for a STABLE source (one whose own re-assignment under
+    // those centroids equals its stored label) is the source's cluster,
+    // where the cosine-1 partner sits. Every stable plant must come back
+    // dropped; boundary sources that re-assign elsewhere are excluded
+    // (the one-shot shape derives centroids one Lloyd step ahead of the
+    // stored labels — the documented frozen-geometry caveat, not a bug).
+    locally {
+      val zoneDf = spark.read.parquet(semZone).localCheckpoint()
+      val e5Src = zoneDf.filter(pmod(col("id"), lit(1000000L)) % 500 === 0)
+      val dim = zoneDf.select(size(col("v"))).head().getInt(0)
+      val cents = Clustering.centroids(zoneDf, "v", "cluster", dim).localCheckpoint()
+      val stableSrc = Clustering.assignFused(
+          e5Src.select(col("id"), col("v")), "id", "v", cents)
+        .select(col("id"), col("cluster").as("now"))
+        .join(e5Src.select(col("id"), col("cluster"), col("v")), "id")
+        .filter(col("now") === col("cluster"))
+        .localCheckpoint()
+      val nStable = stableSrc.count()
+      require(nStable > 0, "e5 plant sampling produced no stable sources")
+      val e5Plants = stableSrc.select((col("id") + PlantOffset).as("vec_id"), col("v").as("e"))
+      val res = Dedup.semanticDedupIncremental(
+        zoneDf, incEmbs.unionByName(e5Plants), "vec_id", "e", 0.95)
+      val keptPlants = res
+        .join(stableSrc.select((col("id") + PlantOffset).as("vec_id")), "vec_id")
+        .filter(col("is_kept")).count()
+      require(keptPlants == 0, s"e5 kept $keptPlants of $nStable planted exact copies")
+      planted("e5_stable_plants") = nStable
+      planted("e5_kept_plants") = keptPlants
+    }
 
     // ── k5: persisted IVF index append ──────────────────────────────────
     val ivfZone = s"$workDir/ivf"
@@ -152,6 +287,8 @@ object ScaleProbe {
     sec("k5_ivf_append") = timed {
       SimilaritySearch.appendIvfIndex(spark, ivfZone, incEmbs, "vec_id", "e")
     }._2
+    require(spark.read.parquet(s"$ivfZone/assignments").count() ==
+      nEmbs + incEmbs.count(), "k5 append row-count identity broke")
 
     // ── CorpusRun: standing day-1 zones untimed, the full day-2 pipeline
     // timed end-to-end (quality → exact → near-dup → clusters → publish →
@@ -189,7 +326,9 @@ object ScaleProbe {
     val secJson = sec.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    println(s"""{"probe":"scale","corpus_docs":$nDocs,"corpus_embeddings":$nEmbs,"increment_docs":$nIncDocs,"sec":$secJson}""")
+    val plantedJson = (Seq("doc_plants" -> nDocPlants, "emb_plants" -> nEmbPlants) ++
+      planted.toSeq).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"probe":"scale","corpus_docs":$nDocs,"corpus_embeddings":$nEmbs,"increment_docs":$nIncDocs,"sec":$secJson,"planted":$plantedJson}""")
     spark.stop()
   }
 }

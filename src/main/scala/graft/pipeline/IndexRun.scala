@@ -285,21 +285,20 @@ object IndexRun {
     val v = increment
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("ingest_day", lit(runDate))
-    currentSigIndexPath(spark, base) match {
-      case None =>
-        // emptiness judged AFTER the null-vector filter (an all-null
-        // increment must not crash the dim lookup inside the build);
-        // the count doubles as the geometry policy's input
-        val n0 = v.filter(col("v").isNotNull).count()
-        if (n0 == 0) return "SIG: empty increment, nothing to build."
+    SemVersions.withLive(spark, base) {
+      // emptiness judged AFTER the null-vector filter (an all-null
+      // increment must not crash the dim lookup inside the build);
+      // the count doubles as the geometry policy's input
+      val n0 = v.filter(col("v").isNotNull).count()
+      if (n0 == 0) "SIG: empty increment, nothing to build."
+      else {
         val (gBands, gBits) = sigGeometry(n0)
         val (n, c) = buildSigVersion(spark, s"$base/v1", v, SigSeed, gBands, gBits)
         writePointer(spark, base, "v1")
         f"SIG: BUILT lsh(${gBands}x$gBits) v1 from $n vector(s), " +
           f"concentration $c%.5f."
-      case Some(live) =>
-        repairPointer(spark, base, live)
-        sweepRetired(spark, base, live)
+      }
+    } { live =>
         val meta = spark.read.parquet(s"$live/meta").head()
         val seed = meta.getAs[Long]("seed")
         val c0 = meta.getAs[Double]("baseline_concentration")
@@ -344,13 +343,11 @@ object IndexRun {
         val head = f"SIG: appended $nApp vector(s), concentration $c%.5f " +
           f"(ratio $ratio%.2f vs ref $ref%.5f, retrain at $retrainInflation%.1fx)."
         if (ratio > retrainInflation || geomTrip) {
-          val nextV = s"v${versionOf(live) + 1}"
           val all = spark.read.parquet(s"$live/index")
             .select(col("id"), col("v"), col("ingest_day").cast("string").as("ingest_day"))
           val nextSeed = if (ratio > retrainInflation) seed + 1 else seed
-          val (nR, cR) = buildSigVersion(
-            spark, s"$base/$nextV", all, nextSeed, gBands, gBits)
-          writePointer(spark, base, nextV)
+          val (nextV, (nR, cR)) = SemVersions.flipToNext(spark, base, live)(
+            vPath => buildSigVersion(spark, vPath, all, nextSeed, gBands, gBits))
           val why =
             if (ratio > retrainInflation && geomTrip)
               f"concentration + corpus growth (re-seeded to ${nextSeed}, " +
@@ -434,16 +431,15 @@ object IndexRun {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("ingest_day", lit(runDate))
-    currentSigIndexPath(spark, base) match {
-      case None =>
-        if (v.isEmpty) return "SEM: empty increment, nothing to build."
+    SemVersions.withLive(spark, base) {
+      if (v.isEmpty) "SEM: empty increment, nothing to build."
+      else {
         val (n, k) = buildSemVersion(spark, s"$base/v1", v, targetOccupancy)
         writePointer(spark, base, "v1")
         f"SEM: BUILT cluster index v1 — $n vector(s) at k=$k " +
           f"(target occupancy $targetOccupancy)."
-      case Some(live) =>
-        repairPointer(spark, base, live)
-        sweepRetired(spark, base, live)
+      }
+    } { live =>
         val meta = spark.read.parquet(s"$live/meta").head()
         val k = meta.getAs[Int]("k")
         val idxDim = meta.getAs[Int]("dim")
@@ -482,11 +478,13 @@ object IndexRun {
           // — rebuilding then would destroy those days' rows and the
           // frozen geometry, so such a day falls through to the
           // non-destructive append arm instead.
-          if (v.isEmpty) return "SEM: empty increment, nothing to rebuild."
-          val (n1, k1) = buildSemVersion(spark, live, v, targetOccupancy)
-          return f"SEM: REBUILT ${live.split('/').last} (day-1 retry) from " +
-            f"$n1 vector(s) at k=$k1."
-        }
+          if (v.isEmpty) "SEM: empty increment, nothing to rebuild."
+          else {
+            val (n1, k1) = buildSemVersion(spark, live, v, targetOccupancy)
+            f"SEM: REBUILT ${live.split('/').last} (day-1 retry) from " +
+              f"$n1 vector(s) at k=$k1."
+          }
+        } else {
         val keyed = v.localCheckpoint()
         val nApp = keyed.count()
         if (nApp > 0) {
@@ -529,6 +527,7 @@ object IndexRun {
           case Some((_, _, kR, nR, nextV)) =>
             head + f" RECLUSTERED: $nextV rebuilt ($nR vector(s)) at k=$kR, " +
               "pointer flipped."
+        }
         }
     }
   }
@@ -581,8 +580,7 @@ object IndexRun {
       val increment = spark.read.parquet(incrementDir)
         .filter(col(vecCol).isNotNull)
       val ivfMessage =
-        currentIndexPath(spark, indexBase) match {
-          case None =>
+        SemVersions.withLive(spark, indexBase) {
             // BOOTSTRAP: the quantizer needs ≥ k sample vectors, but the
             // first day's increment owes the pipeline nothing — an empty
             // day defers the build (like the sig stage), a small day
@@ -601,9 +599,7 @@ object IndexRun {
               s"Index day $runDate: BUILT ivf($k) v1 from $n vector(s)." +
                 (if (k < nCells) s" (k clamped from $nCells to the day-1 corpus)" else "")
             }
-          case Some(live) =>
-            repairPointer(spark, indexBase, live)
-            sweepRetired(spark, indexBase, live)
+        } { live =>
             val st = SimilaritySearch.appendIvfIndexDaily(
               spark, live, increment, idCol, vecCol, runDate, retrainInflation)
             // a zero baseline (≤ nCells distinct day-1 vectors quantize
@@ -619,15 +615,13 @@ object IndexRun {
               f"(increment ${st.incrementMeanDist2}%.4f vs baseline ${st.baselineMeanDist2}%.4f, " +
               f"retrain at ${retrainInflation}%.1fx)."
             if (st.needsRetrain) {
-              val nextV = s"v${versionOf(live) + 1}"
               // retrain at full nCells unless the zone is still smaller
               // (the day-1 clamp's recovery path: each retrain raises k
               // toward nCells as the corpus grows)
               val zoneN = spark.read.parquet(s"$live/assignments").count()
               val k = math.min(nCells.toLong, zoneN).toInt
-              SimilaritySearch.retrainIvfIndexDaily(
-                spark, live, s"$indexBase/$nextV", k)
-              writePointer(spark, indexBase, nextV)
+              val (nextV, _) = SemVersions.flipToNext(spark, indexBase, live)(
+                vPath => SimilaritySearch.retrainIvfIndexDaily(spark, live, vPath, k))
               // the retired version is NOT deleted here: it stays one
               // cycle for in-flight readers and is swept next run
               base + s" RETRAINED: $nextV rebuilt from the full zone at ivf($k), " +

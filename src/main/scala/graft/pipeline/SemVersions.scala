@@ -181,16 +181,15 @@ private[pipeline] object SemVersions {
     val trip = targetOccupancy * inflation
     if (total == 0 || occupancy <= trip) None
     else {
-      val nextV = s"v${IndexRun.versionOf(live) + 1}"
       val all = spark.read.parquet(s"$live/assign")
         .select(col("id"), col("v"),
           col("ingest_day").cast("string").as("ingest_day"))
         .localCheckpoint()
       val k2 = math.max(1L, math.min(
         math.ceil(total.toDouble / targetOccupancy).toLong, all.count())).toInt
-      val (nNew, kNew) = buildVersionAtTargetK(
-        spark, s"$base/$nextV", all, dim, targetOccupancy, iters, kOverride = Some(k2))
-      IndexRun.writePointer(spark, base, nextV)
+      val (nextV, (nNew, kNew)) = flipToNext(spark, base, live)(vPath =>
+        buildVersionAtTargetK(
+          spark, vPath, all, dim, targetOccupancy, iters, kOverride = Some(k2)))
       Some((occupancy, k, kNew, nNew, nextV))
     }
   }
