@@ -17,10 +17,12 @@ import graft.operators.Dedup
   * Prints ONE JSON line: zone rows + candidate totals per family.
   */
 object ScaleDiag {
-  private val BaseStride = 1000000L // make_scale_corpus.py replica id stride
+  // make_scale_corpus.py replica id stride — from the genDir's meta.json
+  // when present (ScaleProbe.readGenMeta), historical 10⁶ otherwise
 
   def main(args: Array[String]): Unit = {
     val Array(genDir, workDir) = args.take(2)
+    val BaseStride = ScaleProbe.readGenMeta(genDir).idStride
     val spark = Sessions
       .builder("graft-scalediag", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
