@@ -25,6 +25,12 @@ import graft.sources.Zones
   *   genDir:  make_scale_corpus.py output (corpus_ / inc_ parquet pairs)
   *   workDir: scratch dir for zones (wiped per run)
   * Prints ONE JSON line: probe=scale, corpus sizes, per-path seconds.
+  *
+  * The x1000 corpus (5M docs / 2M embeddings) needs a bigger driver heap
+  * than the build's 8g default — run with SPARK_DRIVER_MEM=64g (the e3
+  * leg's cached zone band frames OOM an 8g local[32] JVM at that size).
+  * Quote min-of-3 FULL runs, never a single pass (host spikes over-read
+  * decade ratios — see BASELINE.md round-13).
   */
 object ScaleProbe {
   private def timed[A](body: => A): (A, Double) = {
@@ -111,7 +117,11 @@ object ScaleProbe {
       .builder("graft-scaleprobe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Zones.delete(spark, workDir)
+    // leg-by-leg resumption (SPARK_GRAFT_PROBE_SKIP non-empty) keeps the
+    // workDir: a prior leg's zones are that run's outputs, not stale
+    // state, and each leg overwrites its own zone anyway. A full run
+    // still starts clean.
+    if (SkipLegs.isEmpty) Zones.delete(spark, workDir)
     val meta = readGenMeta(genDir)
     val PlantOffset = meta.plantOffset
 
@@ -157,11 +167,13 @@ object ScaleProbe {
     // ── d9: MinHash signature index — build zone untimed, time the
     // increment-vs-index pair pass ──────────────────────────────────────
     val sigZone = s"$workDir/sig_index"
-    Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
-      n = 3, numHashes = 32, mode = "overwrite", bands = 16)
+    if (!SkipLegs("d9") || !SkipLegs("d12"))
+      Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
+        n = 3, numHashes = 32, mode = "overwrite", bands = 16)
     def d9Pairs(inc: DataFrame) = Dedup.minhashLshPairsIncremental(
       Dedup.readSignatureIndex(spark, sigZone), inc, "doc_id", "text",
       3, 32, 16, 0.6, indexCounts = Dedup.readBucketCounts(spark, sigZone))
+    if (!SkipLegs("d9")) {
     sec("d9_incremental_dedup") = timedMin { d9Pairs(incDocs).count() }
     // (a) cross-zone: every planted corpus copy must pair with its source
     val d9Missed = missedPlants(docPlantSrc, d9Pairs(incDocs.unionByName(docPlants)), PlantOffset)
@@ -177,6 +189,7 @@ object ScaleProbe {
     require(d9Within == d9Batch,
       s"d9 incremental-vs-batch pair sets differ: $d9Within vs $d9Batch")
     planted("d9_within_pairs") = d9Within._1
+    }
 
     // ── d12: incremental cluster maintenance — the standing assignment
     // zone (dupClusters over the corpus's own pair closure) is untimed
@@ -231,6 +244,7 @@ object ScaleProbe {
     // direct writer-default caller must land ≤~1.6×/decade at x100,
     // where the old fixed-8×8 default measured 8.78×. ───────────────────
     val embZone = s"$workDir/emb_sig"
+    if (!SkipLegs("e3")) {
     Dedup.writeEmbeddingSignatureIndex(spark, embZone, corpusEmbs, "vec_id", "e",
       mode = "overwrite")
     sec("e3_embedding_neardup_incremental") = timedMin {
@@ -243,6 +257,7 @@ object ScaleProbe {
       PlantOffset)
     require(e3Missed == 0, s"e3 missed $e3Missed of $nEmbPlants planted copies")
     planted("e3_missed") = e3Missed
+    }
 
     // ── e3 at the FIXED 8×8 rung (the pre-round-13 writer default, and
     // the gates' pinned geometry): kept as the reference row measuring
@@ -274,6 +289,7 @@ object ScaleProbe {
     // a zone the production pipeline never lets stand (occupancy 3k+,
     // trip bar 2048). ─────────────────────────────────────────────────
     val semZone = s"$workDir/sem_assign"
+    if (!SkipLegs("e5")) {
     val e5K = math.max(64, math.ceil(
       nEmbs.toDouble / graft.pipeline.IndexRun.SemTargetOccupancy).toInt)
     val assignment = Dedup.semanticDedup(corpusEmbs, "vec_id", "e", e5K, 2, 0.95)
@@ -317,15 +333,18 @@ object ScaleProbe {
       planted("e5_stable_plants") = nStable
       planted("e5_kept_plants") = keptPlants
     }
+    }
 
     // ── k5: persisted IVF index append ──────────────────────────────────
     val ivfZone = s"$workDir/ivf"
+    if (!SkipLegs("k5")) {
     SimilaritySearch.buildIvfIndex(spark, ivfZone, corpusEmbs, "vec_id", "e", nCells = 256)
     sec("k5_ivf_append") = timed {
       SimilaritySearch.appendIvfIndex(spark, ivfZone, incEmbs, "vec_id", "e")
     }._2
     require(spark.read.parquet(s"$ivfZone/assignments").count() ==
       nEmbs + incEmbs.count(), "k5 append row-count identity broke")
+    }
 
     // ── CorpusRun: standing day-1 zones untimed, the full day-2 pipeline
     // timed end-to-end (quality → exact → near-dup → clusters → publish →
@@ -333,12 +352,16 @@ object ScaleProbe {
     val wh = s"$workDir/wh"
     val day1 = s"$workDir/in_day1"
     val day2 = s"$workDir/in_day2"
-    corpusDocs.write.mode("overwrite").parquet(day1)
-    incDocs.write.mode("overwrite").parquet(day2)
+    if (!SkipLegs("corpus") || !SkipLegs("corpus_sem")) {
+      corpusDocs.write.mode("overwrite").parquet(day1)
+      incDocs.write.mode("overwrite").parquet(day2)
+    }
+    if (!SkipLegs("corpus")) {
     require(CorpusRun.run(spark, day1, wh, "2026-08-01 02:00:00") == "SUCCESS")
     sec("corpus_day") = timed {
       require(CorpusRun.run(spark, day2, wh, "2026-08-02 02:00:00") == "SUCCESS")
     }._2
+    }
 
     // ── CorpusRun WITH the semantic stage: the versioned frozen-geometry
     // sem index (corpus/sem_index/v<N>) builds from day 1 untimed; the
@@ -348,6 +371,7 @@ object ScaleProbe {
     // daily. Replica id strides match (doc_id and vec_id both +r·10⁶),
     // so the feed is the embeddings renamed; the increment's embedded
     // subset is byte-identical at every corpus scale. ───────────────────
+    if (!SkipLegs("corpus_sem")) {
     val whSem = s"$workDir/wh_sem"
     val semFeed = s"$workDir/sem_feed"
     corpusEmbs.select(col("vec_id").as("doc_id"), col("e").as("embedding"))
@@ -359,6 +383,7 @@ object ScaleProbe {
     sec("corpus_day_sem") = timed {
       require(CorpusRun.run(spark, day2, whSem, "2026-08-02 02:00:00", semantic = semCfg) == "SUCCESS")
     }._2
+    }
 
     val secJson = sec.map { case (k, v) =>
       "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
