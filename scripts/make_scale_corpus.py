@@ -35,12 +35,14 @@ Usage: make_scale_corpus.py <srcDir> <dstDir> <reps>   (reps <= 1000)
 
 reps <= 100 keeps the historical id layout byte-for-byte (increment at
 offset 9×10⁸, sign key 999). reps > 100 moves the increment above every
-replica stripe (offset 3×10⁹, sign key 123457 — replica ids reach
-999×10⁶, so the old constants would collide) and the side-meta tells the
-probes. Either way the script writes <dstDir>/meta.json with the layout
-(id_stride, inc_id_offset, plant_offset, reps); graft.ScaleProbe /
-graft.ScaleDiag read it when present and fall back to the historical
-constants for dirs that predate it.
+replica stripe (offset 3×10⁹ — replica ids reach 999×10⁶, so the old
+constants would collide); its sign key is the LAST greedily-selected
+flip key (see select_flip_keys — identity keys collide in cosine near
+reps=1000), recorded in meta.json as inc_flip_r. Either way the script
+writes <dstDir>/meta.json with the layout (id_stride, inc_id_offset,
+plant_offset, reps, inc_flip_r); graft.ScaleProbe / graft.ScaleDiag
+read it when present and fall back to the historical constants for
+dirs that predate it.
 
 Writes <dstDir>/corpus_{documents,embeddings}.parquet (replicas 0..reps-1)
 and <dstDir>/inc_{documents,embeddings}.parquet (the fixed increment).
@@ -63,9 +65,9 @@ INC_ID_OFFSET = 900000000
 PLANT_OFFSET = 800000000
 
 # fourth-decade layout (reps > 100): replica ids reach 999×10⁶ + 10⁶, so
-# plants move to 2×10⁹ and the increment above them at 3×10⁹; the sign
-# key must not be any replica's r (< 1000)
-BIG_INC_FLIP_R = 123457
+# plants move to 2×10⁹ and the increment above them at 3×10⁹. The
+# increment's sign key is NOT a constant here — select_flip_keys picks
+# it greedily with the replica keys (meta.json records it as inc_flip_r)
 BIG_INC_ID_OFFSET = 3000000000
 BIG_PLANT_OFFSET = 2000000000
 
@@ -147,7 +149,13 @@ def check_text_maps(con, src, reps):
     alpha = "abcdefghijklmnopqrstuvwxyz"
 
     def shingles(text, m):
-        t = text.lower().translate(str.maketrans(alpha, m))
+        # model the bytes the dedup operators actually see: the SQL
+        # translate runs on RAW text (uppercase passes through
+        # untransformed — the from-sets are lowercase-only), and the
+        # engine's tokenizer lowercases AFTERWARDS (TextAnalysis.tokens).
+        # lower-then-map would map uppercase-derived letters too and
+        # understate real cross-replica overlap on uppercase-heavy docs.
+        t = text.translate(str.maketrans(alpha, m)).lower()
         w = t.split()
         return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
 

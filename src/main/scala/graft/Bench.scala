@@ -96,16 +96,21 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  /** The prior artifact's `calib_min` — the host-calibration floor of the
-    * run the drift audit compares against. With both runs' floors in
-    * hand the audit normalizes per query (v/calib vs prior/calib_prior)
-    * instead of flagging every query on a slower host.
+  /** The prior artifact's host-calibration floor — the run the drift
+    * audit compares against. Prefers `pass_calib_min` (the main-pass
+    * floor, like-for-like with this run's gate-time floor); artifacts
+    * predating that field fall back to `calib_min` (their global floor
+    * incl. isolation samples). With both runs' floors in hand the audit
+    * normalizes per query (v/calib vs prior/calib_prior) instead of
+    * flagging every query on a slower host.
     */
   private def parsePriorCalib(path: String): Option[Double] =
     try {
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-      """"calib_min":(-?[0-9.Ee+-]+)""".r.findFirstMatchIn(text)
-        .map(_.group(1).toDouble).filter(_ > 0)
+      def field(name: String): Option[Double] =
+        ("\"" + name + "\":(-?[0-9.Ee+-]+)").r.findFirstMatchIn(text)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      field("pass_calib_min").orElse(field("calib_min"))
     } catch { case _: Throwable => None }
 
   /** The artifact's `"sf"` field, if the (possibly head-truncated) line
@@ -212,6 +217,12 @@ object Bench {
     // it is not drift. The factor only ever RAISES the trigger (min 1.0):
     // a faster host must not mask a real regression.
     val priorCalib = priorPath.flatMap(parsePriorCalib)
+    // the MAIN-PASS calib floor: the only samples that exist when the
+    // drift gate fires (isolation sessions run after, and their samples
+    // join `calibs` later). Recorded as its own artifact field
+    // (`pass_calib_min`) so the factor below is reproducible from the
+    // artifact — `calib_min` alone (the global floor incl. isolation
+    // samples) can sit below it and would make the factor look wrong.
     val passCalibMin = if (calibs.isEmpty) -1.0 else calibs.min
     val calibFactor = priorCalib match {
       case Some(pc) if passCalibMin > 0 => passCalibMin / pc
@@ -270,8 +281,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val priorCalibJson = priorCalib.map(_.toString).getOrElse("null")
     val calibFactorR = BigDecimal(calibFactor).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val passCalibMinR = if (passCalibMin <= 0) -1.0
+      else BigDecimal(passCalibMin).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson,"calib_sec":$calibJson,"calib_min":$calibMin,"prior_calib_min":$priorCalibJson,"calib_factor_vs_prior":$calibFactorR,"queries_calib":$qsCalib}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"isolated_sec":$isoJson,"substituted":$subJson,"calib_sec":$calibJson,"calib_min":$calibMin,"pass_calib_min":$passCalibMinR,"prior_calib_min":$priorCalibJson,"calib_factor_vs_prior":$calibFactorR,"queries_calib":$qsCalib}"""
     // full line first: complete record for anyone reading the whole log
     println(line)
     // identical JSON at a liftable path — the artifact of record for judges.
@@ -304,7 +317,7 @@ object Bench {
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson,"calib_min":$calibMin,"calib_factor_vs_prior":$calibFactorR}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","queries":{${shown.mkString(",")}},"n_queries":${results.size},"n_shown":${shown.size},"n_failed":${failed.size},"failed":$failedJson,"full_map":"$out","sf":"$sfDir","runs":$runs,"warmup":1,"interleaved":true,"session_per_pass":true,"pass_totals":$passJson,"prior":$priorJson,"n_isolated":${isolated.size},"substituted":$subJson,"calib_min":$calibMin,"pass_calib_min":$passCalibMinR,"calib_factor_vs_prior":$calibFactorR}""")
   }
 
   private def fnTime(spark: SparkSession, sfDir: String,

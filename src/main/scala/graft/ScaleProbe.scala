@@ -119,8 +119,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // leg-by-leg resumption (SPARK_GRAFT_PROBE_SKIP non-empty) keeps the
     // workDir: a prior leg's zones are that run's outputs, not stale
-    // state, and each leg overwrites its own zone anyway. A full run
-    // still starts clean.
+    // state. Pair legs (d9/e3/e5/k5) overwrite their own zones; the
+    // ledger-gated CorpusRun legs instead wipe their warehouse dirs at
+    // leg start (below) — re-entering a kept wh would return SKIPPED
+    // (ranToday) and abort the require. A full run still starts clean.
     if (SkipLegs.isEmpty) Zones.delete(spark, workDir)
     val meta = readGenMeta(genDir)
     val PlantOffset = meta.plantOffset
@@ -167,7 +169,15 @@ object ScaleProbe {
     // ── d9: MinHash signature index — build zone untimed, time the
     // increment-vs-index pair pass ──────────────────────────────────────
     val sigZone = s"$workDir/sig_index"
-    if (!SkipLegs("d9") || !SkipLegs("d12"))
+    // the sig zone is the most expensive setup (the 5M-doc shingle build
+    // at x1000) and feeds BOTH d9 and d12 — a resumed leg (skip-mode,
+    // kept workDir) reuses a COMPLETE zone from the prior leg's JVM
+    // instead of rebuilding it; an interrupted write has no _SUCCESS and
+    // rebuilds. Full runs start from a wiped workDir, so this never
+    // reuses across corpora.
+    val sigZoneReusable = SkipLegs.nonEmpty &&
+      Zones.exists(spark, s"$sigZone/_SUCCESS")
+    if ((!SkipLegs("d9") || !SkipLegs("d12")) && !sigZoneReusable)
       Dedup.writeSignatureIndex(spark, sigZone, corpusDocs, "doc_id", "text",
         n = 3, numHashes = 32, mode = "overwrite", bands = 16)
     def d9Pairs(inc: DataFrame) = Dedup.minhashLshPairsIncremental(
@@ -357,6 +367,10 @@ object ScaleProbe {
       incDocs.write.mode("overwrite").parquet(day2)
     }
     if (!SkipLegs("corpus")) {
+    // fresh warehouse even on a resumed run: CorpusRun is ledger-gated
+    // (ranToday/anyRunning), so a kept wh from a partial prior run would
+    // SKIP instead of running — the ADVICE-r13 resume trap
+    Zones.delete(spark, wh)
     require(CorpusRun.run(spark, day1, wh, "2026-08-01 02:00:00") == "SUCCESS")
     sec("corpus_day") = timed {
       require(CorpusRun.run(spark, day2, wh, "2026-08-02 02:00:00") == "SUCCESS")
@@ -373,6 +387,7 @@ object ScaleProbe {
     // subset is byte-identical at every corpus scale. ───────────────────
     if (!SkipLegs("corpus_sem")) {
     val whSem = s"$workDir/wh_sem"
+    Zones.delete(spark, whSem) // same resume trap as the corpus leg
     val semFeed = s"$workDir/sem_feed"
     corpusEmbs.select(col("vec_id").as("doc_id"), col("e").as("embedding"))
       .unionByName(

@@ -1448,18 +1448,45 @@ object Dedup {
       bands: Int = AutoGeometry,
       bitsPerBand: Int = AutoGeometry,
       seed: Long = 42L,
-      carryCols: Seq[String] = Nil): DataFrame = {
+      carryCols: Seq[String] = Nil): DataFrame =
+    embeddingSignatureRowsStats(df, idCol, vecCol, bands, bitsPerBand, seed, carryCols).rows
+
+  /** [[embeddingSignatureRows]] plus the batch stats (n, dim) and the
+    * RESOLVED geometry, all priced by the SINGLE count/dim aggregation
+    * the derivation needs anyway — the writer records `_geometry` and
+    * sizes bucket counts from these instead of re-scanning the batch
+    * (the round-13 residual: the AutoGeometry fresh-build path paid a
+    * sizing `count()` and then this agg — two scans of every fresh
+    * increment on the default path). n = 0 leaves an AutoGeometry pair
+    * unresolved (bands/bits echo the request) — every consumer no-ops
+    * on an empty batch before touching the geometry.
+    */
+  private[graft] final case class SigRows(
+      rows: DataFrame, n: Long, dim: Int, bands: Int, bitsPerBand: Int)
+
+  private[graft] def embeddingSignatureRowsStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long,
+      carryCols: Seq[String] = Nil): SigRows = {
     val v = df
       .select(Seq(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")) ++
         carryCols.map(col): _*)
       .filter(col("v").isNotNull)
     val vstats = v.agg(count(lit(1)), first(size(col("v")))).head()
     if (vstats.getLong(0) == 0)
-      return v.withColumn("bkeys", typedlit(Seq.empty[Long])).limit(0)
+      return SigRows(
+        v.withColumn("bkeys", typedlit(Seq.empty[Long])).limit(0),
+        0L, 0, bands, bitsPerBand)
     val (b0, r0) = resolveGeometry(bands, bitsPerBand, vstats.getLong(0))
     val planes = SimilaritySearch.hyperplanes(
       vstats.getInt(1), b0 * r0, seed)
-    v.withColumn("bkeys", bandKeyArray(col("v"), planes, b0, r0))
+    SigRows(
+      v.withColumn("bkeys", bandKeyArray(col("v"), planes, b0, r0)),
+      vstats.getLong(0), vstats.getInt(1), b0, r0)
   }
 
   /** Resolve an (bands, bitsPerBand) pair where [[AutoGeometry]] means
@@ -1508,18 +1535,17 @@ object Dedup {
           .flatMap(g => g.get("bands").zip(g.get("bits_per_band")))
           .map { case (gb, gr) => (gb.toInt, gr.toInt) }
       else None
-    val (b0, r0) = stored.getOrElse {
-      // auto on a fresh zone/overwrite prices the batch once (a count
-      // over the null-filtered select — explicit callers skip it)
-      val n =
-        if (bands != AutoGeometry) 0L
-        else df.select(col(vecCol).as("v")).filter(col("v").isNotNull).count()
-      resolveGeometry(bands, bitsPerBand, n)
-    }
+    // auto on a fresh zone/overwrite resolves INSIDE the row derivation,
+    // from the same count/dim aggregation it already pays — no separate
+    // sizing scan of the batch
+    val (b0, r0) = stored.getOrElse((bands, bitsPerBand))
     writeEmbeddingSignatureIndexAt(spark, path, df, idCol, vecCol, b0, r0, seed, mode)
   }
 
-  /** [[writeEmbeddingSignatureIndex]] with the geometry fully resolved. */
+  /** [[writeEmbeddingSignatureIndex]] with the geometry resolved from
+    * the zone where stored ([[AutoGeometry]] reaching here means "size
+    * from this batch inside the derivation's own aggregation").
+    */
   private def writeEmbeddingSignatureIndexAt(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -1531,19 +1557,19 @@ object Dedup {
       seed: Long,
       mode: String): Unit = {
     // ONE owner of the select/dim-lookup/hyperplane/band-key derivation:
-    // [[embeddingSignatureRows]] — re-implementing it here would let the
-    // key geometry silently desynchronize from IndexRun's sigStage rows.
-    // Its empty-batch contract (empty typed frame) maps to this writer's
-    // no-op (nothing to index, counts unchanged).
-    val keyed = embeddingSignatureRows(df, idCol, vecCol, bands, bitsPerBand, seed)
-      .cache()
-    if (keyed.isEmpty) { keyed.unpersist(); return }
+    // [[embeddingSignatureRowsStats]] — re-implementing it here would let
+    // the key geometry silently desynchronize from IndexRun's sigStage
+    // rows. Its single aggregation also yields n (empty-batch no-op),
+    // dim, and the resolved geometry — nothing below re-scans the batch.
+    val sig = embeddingSignatureRowsStats(df, idCol, vecCol, bands, bitsPerBand, seed)
+    if (sig.n == 0) return
+    val keyed = sig.rows.cache()
     // dim is part of the hash function: same seed at a different
     // dimensionality draws different hyperplanes (see [[guardZoneGeometry]])
     val geometry = Seq(
-      "bands" -> bands.toLong, "bits_per_band" -> bitsPerBand.toLong,
+      "bands" -> sig.bands.toLong, "bits_per_band" -> sig.bitsPerBand.toLong,
       "seed" -> seed,
-      "dim" -> keyed.select(size(col("v"))).head().getInt(0).toLong)
+      "dim" -> sig.dim.toLong)
     guardZoneGeometry(spark, path, mode, geometry)
     keyed.write.mode(mode).parquet(path)
     recordZoneGeometry(spark, path, geometry)
@@ -1556,7 +1582,7 @@ object Dedup {
       replace = mode == "overwrite",
       recountAll = () => bucketCounts(readEmbeddingSignatureIndex(spark, path)
         .select(posexplode(col("bkeys")).as(Seq("band", "key")))),
-      bandsPerRow = bands,
+      bandsPerRow = sig.bands,
       indexRows = () => readEmbeddingSignatureIndex(spark, path).count())
     keyed.unpersist()
     ()

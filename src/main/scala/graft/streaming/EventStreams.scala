@@ -124,7 +124,8 @@ object EventStreams {
     * operator to remember the maintenance call. 64 bounds the zone's
     * directory listing (the cost that grows with HISTORY, not data) at
     * ~an hour of one-per-minute batches while keeping the fold — an
-    * O(committed rows) consolidation — amortized over that window.
+    * O(window rows) consolidation into a tier-0 segment (tier merges
+    * amortize further; see [[foldDedupZones]]) — paid once per window.
     */
   val DedupFoldEveryBatches = 64
 
@@ -169,7 +170,9 @@ object EventStreams {
     if (!fs.exists(outPath)) return ""
     val nCommitted = fs.listStatus(outPath).count { st =>
       val nm = st.getPath.getName
-      nm.startsWith("batch_fp=") && nm != FoldPartition &&
+      // fold segments carry a _SUCCESS too (they are staged spark
+      // writes) — only true per-batch partitions count toward cadence
+      nm.startsWith("batch_fp=") && !isFoldSegment(nm) &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$outZone/$nm/_SUCCESS"))
     }
     if (nCommitted >= foldEvery) foldDedupZones(spark, keyCols, fpZone, outZone)
@@ -256,7 +259,31 @@ object EventStreams {
     * values of every batch partition a fold has absorbed.
     */
   private[graft] val AppliedSetDir = "_applied"
+
+  /** The pre-round-14 single consolidated partition. New folds write
+    * TIERED segments ([[foldSegmentName]]); a legacy zone's `__folded__`
+    * dir keeps standing untouched — readers see it like any other
+    * segment, and never re-copying it is exactly the point of the tiers.
+    */
   private[graft] val FoldPartition = "batch_fp=__folded__"
+
+  /** Tiered fold segments: `batch_fp=__fold_t<tier>_<seq>__`. A batch
+    * fingerprint can never collide with the `__fold` prefix (it starts
+    * with a hex digit or '-').
+    */
+  private[graft] def foldSegmentName(tier: Int, seq: Long) =
+    s"batch_fp=__fold_t${tier}_${seq}__"
+  private val FoldSegmentRe = """batch_fp=__fold_t(\d+)_(\d+)__""".r
+  private[graft] def isFoldSegment(name: String): Boolean =
+    name == FoldPartition || FoldSegmentRe.pattern.matcher(name).matches()
+
+  /** Segments merged per tier promotion: each published row is rewritten
+    * once per promotion = log_fanout(lifetime/foldEvery) times over the
+    * stream's whole life, instead of once per fold (the round-13
+    * residual: a single consolidated partition re-copied EVERY fold is
+    * O(history) I/O every `foldEvery` batches — quadratic in lifetime).
+    */
+  private[graft] val FoldTierFanout = 8
 
   /** Retention/compaction for the cross-run dedup zones — the corpus
     * zones' fold discipline applied to [[commitDedupBatch]]'s state,
@@ -265,34 +292,46 @@ object EventStreams {
     * that is ~1.4k directories a day: the scan becomes listing-bound,
     * the one stream-side cost that grows with history instead of data).
     *
+    * LSM-tiered layout (round 14): a fold absorbs ONLY the committed
+    * batch partitions into a fresh tier-0 segment — O(increment), never
+    * O(history). When a tier accumulates [[FoldTierFanout]] segments,
+    * they merge into one segment a tier up (cascading), so the directory
+    * count stays O(fanout × log(lifetime)) while total fold I/O over the
+    * stream's life is O(rows × log(rows)), not O(rows²/foldEvery).
+    *
     * What folds, and why each replay guarantee survives:
     *
-    *  - COMMITTED batch partitions (marker present) consolidate into the
-    *    single [[FoldPartition]]; their `batch_fp` values move into the
-    *    compact [[AppliedSetDir]] parquet, which [[commitDedupBatch]]
-    *    consults before the marker — so a redelivered batch refuses
-    *    ACROSS the fold exactly as it did against its marker. Readers of
-    *    the zone see the same rows (partition value coarsens, data
-    *    columns untouched). Half-written attempts (no marker) are left
-    *    for their batch's retry.
+    *  - COMMITTED batch partitions (marker present) consolidate into a
+    *    new tier-0 segment; their `batch_fp` values APPEND to the compact
+    *    [[AppliedSetDir]] parquet, which [[commitDedupBatch]] consults
+    *    before the marker — so a redelivered batch refuses ACROSS the
+    *    fold exactly as it did against its marker. Readers of the zone
+    *    see the same rows (partition value coarsens, data columns
+    *    untouched). Half-written attempts (no marker) are left for their
+    *    batch's retry. Tier merges move rows between fold segments only
+    *    — no applied-set or fp-zone obligations are involved.
     *  - The fp zone's keys are CONVERGED from the staged fold rows before
     *    any directory dies: a batch that committed output but crashed
     *    before its fp append loses its per-batch convergence path when
     *    its partition folds, so the fold closes that hole itself (one
     *    anti-join, amortized over the fold cadence).
-    *  - The fp zone then file-compacts (distinct keys, staged atomic
-    *    swap) — duplicate keys were always tolerated by the anti-join,
-    *    so dropping them is pure compaction.
+    *  - The applied set and fp zone file-compact (distinct, staged atomic
+    *    swap) only when a tier merge runs — amortized to the merge
+    *    cadence. Appended applied-set duplicates (a crash replay) and
+    *    fp-zone duplicates were always tolerated by their readers
+    *    (`filter`/anti-join), so deferring compaction is pure hygiene.
     *
-    * Durability (the compactZones pattern): the consolidated fold stages
-    * to a dot-hidden tmp, the applied-set swap and fp convergence land
-    * while every source directory still exists, and only then does an
-    * atomically-renamed manifest commit the swap — recovery replays a
-    * manifest-committed fold (delete listed dirs, rename the stage in)
-    * and discards anything earlier, so a crash at any point leaves either
-    * the old layout or the completed fold. Single-writer discipline as
-    * with every zone: run from the maintenance slot, not concurrently
-    * with the stream.
+    * Durability (the compactZones pattern, per fold/merge step): the
+    * consolidated segment stages to a dot-hidden tmp, the applied-set
+    * append and fp convergence land while every source directory still
+    * exists, and only then does an atomically-renamed manifest (first
+    * line `TARGET:<segment>`, then the absorbed dirs) commit the swap —
+    * recovery replays a manifest-committed step (delete listed dirs,
+    * rename the stage to the target) and discards anything earlier, so a
+    * crash at any point leaves either the old layout or the completed
+    * step. Legacy manifests (no TARGET line) recover to [[FoldPartition]].
+    * Single-writer discipline as with every zone: run from the
+    * maintenance slot, not concurrently with the stream.
     *
     * Returns a human summary ("" = no zones exist yet).
     */
@@ -300,7 +339,8 @@ object EventStreams {
       spark: SparkSession,
       keyCols: Seq[String],
       fpZone: String,
-      outZone: String): String = {
+      outZone: String,
+      fanout: Int = FoldTierFanout): String = {
     import org.apache.spark.sql.functions._
     val hconf = spark.sessionState.newHadoopConf()
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -311,79 +351,124 @@ object EventStreams {
     val stagedData = s"$tmp/data"
     val manifest = p(s"$tmp/_DIRS")
     // RECOVERY: the manifest is the commit point. Present → the staged
-    // fold is authoritative for the listed dirs: delete them (idempotent),
-    // rename the stage in if the target is missing. Absent → the stage is
-    // an uncommitted draft; the old layout stands.
+    // step is authoritative for the listed dirs: delete them (idempotent),
+    // rename the stage to the recorded target if the target is missing.
+    // Absent → the stage is an uncommitted draft; the old layout stands.
     if (fs.exists(manifest)) {
-      val listed = {
+      val lines = {
         val in = fs.open(manifest)
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
         finally in.close()
       }
+      val target = lines.collectFirst {
+        case l if l.startsWith("TARGET:") => l.stripPrefix("TARGET:")
+      }.getOrElse(FoldPartition)
+      val listed = lines.filterNot(_.startsWith("TARGET:"))
       listed.foreach(d => fs.delete(p(s"$outZone/$d"), true))
-      if (!fs.exists(p(s"$outZone/$FoldPartition")) && fs.exists(p(stagedData)))
-        fs.rename(p(stagedData), p(s"$outZone/$FoldPartition"))
+      if (!fs.exists(p(s"$outZone/$target")) && fs.exists(p(stagedData)))
+        fs.rename(p(stagedData), p(s"$outZone/$target"))
     }
     if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
 
-    val dirs = fs.listStatus(outPath).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch_fp="))
-    val batchDirs = dirs.filter(d =>
-      d != FoldPartition && fs.exists(p(s"$outZone/$d/_SUCCESS"))).sorted
-    val haveFold = dirs.contains(FoldPartition)
+    def listPartDirs(): Seq[String] = fs.listStatus(outPath).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_fp="))
+    var seq = listPartDirs().collect {
+      case FoldSegmentRe(_, s) => s.toLong
+    }.foldLeft(0L)(math.max)
+
+    /** One durable stage→manifest→swap step: `absorbed` dirs die, their
+      * rows land as `target`. `beforeCommit` runs while every source dir
+      * still exists (the applied/fp obligations of an L0 fold).
+      */
+    def commitStep(absorbed: Seq[String], target: String,
+        beforeCommit: () => Unit): Unit = {
+      // [1] stage the consolidated segment durably (reading the dirs
+      // directly keeps `batch_fp` out of the data files, as the
+      // per-batch writes did)
+      spark.read.parquet(absorbed.map(d => s"$outZone/$d"): _*)
+        .write.mode("overwrite").parquet(stagedData)
+      // [2] side obligations while sources still stand; a crash before
+      // the manifest leaves dirs AND side entries, which is redundant,
+      // never lossy
+      beforeCommit()
+      // [3] manifest — atomically renamed; the commit point
+      val mTmp = p(s"$tmp/_DIRS.tmp")
+      val out = fs.create(mTmp, true)
+      try out.write((s"TARGET:$target" +: absorbed).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(mTmp, manifest))
+        throw new java.io.IOException(s"fold manifest rename failed: $manifest")
+      // [4] swap: exactly the manifested dirs die, the stage renames in
+      absorbed.foreach(d => fs.delete(p(s"$outZone/$d"), true))
+      if (!fs.rename(p(stagedData), p(s"$outZone/$target")))
+        throw new java.io.IOException(s"fold rename failed: $outZone/$target")
+      fs.delete(p(tmp), true)
+    }
+
+    // ── L0 fold: committed batch partitions → one fresh tier-0 segment ──
+    val batchDirs = listPartDirs().filter(d =>
+      !isFoldSegment(d) && fs.exists(p(s"$outZone/$d/_SUCCESS"))).sorted
     val note =
       if (batchDirs.isEmpty) ""
       else {
-        val absorbed = batchDirs ++ (if (haveFold) Seq(FoldPartition) else Nil)
-        // [1] stage the consolidated partition content durably (reading
-        // the dirs directly keeps `batch_fp` out of the data files, as
-        // the per-batch writes did)
-        val rows = spark.read
-          .parquet(absorbed.map(d => s"$outZone/$d"): _*)
-          .localCheckpoint()
-        rows.write.mode("overwrite").parquet(stagedData)
-        // [2] applied set FIRST — from here every absorbed batch refuses
-        // replays with no marker needed; a crash before the manifest
-        // leaves dirs AND set entries, which is merely redundant
-        import spark.implicits._
-        val appliedDir = s"$outZone/$AppliedSetDir"
-        val newBfps = batchDirs.map(_.stripPrefix("batch_fp=")).toDF("bfp")
-        val applied =
-          if (graft.sources.Zones.exists(spark, appliedDir))
-            spark.read.parquet(appliedDir).unionByName(newBfps).distinct()
-          else newBfps
-        graft.sources.Zones.overwriteSwap(applied, appliedDir)
-        // [2b] fp-zone convergence from the staged rows (see scaladoc)
-        val foldKeys = spark.read.parquet(stagedData)
-          .select(keyCols.map(col): _*).distinct()
-        val missing =
-          if (graft.sources.Zones.exists(spark, fpZone))
-            foldKeys.join(spark.read.parquet(fpZone), keyCols, "left_anti")
-          else foldKeys
-        if (!missing.isEmpty) missing.write.mode("append").parquet(fpZone)
-        // [3] manifest — atomically renamed; the commit point
-        val mTmp = p(s"$tmp/_DIRS.tmp")
-        val out = fs.create(mTmp, true)
-        try out.write(absorbed.mkString("\n").getBytes("UTF-8")) finally out.close()
-        if (!fs.rename(mTmp, manifest))
-          throw new java.io.IOException(s"fold manifest rename failed: $manifest")
-        // [4] swap: exactly the manifested dirs die, the stage renames in
-        absorbed.foreach(d => fs.delete(p(s"$outZone/$d"), true))
-        if (!fs.rename(p(stagedData), p(s"$outZone/$FoldPartition")))
-          throw new java.io.IOException(s"fold rename failed: $outZone/$FoldPartition")
-        fs.delete(p(tmp), true)
-        spark.catalog.refreshByPath(outZone)
+        seq += 1
+        commitStep(batchDirs, foldSegmentName(0, seq), () => {
+          // applied set: APPEND the absorbed fingerprints — from the
+          // manifest commit on, every absorbed batch refuses replays
+          // with no marker needed. O(batch count), never a rewrite.
+          import spark.implicits._
+          batchDirs.map(_.stripPrefix("batch_fp=")).toDF("bfp")
+            .coalesce(1)
+            .write.mode("append").parquet(s"$outZone/$AppliedSetDir")
+          // fp-zone convergence from the staged rows (see scaladoc)
+          val foldKeys = spark.read.parquet(stagedData)
+            .select(keyCols.map(col): _*).distinct()
+          val missing =
+            if (graft.sources.Zones.exists(spark, fpZone))
+              foldKeys.join(spark.read.parquet(fpZone), keyCols, "left_anti")
+            else foldKeys
+          if (!missing.isEmpty) missing.write.mode("append").parquet(fpZone)
+        })
         s"folded ${batchDirs.size} batch partition(s)"
       }
-    // fp-zone compaction: distinct keys, staged atomic swap
-    val fpNote =
-      if (!graft.sources.Zones.exists(spark, fpZone)) ""
-      else {
-        graft.sources.Zones.overwriteSwap(
-          spark.read.parquet(fpZone).distinct(), fpZone)
-        "fp zone compacted"
+
+    // ── tier cascade: any tier at fanout merges one tier up; ascending
+    // order lets a merge at t trip t+1 in the same pass ────────────────
+    val fan = math.max(2, fanout)
+    val mergeNotes = scala.collection.mutable.ArrayBuffer[String]()
+    var tier = 0
+    var maxTier = listPartDirs().collect {
+      case FoldSegmentRe(t, _) => t.toInt }.foldLeft(0)(math.max)
+    while (tier <= maxTier) {
+      val segs = listPartDirs().collect {
+        case d @ FoldSegmentRe(t, _) if t.toInt == tier => d }.sorted
+      if (segs.size >= fan) {
+        seq += 1
+        commitStep(segs, foldSegmentName(tier + 1, seq), () => ())
+        mergeNotes += s"merged ${segs.size} t$tier segment(s)"
+        maxTier = math.max(maxTier, tier + 1)
       }
-    Seq(note, fpNote).filter(_.nonEmpty).mkString("; ")
+      tier += 1
+    }
+
+    // applied-set + fp-zone compaction (distinct, staged atomic swap):
+    // only when a merge ran — amortized to the merge cadence, so the
+    // per-fold cost stays O(increment)
+    val fpNote =
+      if (mergeNotes.isEmpty) ""
+      else {
+        val appliedDir = s"$outZone/$AppliedSetDir"
+        if (graft.sources.Zones.exists(spark, appliedDir))
+          graft.sources.Zones.overwriteSwap(
+            spark.read.parquet(appliedDir).distinct(), appliedDir)
+        if (graft.sources.Zones.exists(spark, fpZone)) {
+          graft.sources.Zones.overwriteSwap(
+            spark.read.parquet(fpZone).distinct(), fpZone)
+          "fp zone compacted"
+        } else ""
+      }
+    if (note.nonEmpty || mergeNotes.nonEmpty) spark.catalog.refreshByPath(outZone)
+    (Seq(note) ++ mergeNotes ++ Seq(fpNote)).filter(_.nonEmpty).mkString("; ")
   }
 
   case class EventRow(user_id: Long, ts: java.time.Instant, event_type: String, value: Double)

@@ -463,8 +463,8 @@ class ModulesSpec extends SparkSpec {
 
     val note1 = fold()
     assert(note1.contains("folded 2 batch partition(s)"), s"unexpected: $note1")
-    assert(partitions() == Seq("batch_fp=__folded__"),
-      s"fold must leave exactly the consolidated partition: ${partitions()}")
+    assert(partitions().size == 1 && partitions().forall(EventStreams.isFoldSegment),
+      s"fold must leave exactly one tier-0 segment: ${partitions()}")
     assert(content() == pre, "fold must not change the published rows")
 
     // a redelivered batch whose partition (and marker) the fold absorbed
@@ -494,23 +494,40 @@ class ModulesSpec extends SparkSpec {
     assert(content().size == 23, "only the 3 genuinely new keys may publish")
 
     // crash RECOVERY: simulate a fold that died between its manifest and
-    // the swap — staged data present, manifest listing the target, the
-    // live fold partition already deleted
-    fold() // consolidate everything first
+    // the swap — staged data present, manifest naming the target, the
+    // source segment already gone
+    fold() // fold the last loose batch partition first
     val preCrash = content()
+    val segs = partitions()
+    assert(segs.forall(EventStreams.isFoldSegment), s"loose partitions remain: $segs")
+    val victim = segs.last
     val outDir = new java.io.File(s"$tmp/out")
     val tmpDir = new java.io.File(s"$tmp/out/.fold_tmp")
     tmpDir.mkdirs()
-    assert(new java.io.File(outDir, "batch_fp=__folded__")
+    assert(new java.io.File(outDir, victim)
       .renameTo(new java.io.File(tmpDir, "data")), "test setup rename failed")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$tmp/out/.fold_tmp/_DIRS"), "batch_fp=__folded__")
+      java.nio.file.Paths.get(s"$tmp/out/.fold_tmp/_DIRS"), s"TARGET:$victim\n$victim")
     val note3 = fold() // recovery must complete the swap, then no-op
-    assert(partitions() == Seq("batch_fp=__folded__"),
-      s"recovery must rename the staged fold in: ${partitions()}")
+    assert(partitions() == segs,
+      s"recovery must rename the staged segment in: ${partitions()}")
     assert(content() == preCrash, s"recovery changed the rows (note: $note3)")
 
-    // fp zone compacted to one distinct key set
+    // LEGACY recovery: a pre-tier manifest has no TARGET line — it
+    // recovers to the historical consolidated partition name
+    val legacyVictim = partitions().head
+    tmpDir.mkdirs() // recovery above deleted .fold_tmp
+    assert(new java.io.File(outDir, legacyVictim)
+      .renameTo(new java.io.File(tmpDir, "data")), "legacy setup rename failed")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/out/.fold_tmp/_DIRS"), legacyVictim)
+    fold()
+    assert(partitions().contains("batch_fp=__folded__"),
+      s"legacy manifest must recover to __folded__: ${partitions()}")
+    assert(content() == preCrash, "legacy recovery changed the rows")
+
+    // fp zone holds exactly the distinct published key set (no duplicate
+    // appends arise on this path — compaction itself is merge-cadence)
     assert(spark.read.parquet(s"$tmp/fp").count() == 23)
   }
 
@@ -534,12 +551,12 @@ class ModulesSpec extends SparkSpec {
     // batch 1: under cadence — the per-batch partition stands
     drop(s"$tmp/in1", 1 to 10)
     run(s"$tmp/in1", s"$tmp/ckpt1")
-    assert(partitions().size == 1 && !partitions().contains("batch_fp=__folded__"))
+    assert(partitions().size == 1 && !partitions().exists(EventStreams.isFoldSegment))
     // batch 2 (separate run = separate micro-batch): reaches the cadence
     // — the stream folds itself, no operator call anywhere
     drop(s"$tmp/in2", 8 to 15)
     run(s"$tmp/in2", s"$tmp/ckpt2")
-    assert(partitions() == Seq("batch_fp=__folded__"),
+    assert(partitions().size == 1 && partitions().forall(EventStreams.isFoldSegment),
       s"the stream must fold at its own cadence: ${partitions()}")
     assert(content() == (1L to 15L).toSet, "fold must not change published rows")
     // replays still refuse ACROSS the automatic fold (fresh checkpoint,
@@ -557,8 +574,58 @@ class ModulesSpec extends SparkSpec {
     // next batch under cadence again: one fresh partition beside the fold
     drop(s"$tmp/in3", 20 to 22)
     run(s"$tmp/in3", s"$tmp/ckpt4")
-    assert(partitions().size == 2 && partitions().contains("batch_fp=__folded__"))
+    assert(partitions().size == 2 && partitions().exists(EventStreams.isFoldSegment))
     assert(content() == ((1L to 15L) ++ (20L to 22L)).toSet)
+  }
+
+  test("streaming: dedup-zone folds TIER — merges cascade, I/O stays O(rows log rows)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tierfold").toFile.getAbsolutePath
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"payload_$i")).toDF("event_id", "payload")
+    def commit(df: org.apache.spark.sql.DataFrame): Unit =
+      EventStreams.commitDedupBatch(spark, df, Seq("event_id"), s"$tmp/fp", s"$tmp/out")
+    def fold(): String = EventStreams.foldDedupZones(
+      spark, Seq("event_id"), s"$tmp/fp", s"$tmp/out", fanout = 2)
+    def partitions(): Seq[String] = new java.io.File(s"$tmp/out")
+      .listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_fp=")).sorted
+    def tiers(): Map[Int, Int] = partitions()
+      .flatMap { d =>
+        "batch_fp=__fold_t(\\d+)_".r.findFirstMatchIn(d).map(_.group(1).toInt) }
+      .groupBy(identity).map { case (t, s) => t -> s.size }
+    def content(): Set[Long] = spark.read.parquet(s"$tmp/out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    // fold #1 → one t0 segment
+    commit(batch(1 to 5)); fold()
+    assert(tiers() == Map(0 -> 1), s"${partitions()}")
+    // fold #2 → second t0 trips the fanout-2 merge → one t1 segment
+    commit(batch(6 to 10))
+    val n2 = fold()
+    assert(n2.contains("merged 2 t0 segment(s)"), n2)
+    assert(tiers() == Map(1 -> 1), s"${partitions()}")
+    // folds #3, #4 → t0 pair → t1 pair → CASCADE to one t2 segment
+    commit(batch(11 to 15)); fold()
+    assert(tiers() == Map(0 -> 1, 1 -> 1), s"${partitions()}")
+    commit(batch(16 to 20))
+    val n4 = fold()
+    assert(n4.contains("merged 2 t0 segment(s)") && n4.contains("merged 2 t1 segment(s)"), n4)
+    assert(tiers() == Map(2 -> 1), s"${partitions()}")
+    assert(content() == (1L to 20L).toSet, "tier merges must preserve the row set")
+
+    // replays refuse across every merge generation (applied-set path)
+    def census(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$tmp/out")).map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = census()
+    commit(batch(1 to 5)); commit(batch(16 to 20))
+    assert(census() == before, "replays must refuse across tier merges")
+    // applied set compacted at merge cadence: exactly the 4 folded bfps
+    assert(spark.read.parquet(s"$tmp/out/_applied").distinct().count() == 4)
+    assert(spark.read.parquet(s"$tmp/fp").count() == 20)
   }
 
   test("stats zone: incremental merges equal the one-shot build; replayed batches no-op") {
