@@ -35,6 +35,7 @@ object ScaleDiag {
         else Seq(200000L, 2000000L))
       return
     }
+    if (args.length > 2 && args(2) == "compactcost") { compactCost(spark, workDir); return }
 
     def census(cand: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val c = cand.distinct().cache()
@@ -146,60 +147,156 @@ object ScaleDiag {
     */
   private def e5OccupancyLadder(
       spark: org.apache.spark.sql.SparkSession, workDir: String, sizes: Seq[Long]): Unit = {
+    val parts = sizes.map { n =>
+      val (k, sec, dropped, keptNovel) = e5OccupancyRung(spark, workDir, n)
+      s""""n$n":{"k":$k,"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"dropped":$dropped,"kept_novel":$keptNovel}"""
+    }
+    println(s"""{"probe":"e5occ","occupancy":$E5Occupancy,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+
+  private[graft] val E5Occupancy = 1024L
+
+  /** One pinned-occupancy rung of the ladder above, reusable by the
+    * standing ScaleProbe protocol (round-13 verdict: the flat-past-cap
+    * claim must re-measure every round, not live in a one-off artifact).
+    * Builds the synthetic zone at exactly the production ⌈N/1024⌉ shape,
+    * times the incremental semantic-dedup day min-of-3 against the
+    * frozen-centroid artifact, asserts the exact planted drop/keep
+    * obligations (1000 near-copies of members MUST drop, 1000 novel
+    * patterns MUST keep), and cleans its zone up. Returns
+    * (k, seconds, dropped, keptNovel).
+    */
+  private[graft] def e5OccupancyRung(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      n: Long): (Long, Double, Long, Long) = {
     val dim = 64
-    val occupancy = 1024L
+    val occupancy = E5Occupancy
     def signCoord(idc: org.apache.spark.sql.Column, stream: Int, scale: Double) =
       transform(sequence(lit(0), lit(dim - 1)), j =>
         when(pmod(xxhash64(idc, j, lit(stream)), lit(2)) === 0, lit(scale)).otherwise(lit(-scale)))
     def addV(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       zip_with(a, b, (x, y) => x + y)
-    val parts = sizes.map { n =>
-      val k = n / occupancy
-      val zonePath = s"$workDir/diag_e5occ_$n"
-      graft.sources.Zones.delete(spark, zonePath)
-      spark.range(n).select(
-          col("id"),
-          (col("id") / occupancy).cast("long").as("cluster"),
-          addV(
-            signCoord((col("id") / occupancy).cast("long"), 0, 0.125),
-            signCoord(col("id"), 1, 0.5 / 8)).as("v"))
-        .write.mode("overwrite").parquet(zonePath)
-      val zone = spark.read.parquet(zonePath)
-      val cents = spark.range(k).select(
-          col("id").as("cid"), signCoord(col("id"), 0, 0.125).as("c"))
-        .localCheckpoint()
-      // planted near-copies of the first member of 1000 distinct,
-      // stride-spread clusters (must drop) + 1000 novel sign patterns
-      // from a disjoint hash stream (must keep)
-      val stride = math.max(1L, k / 1000L)
-      val plantedIds = spark.range(1000).select(
-        (col("id") * stride % k * occupancy + 7).as("src"))
-      val plantedInc = plantedIds.select(
-        (col("src") + 3000000000L).as("vec_id"),
+    val k = n / occupancy
+    val zonePath = s"$workDir/diag_e5occ_$n"
+    graft.sources.Zones.delete(spark, zonePath)
+    spark.range(n).select(
+        col("id"),
+        (col("id") / occupancy).cast("long").as("cluster"),
         addV(
-          addV(
-            signCoord((col("src") / occupancy).cast("long"), 0, 0.125),
-            signCoord(col("src"), 1, 0.5 / 8)),
-          signCoord(col("src"), 2, 0.01 / 8)).as("e"))
-      val novelInc = spark.range(1000).select(
-        (col("id") + 4000000000L).as("vec_id"),
-        signCoord(col("id") + 10000000L, 3, 0.125).as("e"))
-      val inc = plantedInc.unionByName(novelInc).localCheckpoint()
-      def day() = Dedup.semanticDedupIncremental(
-        zone.select(col("id"), col("cluster"), col("v")), inc, "vec_id", "e", 0.95,
-        centroidsOpt = Some(cents))
-      val sec = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); day().count(); (System.nanoTime() - t0) / 1e9
+          signCoord((col("id") / occupancy).cast("long"), 0, 0.125),
+          signCoord(col("id"), 1, 0.5 / 8)).as("v"))
+      .write.mode("overwrite").parquet(zonePath)
+    val zone = spark.read.parquet(zonePath)
+    val cents = spark.range(k).select(
+        col("id").as("cid"), signCoord(col("id"), 0, 0.125).as("c"))
+      .localCheckpoint()
+    // planted near-copies of the first member of 1000 distinct,
+    // stride-spread clusters (must drop) + 1000 novel sign patterns
+    // from a disjoint hash stream (must keep)
+    val stride = math.max(1L, k / 1000L)
+    val plantedIds = spark.range(1000).select(
+      (col("id") * stride % k * occupancy + 7).as("src"))
+    val plantedInc = plantedIds.select(
+      (col("src") + 3000000000L).as("vec_id"),
+      addV(
+        addV(
+          signCoord((col("src") / occupancy).cast("long"), 0, 0.125),
+          signCoord(col("src"), 1, 0.5 / 8)),
+        signCoord(col("src"), 2, 0.01 / 8)).as("e"))
+    val novelInc = spark.range(1000).select(
+      (col("id") + 4000000000L).as("vec_id"),
+      signCoord(col("id") + 10000000L, 3, 0.125).as("e"))
+    val inc = plantedInc.unionByName(novelInc).localCheckpoint()
+    def day() = Dedup.semanticDedupIncremental(
+      zone.select(col("id"), col("cluster"), col("v")), inc, "vec_id", "e", 0.95,
+      centroidsOpt = Some(cents))
+    val sec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); day().count(); (System.nanoTime() - t0) / 1e9
+    }.min
+    val res = day().localCheckpoint()
+    val dropped = res.filter(!col("is_kept")).count()
+    val keptNovel = res.filter(col("is_kept") && col("vec_id") >= 4000000000L).count()
+    require(dropped == 1000L && keptNovel == 1000L,
+      s"e5occ at n=$n: dropped=$dropped (want 1000), keptNovel=$keptNovel (want 1000)")
+    graft.sources.Zones.delete(spark, zonePath)
+    (k, sec, dropped, keptNovel)
+  }
+
+  /** CorpusRun `compactZones` cost SHAPE vs standing zone size (round-13
+    * verdict next #7 — the same O(history)-per-maintenance question the
+    * stream fold's tiering answered, asked of the corpus probe zones).
+    * Builds a synthetic fingerprint probe zone with a standing body of
+    * 12 ALREADY-FOLDED month partitions (n rows total — the part that
+    * grows with corpus lifetime) plus a FIXED fold load (30 closed
+    * fold-eligible days × 3k rows), and times `compactZones` at
+    * standing sizes a decade apart. A flat fold time proves the fold
+    * stages only the eligible days' rows, never the standing months.
+    * Second measurement per size: 5 LATE days of an already-folded
+    * month land and re-fold — the known month-scoped (not
+    * history-scoped) worst case, which re-stages that one month's
+    * partition alongside the late days.
+    */
+  private def compactCost(
+      spark: org.apache.spark.sql.SparkSession, workDir: String): Unit = {
+    import graft.pipeline.CorpusRun
+    val foldDays = (1 to 25).map(d => f"2026-03-$d%02d")
+    val lateDays = (26 to 30).map(d => f"2026-03-$d%02d")
+    val parts = Seq(1000000L, 10000000L).map { n =>
+      val wh = s"$workDir/diag_compact_$n"
+      val zone = s"$wh/corpus/fingerprints"
+      def writeDays(days: Seq[String], rowsPerDay: Long, tag: String): Unit =
+        spark.range(days.size * rowsPerDay).select(
+            concat(lit(tag), col("id")).as("fingerprint"),
+            element_at(
+              typedlit(days), (col("id") % days.size).cast("int") + 1).as("ingest_day"))
+          .write.partitionBy("ingest_day").mode("append").parquet(zone)
+      def build(): Unit = {
+        graft.sources.Zones.delete(spark, wh)
+        // standing body: 12 already-folded month partitions (month-form
+        // values, exactly what foldProbe leaves) — the part that grows
+        // with corpus lifetime
+        spark.range(n).select(
+            concat(lit("fp_"), col("id")).as("fingerprint"),
+            concat(lit("2025-"), lpad(((col("id") % 12) + 1).cast("string"), 2, "0"))
+              .as("ingest_day"))
+          .write.partitionBy("ingest_day").mode("overwrite").parquet(zone)
+        // fixed fold load: 25 fold-eligible days in one closed month
+        writeDays(foldDays, 3000L, "day_fp_")
+      }
+      // fold time vs standing size (rebuild OUTSIDE the timer): a flat
+      // number across the decade proves the fold stages only the
+      // eligible days' rows, never the standing months
+      val fold25 = (1 to 3).map { _ =>
+        build()
+        val t0 = System.nanoTime()
+        CorpusRun.compactZones(spark, wh, "2026-08-01", foldEligible = foldDays.toSet)
+        (System.nanoTime() - t0) / 1e9
       }.min
-      val res = day().localCheckpoint()
-      val dropped = res.filter(!col("is_kept")).count()
-      val keptNovel = res.filter(col("is_kept") && col("vec_id") >= 4000000000L).count()
-      require(dropped == 1000L && keptNovel == 1000L,
-        s"e5occ at n=$n: dropped=$dropped (want 1000), keptNovel=$keptNovel (want 1000)")
-      graft.sources.Zones.delete(spark, zonePath)
-      s""""n$n":{"k":$k,"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"dropped":$dropped,"kept_novel":$keptNovel}"""
+      // month-refold worst case: the 2026-03 month stands folded; 5 LATE
+      // days of that same month arrive and re-fold — re-stages that one
+      // month's partition (75k rows) alongside the late days. Month-
+      // scoped by construction; this measures it staying flat across the
+      // standing-size decade too.
+      val refold = (1 to 3).map { _ =>
+        build()
+        CorpusRun.compactZones(spark, wh, "2026-08-01", foldEligible = foldDays.toSet)
+        writeDays(lateDays, 3000L, "late_fp_")
+        val t0 = System.nanoTime()
+        CorpusRun.compactZones(spark, wh, "2026-08-01",
+          foldEligible = (foldDays ++ lateDays).toSet)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      // folded row identity: nothing lost, nothing duplicated
+      val got = spark.read.parquet(zone)
+        .filter(col("ingest_day") === "2026-03").count()
+      require(got == 30L * 3000L, s"fold row identity broke: $got")
+      graft.sources.Zones.delete(spark, wh)
+      s""""x$n":{"fold25_sec":${BigDecimal(fold25).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+        s""""refold5_sec":${BigDecimal(refold).setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
     }
-    println(s"""{"probe":"e5occ","occupancy":$occupancy,${parts.mkString(",")}}""")
+    println(s"""{"probe":"compactcost",${parts.mkString(",")}}""")
     spark.stop()
   }
 

@@ -345,6 +345,25 @@ object ScaleProbe {
     }
     }
 
+    // ── e5occ: the production ⌈N/1024⌉ occupancy shape pinned ONE DECADE
+    // past this corpus's embedding count (min 200k) — the round-13
+    // "flat past the cap" claim re-measured as part of the standing
+    // protocol instead of a one-off ScaleDiag artifact. The rung builds
+    // its own synthetic zone (untimed), times the incremental day
+    // min-of-3 against frozen centroids, and asserts the exact planted
+    // drop/keep obligations internally (1000 drops / 1000 keeps). ──────
+    if (!SkipLegs("e5occ")) {
+    // one decade past this corpus, capped at the 8M ceiling the
+    // round-13 ladder certified (a 20M rung would be a new experiment,
+    // not a re-measurement; the cap is recorded in e5occ_n, not silent)
+    val rungN = math.min(8000000L, math.max(200000L, 10L * nEmbs))
+    val (_, occSec, occDropped, occKept) = ScaleDiag.e5OccupancyRung(spark, workDir, rungN)
+    sec("e5occ_pinned") = occSec
+    planted("e5occ_n") = rungN
+    planted("e5occ_dropped") = occDropped
+    planted("e5occ_kept_novel") = occKept
+    }
+
     // ── k5: persisted IVF index append ──────────────────────────────────
     val ivfZone = s"$workDir/ivf"
     if (!SkipLegs("k5")) {

@@ -69,5 +69,15 @@ object Sessions {
       // 2 min keeps cleanup flowing without measurable GC cost
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.adaptive.enabled", "true")
+      // candidate-id confirm fetches (Dedup's bounded isin against a
+      // standing zone) push their id lists to parquet as per-value
+      // stats/dictionary checks up to this size; the 10-value default
+      // collapses them to a min/max range, which spans everything for
+      // arbitrary id sets and skips nothing. Capped at 1000: parquet-mr
+      // builds the pushed In as a NESTED two-arg or() tree whose
+      // evaluation recurses once per value — ~10k values overflows the
+      // task stack (measured); past this cap the filter degrades to the
+      // min/max range and the Spark-side InSet (hash set) still runs.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 }

@@ -656,6 +656,83 @@ object Dedup {
         b.as("band"),
         concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key")))
 
+  /** One 64-bit hash per band, computed straight off the stored `sig`
+    * array — `xxhash64(band, slice)` with no string keys and no row
+    * explosion. This is the ROW-prefilter hash family for zone scans:
+    * the increment publishes a bloom over its own slice hashes
+    * ([[sigRowBloom]]) and the zone scan keeps only rows where ANY band
+    * might match (`exists` over this array) — an O(zone) vectorized
+    * filter in the scan stage, versus the prior shape that exploded the
+    * whole zone to bands×rows (band, key-string) rows (16 string
+    * concatenations per row, 80M-row expansion at the x1000 corpus)
+    * before the band-key bloom could drop anything. No false negatives
+    * (same deterministic hash both sides); false positives keep whole
+    * rows, whose banded string keys the downstream bloom/join still
+    * filters exactly — the candidate set is bit-identical.
+    */
+  private def sigSliceHashes(sigCol: Column, bands: Int, r: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * r + lit(1), lit(r))))
+
+  /** Bloom over the increment's per-band slice hashes — the probe side
+    * of [[sigSliceHashes]]' row prefilter. One small agg job over the
+    * (cached) increment signatures.
+    */
+  private def sigRowBloom(incSigs: DataFrame, bands: Int, r: Int): Array[Byte] =
+    ZoneProbes.keyBloom(
+      incSigs.select(explode(sigSliceHashes(col("sig"), bands, r)).as("h")), Seq("h"))
+
+  /** Zone rows whose ANY band slice-hash the bloom might contain — the
+    * row-level analog of [[ZoneProbes.pruneByBloom]], applied BEFORE
+    * banding so the explode/key-derivation work runs over survivors
+    * only. Exact for every downstream consumer by the
+    * [[sigSliceHashes]] argument (superset of rows that can match).
+    */
+  private def prefilterZoneRows(
+      index: DataFrame, bloom: Array[Byte], bands: Int, r: Int): DataFrame =
+    index.filter(
+      exists(sigSliceHashes(col("sig"), bands, r),
+        h => call_function("graft_might_contain", lit(bloom), xxhash64(h))))
+
+  /** The confirm stage's side-table fetch: candidate ids collected
+    * (BOUNDED — one `limit(max+1)` job; candidates come out of the
+    * hot-bucket-bounded joins, so the typical daily set is tiny) and
+    * pushed into the zone scan as an `isin` — a PUSHABLE parquet
+    * predicate, so row-group stats/dictionaries skip the heavy payload
+    * column (`hgrams`/vectors) for row groups holding no candidate,
+    * instead of streaming the whole corpus zone through the join. Over
+    * [[ConfirmFetchMaxIds]] ids (or an empty id set, where the join
+    * itself is a no-op) the untouched zone frame returns — the plain
+    * streamed join is the honest plan once candidates are a material
+    * fraction of the corpus. Extra non-candidate rows kept by either
+    * arm are dropped by the confirm's inner joins — result-identical.
+    */
+  private[graft] val ConfirmFetchMaxIds = 10000
+
+  private[graft] def pruneToCandidateIds(
+      zone: DataFrame, idCol: String, cand: DataFrame): DataFrame = {
+    val ids = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .limit(ConfirmFetchMaxIds + 1).collect().map(_.get(0)).toSeq
+    if (ids.isEmpty || ids.length > ConfirmFetchMaxIds) zone
+    else zone.filter(col(idCol).isin(ids: _*))
+  }
+
+  /** [[prefilterZoneRows]] for embedding-signature zones, whose band
+    * keys are STORED (`bkeys` array<long>, position = band): the
+    * per-element pair hash `xxhash64(band, key)` is exactly what
+    * [[ZoneProbes.keyBloom]] aggregated over the increment's exploded
+    * (band, key) rows, so the existing probe bloom doubles as the row
+    * prefilter with no second bloom job.
+    */
+  private def prefilterZoneRowsByBkeys(index: DataFrame, bloom: Array[Byte]): DataFrame =
+    index.filter(
+      exists(
+        transform(sequence(lit(0), size(col("bkeys")) - 1),
+          i => xxhash64(i, element_at(col("bkeys"), i + 1))),
+        h => call_function("graft_might_contain", lit(bloom), h)))
+
   /** Exact-Jaccard confirm of candidate (id_a, id_b) pairs against a
     * (id, hgrams) side table — the shared back end of every LSH path.
     */
@@ -767,8 +844,16 @@ object Dedup {
     // size gate: a key set past the bloom's 1M-item sizing only raises
     // its fpp, pruning less but never wrongly.
     val probeBloom = Some(ZoneProbes.keyBloom(incBanded, Seq("band", "key")))
+    // row-level zone prefilter BEFORE banding (see [[sigSliceHashes]]):
+    // the zone's linear probe term becomes one vectorized exists() over
+    // the stored sig arrays — survivors (rows sharing ≥1 band key with
+    // the increment, plus bloom fp) are the only rows that explode into
+    // (band, key) form and pay the string key derivation
+    val rowBloom = sigRowBloom(inc, bands, numHashes / bands)
     val idxBanded = ZoneProbes.pruneByBloom(
-      bandedFromSigs(index, numHashes, bands), probeBloom, Seq("band", "key"))
+      bandedFromSigs(prefilterZoneRows(index, rowBloom, bands, numHashes / bands),
+        numHashes, bands),
+      probeBloom, Seq("band", "key"))
     // stored counts pruned the same way: oversizedBuckets inner-joins the
     // two count frames on (band, key), so an index bucket the increment
     // never probes can't produce an oversized entry — pruning is exact
@@ -806,10 +891,13 @@ object Dedup {
           col("sz_x") * threshold <= col("sz_y") + FpSlack &&
           col("sz_y") * threshold <= col("sz_x") + FpSlack)
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-    val cand = cross.unionByName(within).distinct()
+    val cand = cross.unionByName(within).distinct().cache()
     // exact-Jaccard confirm: shingle arrays come from the stored index for
-    // corpus ids and the increment frame for new ids
-    val grams = index.select(col("id"), col("hgrams"))
+    // corpus ids and the increment frame for new ids. The index side is
+    // fetched by the BOUNDED candidate-id list (a pushable isin — parquet
+    // row groups holding no candidate never stream their hgrams), not by
+    // joining the whole zone through (see [[pruneToCandidateIds]]).
+    val grams = pruneToCandidateIds(index.select(col("id"), col("hgrams")), "id", cand)
       .unionByName(inc.select(col("id"), col("hgrams")))
     confirmPairs(cand, grams, threshold)
   }
@@ -1659,8 +1747,12 @@ object Dedup {
       if (nInc * bands0 <= ZoneProbes.BroadcastProbeMaxRows)
         Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key")))
       else None
+    // row-level zone prefilter BEFORE the bands×rows explode (see
+    // [[prefilterZoneRowsByBkeys]]): one vectorized exists() over the
+    // stored bkeys arrays on the scan; only survivors explode
+    val idxPre = probeBloom.fold(index)(prefilterZoneRowsByBkeys(index, _))
     val idxBand = ZoneProbes.pruneByBloom(
-      bandRows(index, "id_y"), probeBloom, Seq("band", "key"))
+      bandRows(idxPre, "id_y"), probeBloom, Seq("band", "key"))
     // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
     // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
     // candidates — without a counting pass or driver probe. The index
@@ -1719,8 +1811,11 @@ object Dedup {
         ovWithin, withinDormant)
       .filter(col("id_x") < col("id_y"))
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-    val cand = cross.unionByName(within).distinct()
-    val vecs = index.select(col("id"), col("v"))
+    val cand = cross.unionByName(within).distinct().cache()
+    // cosine confirm: the index side is fetched by the bounded
+    // candidate-id list (pushable isin — see [[pruneToCandidateIds]]),
+    // so row groups holding no candidate never stream their vectors
+    val vecs = pruneToCandidateIds(index.select(col("id"), col("v")), "id", cand)
       .unionByName(inc.select(col("id"), col("v")))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")

@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   * a BROADCAST left-semi before any exchange, so the only zone rows that
   * ever enter a shuffle are those in buckets the increment actually
   * touches — O(candidates). The zone still pays one linear SCAN (columnar,
-  * pruned to the key columns); no layout can avoid that for hash-image
-  * keys (md5/xxhash keys have no file-level locality to prune on), and a
-  * bucketed layout would only relocate the exchange, not remove it, while
-  * breaking the zones' month-fold lifecycle (bucket files cannot be
-  * written through the path-based day-partition publish).
+  * pruned to the key columns); no FILE-SKIPPING layout can avoid that for
+  * hash-image keys — sorting/clustering by band key gives row groups
+  * min/max ranges over a UNIFORM key space, and a daily increment's ~10⁵
+  * uniformly-spread probe keys intersect every such range, so parquet
+  * stats prune nothing (the expected probes-per-row-group is far above
+  * zero at any realistic file count) — and a bucketed layout would only
+  * relocate the exchange, not remove it, while breaking the zones'
+  * month-fold lifecycle (bucket files cannot be written through the
+  * path-based day-partition publish). What the scan CAN shed (round 14)
+  * is per-row work and payload width: Dedup's probes evaluate the band
+  * bloom as a row-level exists() over the STORED signature arrays inside
+  * the scan stage (no bands×rows explode, no string keys for dead rows),
+  * and the confirm stage fetches its heavy payload columns
+  * (hgrams/vectors) by the BOUNDED candidate-id list as a pushable
+  * parquet In — THERE row-group stats do skip, because candidate ids are
+  * few and id layout is write-ordered, not hash-image.
   *
   * Exactness: pruning keeps WHOLE key groups — a zone row whose key is
   * absent from the increment can never join — so every downstream

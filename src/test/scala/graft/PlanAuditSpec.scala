@@ -239,6 +239,59 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("id_b") === 3L).count() == 1)
   }
 
+  test("d9/e3: zone row-prefilter rides the scan; confirm fetch pushes candidate ids to parquet") {
+    import spark.implicits._
+    // d9 shape: the signature zone's probe plan must carry (a) the
+    // bloom row-prefilter as a filter over the STORED sig arrays (no
+    // corpus-wide explode before a bloom can drop rows) and (b) the
+    // confirm stage's hgrams fetch as a PUSHED In(id, ...) — the
+    // pushable predicate that lets parquet row-group stats skip the
+    // heavy column for row groups holding no candidate.
+    val zone = java.nio.file.Files.createTempDirectory("d9_fetch_audit")
+      .toFile.getAbsolutePath + "/idx"
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val day2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(
+      spark, zone, day1, "doc_id", "text", 3, 32, mode = "overwrite")
+    val pairs = graft.operators.Dedup.minhashLshPairsIncremental(
+      graft.operators.Dedup.readSignatureIndex(spark, zone), day2,
+      "doc_id", "text", 3, 32, 16, 0.6)
+    val p = pairs.queryExecution.executedPlan.toString
+    // the row-prefilter must sit ON the zone scan (a DataFilter of the
+    // FileScan itself — the exists() over the stored sig arrays), not as
+    // a post-scan Filter node above an exploded frame
+    assert(p.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("exists(")),
+      "bloom row-prefilter absent from the zone FileScan's data filters " +
+        s"(scan lines: ${p.linesIterator.filter(_.contains("FileScan")).mkString(" | ").take(2000)})")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(id")),
+      "confirm fetch not pushed as In(id, ...) to the zone scan " +
+        s"(scan lines: ${p.linesIterator.filter(_.contains("FileScan")).mkString(" | ").take(2000)})")
+    assert(pairs.filter(
+      org.apache.spark.sql.functions.col("id_a") === 1L &&
+        org.apache.spark.sql.functions.col("id_b") === 3L).count() == 1)
+
+    // the fetch helper's fallback contract: an over-bound id set (or an
+    // empty one) returns the zone UNFILTERED — the streamed join is the
+    // honest plan once candidates are a material fraction of the corpus
+    val zoneDf = graft.operators.Dedup.readSignatureIndex(spark, zone)
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(graft.operators.Dedup.ConfirmFetchMaxIds + 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    assert(graft.operators.Dedup.pruneToCandidateIds(zoneDf, "id", big) eq zoneDf,
+      "over-bound candidate set must leave the zone frame untouched")
+    val none = big.limit(0)
+    assert(graft.operators.Dedup.pruneToCandidateIds(zoneDf, "id", none) eq zoneDf,
+      "empty candidate set must leave the zone frame untouched")
+    val two = Seq((1L, 3L)).toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.pruneToCandidateIds(zoneDf, "id", two).count() == 1,
+      "bounded candidate set must fetch exactly the zone-resident candidates")
+  }
+
   test("a21: stats-zone rollup's only file scan is the zone — no raw-table rescan") {
     val zone = java.nio.file.Files.createTempDirectory("a21_audit")
       .toFile.getAbsolutePath + "/stats"
