@@ -673,27 +673,43 @@ object Dedup {
   private def sigSliceHashes(sigCol: Column, bands: Int, r: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sigCol, b * r + lit(1), lit(r))))
+      // element_at varargs, not xxhash64(slice(...)): slice allocates a
+      // fresh array per band per row — measured 3.3 s over a 500k-row
+      // zone at 16 bands vs sub-second for the flat form
+      b => xxhash64((b +: (1 to r).map(j => element_at(sigCol, b * r + lit(j)))): _*))
 
   /** Bloom over the increment's per-band slice hashes — the probe side
     * of [[sigSliceHashes]]' row prefilter. One small agg job over the
     * (cached) increment signatures.
     */
-  private def sigRowBloom(incSigs: DataFrame, bands: Int, r: Int): Array[Byte] =
+  private def sigRowBloom(
+      incSigs: DataFrame, bands: Int, r: Int, expectedItems: Long): Array[Byte] =
     ZoneProbes.keyBloom(
-      incSigs.select(explode(sigSliceHashes(col("sig"), bands, r)).as("h")), Seq("h"))
+      incSigs.select(explode(sigSliceHashes(col("sig"), bands, r)).as("h")),
+      Seq("h"), expectedItems)
 
   /** Zone rows whose ANY band slice-hash the bloom might contain — the
     * row-level analog of [[ZoneProbes.pruneByBloom]], applied BEFORE
     * banding so the explode/key-derivation work runs over survivors
     * only. Exact for every downstream consumer by the
     * [[sigSliceHashes]] argument (superset of rows that can match).
+    *
+    * Built as a FLAT short-circuiting OR chain of per-band bloom
+    * probes, not `exists(transform(...))`: higher-order functions
+    * evaluate interpreted (no whole-stage codegen), measured ~6 µs/row
+    * at 16 bands — the OR chain codegens and short-circuits on the
+    * first hit. The per-band hash mirrors [[sigSliceHashes]] exactly
+    * (int band literal + element_at fields, then the keyBloom side's
+    * xxhash64 wrap), so no false negatives.
     */
   private def prefilterZoneRows(
       index: DataFrame, bloom: Array[Byte], bands: Int, r: Int): DataFrame =
     index.filter(
-      exists(sigSliceHashes(col("sig"), bands, r),
-        h => call_function("graft_might_contain", lit(bloom), xxhash64(h))))
+      (0 until bands).map { b =>
+        call_function("graft_might_contain", lit(bloom),
+          xxhash64(xxhash64(
+            (lit(b) +: (1 to r).map(j => element_at(col("sig"), b * r + j))): _*)))
+      }.reduce(_ || _))
 
   /** The confirm stage's side-table fetch: candidate ids collected
     * (BOUNDED — one `limit(max+1)` job; candidates come out of the
@@ -726,12 +742,16 @@ object Dedup {
     * (band, key) rows, so the existing probe bloom doubles as the row
     * prefilter with no second bloom job.
     */
-  private def prefilterZoneRowsByBkeys(index: DataFrame, bloom: Array[Byte]): DataFrame =
+  private def prefilterZoneRowsByBkeys(
+      index: DataFrame, bloom: Array[Byte], bands: Int): DataFrame =
     index.filter(
-      exists(
-        transform(sequence(lit(0), size(col("bkeys")) - 1),
-          i => xxhash64(i, element_at(col("bkeys"), i + 1))),
-        h => call_function("graft_might_contain", lit(bloom), h)))
+      // flat codegen'd OR chain, same rationale as [[prefilterZoneRows]];
+      // per-element hash = the keyBloom side's xxhash64(band, key) over
+      // the increment's exploded rows (posexplode band is int, as here)
+      (0 until bands).map { i =>
+        call_function("graft_might_contain", lit(bloom),
+          xxhash64(lit(i), element_at(col("bkeys"), i + 1)))
+      }.reduce(_ || _))
 
   /** Exact-Jaccard confirm of candidate (id_a, id_b) pairs against a
     * (id, hgrams) side table — the shared back end of every LSH path.
@@ -829,6 +849,11 @@ object Dedup {
     // paid per input and per operator, not per join side. A stored
     // `indexCounts` side-zone replaces the index-side counting scan
     // entirely (see [[readBucketCounts]]).
+    // materialize the banded cache IN PARALLEL before the single-task
+    // bloom jobs read through it (an unmaterialized cache under
+    // keyBloom's coalesce(1) would compute the increment's shingling
+    // serially), and learn the probe size for right-sized blooms
+    val nIncBanded = incBanded.count()
     val incCounts = bucketCounts(incBanded)
     // the INDEX side is pruned to the increment's band keys BEFORE any
     // exchange: whole buckets are kept, so candidates / bucket counts /
@@ -843,25 +868,30 @@ object Dedup {
     // materializes their cache for the ~4 consumers below — and needs no
     // size gate: a key set past the bloom's 1M-item sizing only raises
     // its fpp, pruning less but never wrongly.
-    val probeBloom = Some(ZoneProbes.keyBloom(incBanded, Seq("band", "key")))
-    // row-level zone prefilter BEFORE banding (see [[sigSliceHashes]]):
-    // the zone's linear probe term becomes one vectorized exists() over
-    // the stored sig arrays — survivors (rows sharing ≥1 band key with
-    // the increment, plus bloom fp) are the only rows that explode into
-    // (band, key) form and pay the string key derivation
-    val rowBloom = sigRowBloom(inc, bands, numHashes / bands)
+    val probeBloom = Some(ZoneProbes.keyBloom(incBanded, Seq("band", "key"), nIncBanded))
+    // row-level zone prefilter BEFORE banding (see [[prefilterZoneRows]]):
+    // the zone's linear probe term becomes one codegen'd OR of per-band
+    // bloom probes over the stored sig arrays — survivors (rows sharing
+    // ≥1 band key with the increment, plus bloom fp) are the only rows
+    // that explode into (band, key) form and pay the string key derivation
+    val rowBloom = sigRowBloom(inc, bands, numHashes / bands, nIncBanded)
+    // cached: the survivor set feeds BOTH the bucket-count derivation
+    // and the cross join — without the cache each re-runs the zone scan
     val idxBanded = ZoneProbes.pruneByBloom(
       bandedFromSigs(prefilterZoneRows(index, rowBloom, bands, numHashes / bands),
         numHashes, bands),
       probeBloom, Seq("band", "key"))
-    // stored counts pruned the same way: oversizedBuckets inner-joins the
-    // two count frames on (band, key), so an index bucket the increment
-    // never probes can't produce an oversized entry — pruning is exact
-    // (bloom false positives keep whole extra buckets, which the inner
-    // join then ignores), and the counts-side join stops growing with
-    // the corpus
-    val idxCounts = ZoneProbes.pruneByBloom(
-      indexCounts.getOrElse(bucketCounts(idxBanded)), probeBloom, Seq("band", "key"))
+      .cache()
+    // index-side bucket counts come from the SURVIVORS, not the stored
+    // counts zone: for any (band, key) the increment actually probes,
+    // EVERY zone row of that bucket passes the row prefilter (its slice
+    // hash is in the bloom by definition), so survivor counts are EXACT
+    // for exactly the keys oversizedBuckets consults (it inner-joins the
+    // increment's counts). The stored `_counts` zone scan was itself a
+    // per-day corpus-linear term (bands×corpus rows with string keys —
+    // measured 1.3 s at the x100 rung); `indexCounts` is now advisory on
+    // this path and intentionally unused.
+    val idxCounts = bucketCounts(idxBanded)
     val ovCross = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
     val ovWithin = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
     val Seq(crossDormant, withinDormant) = emptiness(Seq(ovCross, ovWithin))
@@ -1744,15 +1774,24 @@ object Dedup {
     // on the scan, so the band-join exchange moves touched buckets only —
     // one bloom shared with the counts prune below
     val probeBloom =
-      if (nInc * bands0 <= ZoneProbes.BroadcastProbeMaxRows)
-        Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key")))
-      else None
+      if (nInc * bands0 <= ZoneProbes.BroadcastProbeMaxRows) {
+        // materialize the cache in parallel before keyBloom's
+        // single-task agg reads through it; right-size the bloom
+        val nKeys = incBandX.count()
+        Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key"), nKeys))
+      } else None
     // row-level zone prefilter BEFORE the bands×rows explode (see
-    // [[prefilterZoneRowsByBkeys]]): one vectorized exists() over the
-    // stored bkeys arrays on the scan; only survivors explode
-    val idxPre = probeBloom.fold(index)(prefilterZoneRowsByBkeys(index, _))
-    val idxBand = ZoneProbes.pruneByBloom(
+    // [[prefilterZoneRowsByBkeys]]): a codegen'd OR of per-band bloom
+    // probes over the stored bkeys arrays on the scan; only survivors
+    // explode. Cached: both the counts derivation and the cross join
+    // consume it, and without the cache each would re-run the zone scan
+    val idxPre = probeBloom.fold(index)(prefilterZoneRowsByBkeys(index, _, bands0))
+    val idxBand0 = ZoneProbes.pruneByBloom(
       bandRows(idxPre, "id_y"), probeBloom, Seq("band", "key"))
+    // cache only the SURVIVOR set (bloom engaged): with the bloom
+    // disengaged this frame is the unpruned bands×corpus explode, and
+    // caching it would materialize corpus-scale state for one consumer
+    val idxBand = if (probeBloom.isDefined) idxBand0.cache() else idxBand0
     // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
     // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
     // candidates — without a counting pass or driver probe. The index
@@ -1780,7 +1819,13 @@ object Dedup {
         // zone, or one counting pass), with no increment-side counting
         // and a single tiny-frame emptiness probe. The 1×gy grid is the
         // same exact decomposition with the x factor pinned.
-        val idxCounts = indexCounts.getOrElse(bucketCounts(idxBand))
+        // with the row prefilter engaged, survivor counts are exact for
+        // every probed key (see the d9 analog) and cost O(survivors);
+        // the stored counts zone is only worth its scan when no bloom
+        // engaged (huge increment — everything corpus-proportional then)
+        val idxCounts =
+          if (probeBloom.isDefined) bucketCounts(idxBand)
+          else indexCounts.getOrElse(bucketCounts(idxBand))
         val oc = idxCounts.filter(col("__n") > maxBucket)
           .select(col("band"), col("key"), lit(1).as("__gx"),
             ceil(col("__n").cast("double") / maxBucket).cast("int").as("__gy"))
@@ -1792,8 +1837,12 @@ object Dedup {
         // stored counts prune to the increment's band keys (exact — the
         // oversized list inner-joins the two count frames)
         val incCounts = bucketCounts(incBandX)
-        val idxCounts = ZoneProbes.pruneByBloom(
-          indexCounts.getOrElse(bucketCounts(idxBand)), probeBloom, Seq("band", "key"))
+        // survivor counts when the prefilter engaged (exact for probed
+        // keys — the d9 analog); stored counts only without a bloom
+        val idxCounts =
+          if (probeBloom.isDefined) bucketCounts(idxBand)
+          else ZoneProbes.pruneByBloom(
+            indexCounts.getOrElse(bucketCounts(idxBand)), probeBloom, Seq("band", "key"))
         val oc = oversizedBuckets(incCounts, idxCounts, maxBucket).cache()
         val ow = oversizedBuckets(incCounts, incCounts, maxBucket).cache()
         val Seq(cd, wd) = emptiness(Seq(oc, ow))

@@ -99,11 +99,33 @@ object ZoneProbes {
     * expected items, the engagement bound's order), ~0.1% fpp at 10⁵
     * actual keys.
     */
-  def keyBloom(probe: DataFrame, keys: Seq[String]): Array[Byte] =
+  /** `expectedItems` sizes the filter at 8 bits/item (~2% fpp): callers
+    * that know their key count SHOULD pass it — a right-sized bloom for
+    * a daily increment (~10⁵ keys → ~100 KB) stays L2-resident under
+    * the zone scan's per-row probe loop and rides the plan as a small
+    * literal, where the former fixed 1M-item default (1 MB) thrashed
+    * the cache at 16 probes/row and bloated every task binary.
+    */
+  def keyBloom(
+      probe: DataFrame, keys: Seq[String], expectedItems: Long = 1L << 20): Array[Byte] = {
+    val est = math.max(1024L, math.min(expectedItems, 1L << 22))
+    // 16 bits/item (~0.04% fpp), not the anti-join arm's 8: the row
+    // prefilters probe this bloom bands-times PER ROW, so row-level
+    // false-positive survival compounds ~bands × fpp (16 bands at 2%
+    // fpp kept 24% of a measured x100 zone; at 0.04% it keeps <1%) —
+    // the doubled filter is still increment-sized (~100s of KB)
+    val numBits = math.min(16L * est, BloomNumBitsCap)
     probe
+      .select(keys.map(col): _*)
+      // one task: the probe is increment-sized and cached (this
+      // function's contract) — a 32-partition partial agg merges 32
+      // bloom buffers on the driver for no parallelism gain,
+      // measured at ~0.5 s of pure overhead per bloom job
+      .coalesce(1)
       .select(call_function("graft_bloom_agg",
-        xxhash64(keys.map(col): _*)).as("bf"))
+        xxhash64(keys.map(col): _*), lit(est), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+  }
 
   /** Zone rows whose composite key hash the bloom might contain — a
     * plan-literal filter on the zone SCAN, before any exchange. False

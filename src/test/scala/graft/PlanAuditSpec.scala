@@ -261,10 +261,11 @@ class PlanAuditSpec extends SparkSpec {
       "doc_id", "text", 3, 32, 16, 0.6)
     val p = pairs.queryExecution.executedPlan.toString
     // the row-prefilter must sit ON the zone scan (a DataFilter of the
-    // FileScan itself — the exists() over the stored sig arrays), not as
-    // a post-scan Filter node above an exploded frame
+    // FileScan itself — the OR chain of per-band bloom probes over the
+    // stored sig arrays), not as a post-scan Filter node above an
+    // exploded frame
     assert(p.linesIterator.exists(l =>
-        l.contains("FileScan") && l.contains("exists(")),
+        l.contains("FileScan") && l.contains("might_contain")),
       "bloom row-prefilter absent from the zone FileScan's data filters " +
         s"(scan lines: ${p.linesIterator.filter(_.contains("FileScan")).mkString(" | ").take(2000)})")
     assert(p.linesIterator.exists(l =>
