@@ -486,11 +486,17 @@ object Curation {
       n: Int,
       threshold: Double): DataFrame = {
     def shingles(df: DataFrame, id: String): DataFrame =
-      df.select(
+      // token-count emptiness filter BEFORE the gram columns exist — the
+      // [[graft.operators.Dedup.shingled]] rationale: size(hgrams) > 0
+      // would push below the corpus repartition with the whole
+      // gram+hash+sort construction inlined, running it single-threaded
+      // in the one-task scan stage and again above the exchange. Row set
+      // identical: wordNgrams(text, n) is non-empty iff size(tokens) ≥ n.
+      df.filter(TextAnalysis.tokenCount(col(textCol)) >= n)
+        .select(
           col(id).as("id"),
           array_sort(transform(TextAnalysis.wordNgrams(col(textCol), n), g => xxhash64(g)))
             .as("hgrams"))
-        .filter(size(col("hgrams")) > 0)
     val tr = shingles(train, trainId).cache()
     val te = shingles(test, testId).cache()
     // the exploded train postings feed BOTH the df ranking and the

@@ -201,8 +201,19 @@ object Dedup {
     * up to a ~n²/2⁶⁴ collision chance — negligible).
     */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0)
+    // the emptiness filter runs on TOKEN COUNT, before the gram columns
+    // exist: wordNgrams(text, n) is non-empty iff size(tokens) ≥ n, so the
+    // row set is identical — but a filter phrased as size(grams) > 0 gets
+    // predicate-pushed below the corpus repartition with the WHOLE gram
+    // construction (split + transform + concat_ws + array_distinct)
+    // inlined into its condition, and evaluates single-threaded in the
+    // scan stage (one-row-group parquet input ⇒ one task) while the
+    // project above the exchange recomputes it all again — measured 4-5 s
+    // of the 7-8 s d2/d3 walls at sf0.1. The token-count form pushes the
+    // same way but costs one split per row, and the gram work runs once,
+    // parallel, above the exchange.
+    df.filter(TextAnalysis.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), n).as("grams"))
       .withColumn("hgrams", array_sort(transform(col("grams"), g => xxhash64(g))))
 
   /** All-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING (PPJoin-
