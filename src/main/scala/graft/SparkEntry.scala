@@ -2670,9 +2670,17 @@ object SparkEntry {
       Zones.delete(s, zone)
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      Dedup.semanticDedup(v, "vec_id", "e", 64, 2, 0.95)
-        .select(col("vec_id").as("id"), col("cluster"))
-        .join(v.select(col("vec_id").as("id"), col("e").as("v")), "id")
+      // zone file count from the corpus row count (Zones.sizedForWrite):
+      // one assignment row per embedding, so the embeddings count IS the
+      // zone's row count — a straight write landed one near-empty file
+      // per shuffle partition and every e5 probe then paid file-count
+      // scan tasks
+      val nVecs = v.count()
+      Zones.sizedForWrite(
+        Dedup.semanticDedup(v, "vec_id", "e", 64, 2, 0.95)
+          .select(col("vec_id").as("id"), col("cluster"))
+          .join(v.select(col("vec_id").as("id"), col("e").as("v")), "id"),
+        nVecs)
         .write.mode("overwrite").parquet(zone)
     }
     s.read.parquet(zone)

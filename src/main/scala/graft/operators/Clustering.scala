@@ -286,11 +286,24 @@ object Clustering {
     // Zones.withBucketedMergeConfs.
     val spark = vecs.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.getOption(aqeKey)
+    val prevParts = spark.conf.getOption(partsKey)
     spark.conf.set(aqeKey, "false")
     try {
       val base = vecs.select(col(idCol), col(vecCol)).cache()
       val dim = base.select(size(col(vecCol))).head().getInt(0)
+      // on the FUSED route every exchange inside the loop is the centroid
+      // aggregation — ≤ k rows of k·dim decimal sums by construction at
+      // ANY corpus size (assignFusedKeep shuffles nothing: corpus scan +
+      // broadcast join) — so with AQE pinned off the shuffle partitioning
+      // is sized from k·dim, not left at the session's per-core fan-out
+      // (32 reduce tasks for a 64-row aggregate, measured ~0.15 s of pure
+      // scheduling per Lloyd round at sf0.1). The broadcast route keeps
+      // the session value: its argmin groupBy(id) is corpus-sized.
+      if (k >= kernelFrom)
+        spark.conf.set(partsKey,
+          math.max(1L, k.toLong * dim * 24 / (64L << 20) + 1).toString)
       val outCols =
         if (keepVector) Seq(col(idCol), col(vecCol), col("cluster"), col("dist"))
         else Seq(col(idCol), col("cluster"), col("dist"))
@@ -313,9 +326,15 @@ object Clustering {
       val out = result.localCheckpoint()
       base.unpersist()
       out
-    } finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      prevParts match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
     }
   }
 }

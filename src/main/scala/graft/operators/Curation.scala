@@ -607,17 +607,30 @@ object Curation {
       iters: Int,
       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .cache()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nodesRaw = eRaw.select(col("src").as("node"))
+      .unionByName(eRaw.select(col("dst").as("node"))).distinct().cache()
     // N once, as a driver literal: the per-round crossJoin(broadcast(nRow))
     // re-evaluated the scalar frame and paid one broadcast job EVERY
     // round — same double arithmetic either way (1.0/n on identical
     // inputs), so results are bit-identical. outdeg likewise computes
     // once (cached) instead of re-aggregating the edge cache per round.
-    val n = nodes.count()
+    val n = nodesRaw.count()
+    // small-graph branch (the withLoopAqePolicy cut): the cached frames
+    // carry the INPUT's fan-out partitioning (a corpus rebalanced to one
+    // partition per core → a 64-way edge cache), and every round rescans
+    // them — at gate scale that is 96+ scheduled tasks per round over
+    // kilobyte blocks. Coalesce the loop's reads of the caches down to
+    // the same data-derived width the loop's shuffles use (coalesce over
+    // a materialized cache just merges block reads — no recompute, no
+    // shuffle). Edge count from the cache (already materialized by the
+    // node count's scan), so a dense small-node graph still keeps enough
+    // partitions for its edge volume. Above the cut nothing changes.
+    val (e, nodes) =
+      if (n > SmallGraphNodes) (eRaw, nodesRaw)
+      else (coalesceSmall(eRaw, eRaw.count()), coalesceSmall(nodesRaw, n))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     withLoopAqePolicy(edges.sparkSession, n) {
       var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
@@ -635,12 +648,20 @@ object Curation {
               lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
           .localCheckpoint()
       }
-      e.unpersist()
-      nodes.unpersist()
+      eRaw.unpersist()
+      nodesRaw.unpersist()
       outdeg.unpersist()
       ranks
     }
   }
+
+  /** Data-derived narrow coalesce for the small-graph loop reads — see
+    * the [[withLoopAqePolicy]] partition note. Pure plan change: values,
+    * caches and (decimal-summed) aggregates are partitioning-independent.
+    */
+  private def coalesceSmall(df: DataFrame, rows: Long): DataFrame =
+    df.coalesce(math.max(1L,
+      rows * LoopShuffleBytesPerRow / LoopShuffleTargetPartitionBytes + 1).toInt)
 
   /** Below this many nodes a PageRank round's shuffles are single-task
     * scale — AQE has nothing to decide (no partitions to coalesce, no
@@ -659,24 +680,45 @@ object Curation {
     * The cut is on the MEASURED node count, so the 100 TB posture is
     * untouched by construction.
     */
-  /** Per-session depth + the conf value saved by the OUTERMOST pin —
+  /** Per-session depth + the conf values saved by the OUTERMOST pin —
     * the save/restore must be reference-counted: two overlapping loops
     * on one session would otherwise each capture the other's pinned
-    * "false" as `prev` and leave AQE disabled session-wide forever
-    * after both return. Entries live only while a pin is active.
+    * values as `prev` and leave them pinned session-wide forever after
+    * both return. Entries live only while a pin is active.
     */
   private val aqeLoopState =
-    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+    new java.util.IdentityHashMap[
+      org.apache.spark.sql.SparkSession, (Int, Seq[(String, Option[String])])]
+
+  /** Bytes per (node, rank) shuffle row, generously rounded up (long +
+    * double + row overhead) — sizes the small-graph loop's shuffle
+    * partitioning from the MEASURED node count (guide §2.2: partitions
+    * in the 100 MB-1 GB band, derived from data size rather than a
+    * constant). Below [[SmallGraphNodes]] (AQE already pinned off there
+    * — no coalescing to do it for us) a round's rank/contribution
+    * shuffles carry ≤ a few tens of MB, so the honest partition count is
+    * ⌈n·bytes / 64 MB⌉ ≈ 1 — not the session default's one-task-per-core
+    * fan-out, which at gate scale spends more wall on task scheduling
+    * than on rank arithmetic (measured: 32-128 task stages per round on
+    * kilobyte frames, 0.3-0.8 s/round of pure overhead). Above the cut
+    * nothing is touched: AQE stays on and sizes partitions itself.
+    */
+  private val LoopShuffleBytesPerRow = 64L
+  private val LoopShuffleTargetPartitionBytes = 64L << 20
 
   private def withLoopAqePolicy[A](
       spark: org.apache.spark.sql.SparkSession, nNodes: Long)(body: => A): A =
     if (nNodes > SmallGraphNodes) body
     else {
-      val aqeKey = "spark.sql.adaptive.enabled"
+      val parts = math.max(1L,
+        nNodes * LoopShuffleBytesPerRow / LoopShuffleTargetPartitionBytes + 1).toString
+      val pins = Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> parts)
       aqeLoopState.synchronized {
         val (depth, saved) = Option(aqeLoopState.get(spark))
-          .getOrElse((0, spark.conf.getOption(aqeKey)))
-        if (depth == 0) spark.conf.set(aqeKey, "false")
+          .getOrElse((0, pins.map { case (k, _) => k -> spark.conf.getOption(k) }))
+        if (depth == 0) pins.foreach { case (k, v) => spark.conf.set(k, v) }
         aqeLoopState.put(spark, (depth + 1, saved))
       }
       try body
@@ -684,9 +726,9 @@ object Curation {
         val (depth, saved) = aqeLoopState.get(spark)
         if (depth == 1) {
           aqeLoopState.remove(spark)
-          saved match {
-            case Some(v) => spark.conf.set(aqeKey, v)
-            case None => spark.conf.unset(aqeKey)
+          saved.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
           }
         } else aqeLoopState.put(spark, (depth - 1, saved))
       }
@@ -714,15 +756,19 @@ object Curation {
       iters: Int,
       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = edges
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .cache()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().cache()
+    val nodesRaw = eRaw.select(col("src").as("node"))
+      .unionByName(eRaw.select(col("dst").as("node"))).distinct().cache()
     // N as a driver literal, outdeg cached; AQE scale-conditional (see
     // [[withLoopAqePolicy]]). The dangling mass stays a per-round
-    // one-row broadcast (data-dependent).
-    val n = nodes.count()
+    // one-row broadcast (data-dependent). Small-graph loop reads
+    // coalesce to the data-derived width — the [[pageRankLite]] note.
+    val n = nodesRaw.count()
+    val (e, nodes) =
+      if (n > SmallGraphNodes) (eRaw, nodesRaw)
+      else (coalesceSmall(eRaw, eRaw.count()), coalesceSmall(nodesRaw, n))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     withLoopAqePolicy(edges.sparkSession, n) {
       var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
@@ -745,8 +791,8 @@ object Curation {
                 coalesce(col("dm"), lit(0.0)) / n)).as("rank"))
           .localCheckpoint()
       }
-      e.unpersist()
-      nodes.unpersist()
+      eRaw.unpersist()
+      nodesRaw.unpersist()
       outdeg.unpersist()
       ranks
     }

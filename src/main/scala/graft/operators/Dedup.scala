@@ -411,7 +411,16 @@ object Dedup {
     guardZoneGeometry(spark, path, mode, geometry)
     val idx = signatureIndex(df, idCol, textCol, n, numHashes)
     val toWrite = if (bands > 0) idx.cache() else idx
-    toWrite.write.mode(mode).parquet(path)
+    // file count from the batch's ROW count, not its partition count
+    // (Zones.sizedForWrite): a small increment otherwise lands one
+    // near-empty file per upstream partition, and every later probe of
+    // the zone pays one scan task per file. The count materializes the
+    // cache (its consumers below re-read blocks); the counts-less
+    // bands=0 path keeps the straight write — no cache to count against.
+    val sized =
+      if (bands > 0) graft.sources.Zones.sizedForWrite(toWrite, toWrite.count())
+      else toWrite
+    sized.write.mode(mode).parquet(path)
     recordZoneGeometry(spark, path, geometry)
     if (bands > 0) {
       mergeBucketCountsZone(
@@ -653,6 +662,42 @@ object Dedup {
       .select(col("id"), col("sz"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Narrow coalesce to a measured-rows-derived width (64 MB target at
+    * the caller's estimated bytes/row) — for reads of already-
+    * materialized small caches, where scheduling one task per upstream
+    * partition costs more than the work (see the incremental probe's
+    * note). Grows with the data; never widens an RDD.
+    */
+  private def coalesceByRows(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
+    df.coalesce(math.max(1L, rows * bytesPerRow / (64L << 20) + 1).toInt)
+
+  /** [[bandedFromSigs]] that also carries each banded row's SLICE HASH
+    * (`__h` — the [[sigSliceHashes]] value for its band, derived with
+    * the identical expression): the incremental probe's per-band prune
+    * then filters the exploded rows against the SAME bloom the row
+    * prefilter used, instead of building a second, string-keyed bloom
+    * over (band, key) — one bloom job and one increment pass saved per
+    * incremental call.
+    */
+  private def bandedFromSigsH(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
+    val r = numHashes / bands
+    docs.select(
+      col("id"),
+      col("sz"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          concat_ws("|", slice(col("sig"), b * r + 1, lit(r))).as("key"),
+          // element_at varargs, not a slice: the sigSliceHashes rationale
+          xxhash64((b +: (1 to r).map(j =>
+            element_at(col("sig"), b * r + lit(j)))): _*).as("h")))).as("bk"))
+      .select(
+        col("id"), col("sz"),
+        col("bk.band").as("band"), col("bk.key").as("key"), col("bk.h").as("__h"))
+  }
+
   /** The ONE band-key derivation: band b's key = the "|"-joined slice of
     * the stored `sig` array — exploded (band, key) structs. Every
     * producer and consumer of banded keys (query-side banding, stored
@@ -852,8 +897,8 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
-    val inc = incrementIndex.cache()
-    val incBanded = bandedFromSigs(inc, numHashes, bands).cache() // probe side of BOTH joins
+    val inc0 = incrementIndex.cache()
+    val incBanded0 = bandedFromSigs(inc0, numHashes, bands).cache() // probe side of BOTH joins
     // ONE bucket-count pass per distinct frame, shared by the three join
     // sides below (increment appears three times, the index once), and ONE
     // driver probe for both joins' oversized lists — the bound's cost is
@@ -864,22 +909,36 @@ object Dedup {
     // bloom jobs read through it (an unmaterialized cache under
     // keyBloom's coalesce(1) would compute the increment's shingling
     // serially), and learn the probe size for right-sized blooms
-    val nIncBanded = incBanded.count()
+    val nIncBanded = incBanded0.count()
+    // downstream reads of the MATERIALIZED increment caches coalesce to a
+    // width derived from the measured row count (~100 B/banded row, 64 MB
+    // target): the caches inherit the corpus rebalance's one-partition-
+    // per-core layout, so the ~5 consumers below each scheduled 64 tasks
+    // over kilobyte cache blocks at gate scale. Narrow coalesce over a
+    // materialized cache merges block reads — no recompute (the count
+    // above materialized both caches at full parallelism, where the
+    // expensive signature derivation ran), no shuffle, and a real
+    // increment's width grows with its rows.
+    val incBanded = coalesceByRows(incBanded0, nIncBanded, 100L)
+    val inc = coalesceByRows(inc0, math.max(1L, nIncBanded / bands), 2000L)
     val incCounts = bucketCounts(incBanded)
     // the INDEX side is pruned to the increment's band keys BEFORE any
     // exchange: whole buckets are kept, so candidates / bucket counts /
     // grid factors are bit-identical, but the daily shuffle moves
     // O(touched-bucket rows), never the corpus index (ZoneProbes — the
-    // round-10 d9 10×-ratio term). ONE bloom shared by both zone-side
-    // prunes, riding the plans as a literal: the round-11 broadcast-semi
-    // form cost two ~1 s broadcast builds per call plus a gating count()
-    // pass over the increment signatures, and re-paid the broadcasts on
-    // every lineage re-execution (the d9/d12 sf0.1 regression). The bloom
-    // is one small agg job over the increment bands — which also
-    // materializes their cache for the ~4 consumers below — and needs no
-    // size gate: a key set past the bloom's 1M-item sizing only raises
-    // its fpp, pruning less but never wrongly.
-    val probeBloom = Some(ZoneProbes.keyBloom(incBanded, Seq("band", "key"), nIncBanded))
+    // round-10 d9 10×-ratio term). ONE bloom (round 14 — previously two:
+    // a string-keyed (band, key) bloom for the exploded prune plus this
+    // slice-hash bloom for the row prefilter, each its own agg job and
+    // pass over the increment; the (band, key) ↔ slice-hash map is 1:1,
+    // so the slice-hash bloom serves both prunes — the banded zone rows
+    // carry their slice hash out of [[bandedFromSigsH]] and the
+    // per-band prune probes the SAME bloom on it), riding the plans as
+    // a literal: the round-11 broadcast-semi form cost two ~1 s
+    // broadcast builds per call plus a gating count() pass, re-paid on
+    // every lineage re-execution (the d9/d12 sf0.1 regression). No size
+    // gate needed: a key set past the bloom's sizing only raises its
+    // fpp, pruning less but never wrongly.
+    //
     // row-level zone prefilter BEFORE banding (see [[prefilterZoneRows]]):
     // the zone's linear probe term becomes one codegen'd OR of per-band
     // bloom probes over the stored sig arrays — survivors (rows sharing
@@ -887,11 +946,16 @@ object Dedup {
     // that explode into (band, key) form and pay the string key derivation
     val rowBloom = sigRowBloom(inc, bands, numHashes / bands, nIncBanded)
     // cached: the survivor set feeds BOTH the bucket-count derivation
-    // and the cross join — without the cache each re-runs the zone scan
-    val idxBanded = ZoneProbes.pruneByBloom(
-      bandedFromSigs(prefilterZoneRows(index, rowBloom, bands, numHashes / bands),
-        numHashes, bands),
-      probeBloom, Seq("band", "key"))
+    // and the cross join — without the cache each re-runs the zone scan.
+    // Exactness of the fused per-band prune: a (band, slice) the
+    // increment holds is in the bloom by construction (no false
+    // negatives), and bloom false positives only keep extra whole
+    // buckets, which the exact equijoins and the inner-joined oversized
+    // check drop — candidates, counts and grid factors bit-identical.
+    val idxBanded = bandedFromSigsH(
+        prefilterZoneRows(index, rowBloom, bands, numHashes / bands), numHashes, bands)
+      .filter(call_function("graft_might_contain", lit(rowBloom), xxhash64(col("__h"))))
+      .drop("__h")
       .cache()
     // index-side bucket counts come from the SURVIVORS, not the stored
     // counts zone: for any (band, key) the increment actually probes,
@@ -1700,7 +1764,10 @@ object Dedup {
       "seed" -> seed,
       "dim" -> sig.dim.toLong)
     guardZoneGeometry(spark, path, mode, geometry)
-    keyed.write.mode(mode).parquet(path)
+    // row-count-sized file count (Zones.sizedForWrite — the
+    // writeSignatureIndex rationale); sig.n rode out of the derivation's
+    // own stats aggregation, so the sizing costs no extra scan
+    graft.sources.Zones.sizedForWrite(keyed, sig.n).write.mode(mode).parquet(path)
     recordZoneGeometry(spark, path, geometry)
     // bucket counts ride next to the index (hidden _counts side-file):
     // daily probes then never recount the corpus — see [[readBucketCounts]]

@@ -445,6 +445,20 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("enc"), col("cnt"))
       .localCheckpoint(true)
+    // The word table is VOCABULARY-sized — corpus-independent by
+    // construction (the reason merge rounds are cheap at any corpus
+    // size) — yet the checkpoint inherits the corpus aggregation's
+    // partitioning, so every round's snapshot and rewrite scheduled one
+    // task per session shuffle partition over kilobyte blocks. Coalesce
+    // the loop's working set to a width derived from the MEASURED word
+    // count (~40 B/encoded word, 64 MB target — 1 partition up to ~1.5M
+    // words, growing with real vocabularies); the count reads the
+    // just-materialized checkpoint. Values are unaffected: counts are
+    // exact and the batch pick is a total order.
+    vocab = {
+      val words = vocab.count()
+      vocab.coalesce(math.max(1L, words * 40L / (64L << 20) + 1).toInt)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var batchIdx = 0

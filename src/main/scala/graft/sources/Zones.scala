@@ -58,6 +58,35 @@ object Zones {
     }
   }
 
+  /** Default target rows per parquet file for zone writes — see
+    * [[sizedForWrite]]. At the ~0.5-3 KB/row of this repo's zone shapes
+    * (signature rows with hgrams/sig arrays, assignment rows with
+    * vectors) 128k rows lands files in the ~100-400 MB band the guide's
+    * file-layout section recommends.
+    */
+  val ZoneRowsPerFile: Long = 128L * 1024
+
+  /** Size a zone write's FILE COUNT from its row count instead of its
+    * upstream partition count (guide §6, small files): a daily
+    * increment written straight off a 32-partition plan lands 32
+    * near-empty files, and every later scan of the zone then pays one
+    * task per file (parquet's open-cost packing stops merging splits at
+    * the file boundary) — the d9/d12 gate zones measured 27-32 scan
+    * tasks for kilobytes of data, with the task SCHEDULING dominating
+    * every probe of the standing zone. ⌈rows / rowsPerFile⌉ files keeps
+    * small zones at one file and large zones at ~hundreds-of-MB files.
+    * `repartition` rather than `coalesce`: coalesce would merge the
+    * UPSTREAM computation (signature derivation) into the reduced task
+    * count, serializing exactly the work the corpus rebalance exists to
+    * spread; the round-robin shuffle moves only increment-sized rows,
+    * once, at write time.
+    */
+  def sizedForWrite(
+      df: DataFrame, rows: Long, rowsPerFile: Long = ZoneRowsPerFile): DataFrame = {
+    val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+    df.repartition(math.min(files, Int.MaxValue.toLong).toInt)
+  }
+
   /** Recursive delete through the Hadoop `FileSystem` API (no-op when the
     * path is absent) — the scheme-agnostic counterpart of [[exists]] for
     * gate/test cleanups.
