@@ -79,5 +79,14 @@ object Sessions {
       // task stack (measured); past this cap the filter degrades to the
       // min/max range and the Spark-side InSet (hash set) still runs.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+      // partition discovery of cell/date-partitioned zones (IVF
+      // assignments: 256 dirs) tipped over the 32-dir default into a
+      // DISTRIBUTED listing job — one task per directory, ~0.4 s of
+      // scheduling per query to list a few hundred local dirs the
+      // driver stats in milliseconds. The driver comfortably lists ~1k
+      // dirs on any filesystem; past that the distributed path
+      // re-engages on its own (zones with more partitions than this
+      // are exactly the ones worth a parallel listing).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 }

@@ -897,8 +897,17 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       indexCounts: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes (numHashes % bands == 0)")
-    val inc0 = incrementIndex.cache()
-    val incBanded0 = bandedFromSigs(inc0, numHashes, bands).cache() // probe side of BOTH joins
+    // localCheckpoint, not cache: same one-pass materialization, but the
+    // returned frame is a LogicalRDD LEAF — the ~10 driver actions below
+    // (counts, bloom aggs, emptiness probe, candidate collect, confirm)
+    // each re-analyze their trees, and with cache() every one of those
+    // walks re-carried the full shingling + minhash + banding expression
+    // forest (measured: d9's wall was ~45% inter-job driver/planning gap
+    // at gate scale). Lazy: the nIncBanded count below materializes both
+    // frames in one pass at full parallelism, exactly as the caches did.
+    val inc0 = incrementIndex.localCheckpoint(false)
+    val incBanded0 = // probe side of BOTH joins
+      bandedFromSigs(inc0, numHashes, bands).localCheckpoint(false)
     // ONE bucket-count pass per distinct frame, shared by the three join
     // sides below (increment appears three times, the index once), and ONE
     // driver probe for both joins' oversized lists — the bound's cost is
@@ -956,7 +965,10 @@ object Dedup {
         prefilterZoneRows(index, rowBloom, bands, numHashes / bands), numHashes, bands)
       .filter(call_function("graft_might_contain", lit(rowBloom), xxhash64(col("__h"))))
       .drop("__h")
-      .cache()
+      // localCheckpoint (lazy), not cache — the lineage-truncation
+      // rationale above: the prefilter OR-chain + banding tree would
+      // otherwise be re-analyzed by every consumer below
+      .localCheckpoint(false)
     // index-side bucket counts come from the SURVIVORS, not the stored
     // counts zone: for any (band, key) the increment actually probes,
     // EVERY zone row of that bucket passes the row prefilter (its slice
@@ -996,7 +1008,11 @@ object Dedup {
           col("sz_x") * threshold <= col("sz_y") + FpSlack &&
           col("sz_y") * threshold <= col("sz_x") + FpSlack)
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-    val cand = cross.unionByName(within).distinct().cache()
+    val cand = cross.unionByName(within).distinct()
+      // lazy localCheckpoint — lineage truncation for the confirm
+      // stage's joins and the candidate-id collect (see the
+      // increment-frame note above)
+      .localCheckpoint(false)
     // exact-Jaccard confirm: shingle arrays come from the stored index for
     // corpus ids and the increment frame for new ids. The index side is
     // fetched by the BOUNDED candidate-id list (a pushable isin — parquet
@@ -1846,18 +1862,26 @@ object Dedup {
       .withColumn("bkeys", bandKeyArray(col("v"), planes, bands0, bitsPerBand0))
     def bandRows(df: DataFrame, as: String): DataFrame =
       df.select(col("id").as(as), posexplode(col("bkeys")).as(Seq("band", "key")))
-    val incBandX = bandRows(incSig, "id_x").cache()
+    // lazy localCheckpoint, not cache: a LogicalRDD leaf for the ~6
+    // driver actions downstream — with cache() each re-analyzed the
+    // hyperplane-signature + band-explode tree (the d9-path rationale)
+    val incBandX0 = bandRows(incSig, "id_x").localCheckpoint(false)
     // zone-probe prune (see minhashLshPairsIncrementalFromSigs): the
     // stored index's band rows are bloom-filtered to the increment's keys
     // on the scan, so the band-join exchange moves touched buckets only —
-    // one bloom shared with the counts prune below
-    val probeBloom =
+    // one bloom shared with the counts prune below. On the counted
+    // branch the downstream consumers (≥4 reads of the materialized
+    // checkpoint) also coalesce to the measured-rows width — the
+    // d9-path coalesceByRows rationale (the checkpoint inherits the
+    // corpus rebalance's fan-out; ~32 B/band row, 64 MB target).
+    val (incBandX, probeBloom) =
       if (nInc * bands0 <= ZoneProbes.BroadcastProbeMaxRows) {
-        // materialize the cache in parallel before keyBloom's
+        // materialize the checkpoint in parallel before keyBloom's
         // single-task agg reads through it; right-size the bloom
-        val nKeys = incBandX.count()
-        Some(ZoneProbes.keyBloom(incBandX, Seq("band", "key"), nKeys))
-      } else None
+        val nKeys = incBandX0.count()
+        (coalesceByRows(incBandX0, nKeys, 32L),
+          Some(ZoneProbes.keyBloom(incBandX0, Seq("band", "key"), nKeys)))
+      } else (incBandX0, None)
     // row-level zone prefilter BEFORE the bands×rows explode (see
     // [[prefilterZoneRowsByBkeys]]): a codegen'd OR of per-band bloom
     // probes over the stored bkeys arrays on the scan; only survivors
@@ -1869,7 +1893,8 @@ object Dedup {
     // cache only the SURVIVOR set (bloom engaged): with the bloom
     // disengaged this frame is the unpruned bands×corpus explode, and
     // caching it would materialize corpus-scale state for one consumer
-    val idxBand = if (probeBloom.isDefined) idxBand0.cache() else idxBand0
+    val idxBand = // survivor set: truncate like the probe side above
+      if (probeBloom.isDefined) idxBand0.localCheckpoint(false) else idxBand0
     // increment ≤ maxBucket AND index ≤ maxBucket prove BOTH joins
     // dormant — any bucket pair holds at most nInc×nIdx ≤ maxBucket²
     // candidates — without a counting pass or driver probe. The index
@@ -1938,7 +1963,11 @@ object Dedup {
         ovWithin, withinDormant)
       .filter(col("id_x") < col("id_y"))
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
-    val cand = cross.unionByName(within).distinct().cache()
+    val cand = cross.unionByName(within).distinct()
+      // lazy localCheckpoint — lineage truncation for the confirm
+      // stage's joins and the candidate-id collect (see the
+      // increment-frame note above)
+      .localCheckpoint(false)
     // cosine confirm: the index side is fetched by the bounded
     // candidate-id list (pushable isin — see [[pruneToCandidateIds]]),
     // so row groups holding no candidate never stream their vectors

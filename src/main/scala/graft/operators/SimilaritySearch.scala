@@ -449,6 +449,14 @@ object SimilaritySearch {
     * index zone; asserted by PlanAuditSpec). Output and numerics are
     * identical to [[ivfTopK]] with the same build parameters.
     */
+  /** Cap on the probed-cell `isin` pushed into the assignments scan by
+    * [[ivfTopKPersisted]] — bounds the planner-side predicate (the
+    * collect itself is ≤ nCells values by the distinct, always
+    * driver-safe: the centroid array is driver-resident already). Past
+    * the cap the unpruned scan is the honest plan.
+    */
+  private[graft] val MaxPrunedCells = 2048
+
   def ivfTopKPersisted(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -458,13 +466,32 @@ object SimilaritySearch {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     val centroids = readIvfCentroids(spark, path)
-    val c = spark.read.parquet(s"$path/assignments")
-      .select(col("neighbor_id"), col("cv"), col("cell"))
     val q = queries.select(
       col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       nearestCells(col(vecCol).cast("array<double>"), centroids, nProbe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+      // the probe frame feeds the join AND the bounded cell collect
+      // below; without the checkpoint each would recompute the query
+      // quantization (and the collect's tree re-analyzes it)
+      .localCheckpoint()
+    // PARTITION-PRUNE the assignments zone to the probed cells: the zone
+    // is laid out partitioned-by-cell precisely so a query touches
+    // nProbe/nCells of it, but the equi-join alone still scans (and
+    // lists the files of) every cell. The probed-cell set is bounded by
+    // min(nCells, queries × nProbe); collect it while it is small and
+    // push it as an `isin` on the partition column — files of unprobed
+    // cells never enter the scan. Past the cap (a huge query batch
+    // probing most cells) the full-scan join is the honest plan, and
+    // extra cells kept by it are dropped by the join — identical output
+    // either way, so the cap only picks the plan.
+    val probedCells = q.select(col("cell")).distinct()
+      .limit(MaxPrunedCells + 1).collect().map(_.getInt(0)).toSeq
+    val c0 = spark.read.parquet(s"$path/assignments")
+    val c = (if (probedCells.length <= MaxPrunedCells)
+        c0.filter(col("cell").isin(probedCells: _*))
+      else c0)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))

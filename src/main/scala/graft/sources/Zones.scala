@@ -324,7 +324,17 @@ object Zones {
     val stageName = s"${name}__stage"
     spark.sql(s"DROP TABLE IF EXISTS `$stageName`")
     withBucketedMergeConfs(spark) {
-      merged.write.mode("overwrite")
+      // distribute by the BUCKET key before the write: a bucketed write
+      // runs one task per input partition, and AQE coalesces the small
+      // merge plan to one task that then writes every (partition ×
+      // bucket) file serially (measured 0.8 s per upsert at gate scale).
+      // repartition(nBuckets, bucketCols) is the same murmur3-mod the
+      // bucket assignment uses, so each task holds EXACTLY one bucket:
+      // file count and per-file contents (writer sorts within task) are
+      // identical to the single-task layout, written nBuckets-wide. At
+      // scale the shuffle moves only the merged increment, once.
+      merged.repartition(nBuckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
         .partitionBy(partitionCol)
         .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
